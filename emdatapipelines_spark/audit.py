@@ -1,0 +1,69 @@
+"""Audit / classification / retention columns.
+
+Every table in the reference carries mandated audit columns
+(`resources/database.py:148-154`; `macros/data_classification.sql:2-26`;
+staging models e.g. `models/staging/stg_fema_disasters.sql:41-49`):
+``ingestion_timestamp, data_source, data_classification, retention_date,
+processed_at, processing_version``. This module reproduces that contract as a
+single declarative transformation (pure column expressions — JVM-side, no
+Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .clock import DEFAULT_CLOCK, Clock
+
+#: classification → retention days (`dbt_project.yml:52-83` retention_periods;
+#: `resources/database.py:211-226` per-table policies 90/1095/2555 days).
+RETENTION_DAYS = {
+    "PUBLIC": 2555,
+    "INTERNAL": 1095,
+    "RESTRICTED": 90,
+}
+
+
+def with_audit_columns(
+    df: DataFrame,
+    data_source: str,
+    classification: str = "PUBLIC",
+    processing_version: str = "1.0",
+    clock: Clock = DEFAULT_CLOCK,
+) -> DataFrame:
+    """Append the mandated audit columns (≈ `macros/data_classification.sql`
+    ``add_audit_columns`` + `resources/database.py:148-154`)."""
+    retention = RETENTION_DAYS.get(classification.upper(), 1095)
+    return (
+        df.withColumn("ingestion_timestamp", clock.timestamp())
+        .withColumn("data_source", F.lit(data_source))
+        .withColumn("data_classification", F.lit(classification.upper()))
+        .withColumn("retention_date", F.date_add(clock.date(), retention))
+        .withColumn("processed_at", clock.timestamp())
+        .withColumn("processing_version", F.lit(processing_version))
+    )
+
+
+def retention_filter(df: DataFrame, ts_col: str, retention_days: int, clock: Clock = DEFAULT_CLOCK) -> DataFrame:
+    """Retention enforcement as a keep-filter rewrite.
+
+    ≈ ``DELETE FROM t WHERE ts < DATE_SUB(NOW(), INTERVAL n DAY)``
+    (`resources/database.py:211-226`, `jobs/public_jobs.py:309-356`). On
+    immutable Parquet the delete is expressed as rewriting the retained rows;
+    at 100 TB with date-partitioned layout this prunes to whole-partition
+    drops instead of row scans.
+    """
+    return df.filter(F.col(ts_col) >= F.to_timestamp(F.lit(clock.iso_ts_sub(days=retention_days))))
+
+
+def mask_sensitive(col, classification_col):
+    """PII masking — keep first/last char, star the middle
+    (≈ ``REPEAT('*', LENGTH(c)-2)`` masking in `macros/federal_compliance.sql:15-25`),
+    applied only when the row classification is not PUBLIC."""
+    c = F.col(col) if isinstance(col, str) else col
+    cls = F.col(classification_col) if isinstance(classification_col, str) else classification_col
+    masked = F.when(
+        F.length(c) > 2,
+        F.concat(F.substring(c, 1, 1), F.repeat(F.lit("*"), F.length(c) - 2), F.substring(c, -1, 1)),
+    ).otherwise(F.repeat(F.lit("*"), F.length(c)))
+    return F.when(cls == "PUBLIC", c).otherwise(masked)

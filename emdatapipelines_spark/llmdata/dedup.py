@@ -1,0 +1,189 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All operators are pure DataFrame pipelines (explode/agg/join — no Python in
+the hot path) and deterministic: MinHash uses ``xxhash64(shingle, seed_i)``
+with fixed seeds instead of MLlib's randomly-initialized ``MinHashLSH`` so
+reruns and resumed jobs bucket identically.
+
+Scale notes (100 TB): candidate generation is always equi-join on a derived
+key (shingle, band-hash, simhash band) — cost is Σ bucket² not n²; a
+document-frequency cap drops ultra-common shingles that would otherwise
+create quadratic hot buckets (same idea as stop-word removal in web-dedup
+pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm_text(col="text"):
+    """Canonical text form: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash: (content_hash, dup_count,
+    keep_id) for groups with >1 member. Hash-groupBy — one shuffle on the
+    128-bit content key, no pairwise comparison."""
+    h = docs.select(F.col(id_col), F.md5(_norm_text(text_col)).alias("content_hash"))
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per exact content group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(_norm_text(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingles(text_col: str, n: int):
+    """Word n-gram shingle array (distinct)."""
+    toks = F.split(_norm_text(text_col), " ")
+    if n == 1:
+        return F.array_distinct(toks)
+    # sliding window of n tokens joined by space
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Pipeline: shingle → explode → self-equi-join on shingle → count common
+    shingles per (a,b) → jaccard = |∩| / (|A|+|B|−|∩|) → threshold. The join
+    key is the shingle, so Spark plans a shuffled hash join keyed on content;
+    ``max_shingle_df`` drops shingles appearing in more than that many docs
+    (skew/quadratic-blowup guard — at web scale this is mandatory).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Deterministic MinHash signatures: sig[i] = min over shingles of
+    ``xxhash64(shingle, seed=i)``. One explode + one groupBy with
+    ``num_hashes`` min-aggregates — a single shuffle, map-side combined."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes, hash each band, equi-join docs sharing any
+    (band_index, band_hash) bucket. Returns distinct candidate pairs
+    (id_a < id_b). Probability a pair with Jaccard s collides:
+    1 − (1 − s^r)^b."""
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("signature"), bi * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum ±1 across token hashes,
+    bit set where the sum is positive. Near-dup distance = hamming distance
+    between fingerprints. Expressed as explode + 64 conditional sums (one
+    shuffle); fingerprint reassembled with bit arithmetic — all JVM-side."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(_norm_text(text_col), " "))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_bit = toks.groupBy("id").agg(*aggs)
+    fp = None
+    for i in range(bits):
+        # shiftleft(1L, 63) wraps to Long.MIN_VALUE — exactly the two's
+        # complement weight of the sign bit, so the fingerprint fits a long
+        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_bit.select("id", fp.alias("simhash"))

@@ -1,0 +1,96 @@
+"""Aggregation operators (SURVEY §2.4 A1–A10).
+
+Determinism convention: sums/avgs over floating columns route through
+DECIMAL so partial-aggregation order (which differs between Spark's two-phase
+hash agg and any single-node oracle) cannot perturb low-order bits. Exactness
+here is also what the reference's privacy operators require (SURVEY §7.4.6).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dec_sum(col, scale: int = 4, out: str = "double") -> Column:
+    """Order-independent exact sum of a double column: cast each value to
+    DECIMAL(28, scale) (exact for fixture magnitudes), sum exactly, cast back.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast(out)
+
+
+def dec_avg(col, scale: int = 4, round_to: int = 6) -> Column:
+    """Deterministic mean: exact decimal sum ÷ count, one double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+    return F.round(s / F.count(c), round_to)
+
+
+def conditional_count(cond: Column) -> Column:
+    """A2 — ``COUNT(CASE WHEN cond THEN 1 END)``
+    (`models/marts/weather_impacts.sql:58-62`, `disaster_analytics.sql:60-72`)."""
+    return F.count(F.when(cond, F.lit(1)))
+
+
+def conditional_flag_max(cond: Column) -> Column:
+    """A1 — ``MAX(CASE WHEN cond THEN 1 ELSE 0 END)`` boolean-any flag."""
+    return F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+
+def privacy_threshold_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list[Column],
+    min_group_size: int = 5,
+    count_col: str = "group_size",
+) -> DataFrame:
+    """A4 — privacy-thresholded aggregation.
+
+    ≈ ``GROUP BY county HAVING COUNT(*) >= 5`` with magnitude-dependent
+    rounding (`models/public/public_agricultural_data.sql:33-57,80-94`).
+    Small groups are suppressed entirely — this is a compliance semantic and
+    must stay exact at any scale (no approximate counts here).
+    """
+    out = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias(count_col), *aggs)
+    return out.filter(F.col(count_col) >= min_group_size)
+
+
+def privacy_round(col, magnitude: int = -3) -> Column:
+    """A4 — privacy rounding ``ROUND(x, -3/-4/-5)``
+    (`public_agricultural_data.sql:80-94`). Routed through decimal so the
+    HALF_UP boundary behaves identically everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast("decimal(28,4)"), magnitude).cast("double")
+
+
+def union_of_aggregates(frames: list[DataFrame]) -> DataFrame:
+    """A6/U2 — stack per-source aggregate rows.
+
+    ≈ the UNION ALL quality scan (`models/metrics/data_quality_metrics.sql:7-121`).
+    """
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
+
+def windowed_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    window_duration: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """A7 — generic config-driven aggregation with a time bucket.
+
+    ≈ `ops/data_processing_ops.py:221-283`: groupby fields + agg dict +
+    ``dt.floor(window)`` bucket + record_count. Uses ``window()`` so the same
+    shape serves batch and Structured Streaming.
+    """
+    exprs = [v.alias(k) for k, v in aggs.items()] + [F.count(F.lit(1)).alias("record_count")]
+    return (
+        df.groupBy(*group_cols, F.window(F.col(ts_col), window_duration).alias("time_window"))
+        .agg(*exprs)
+        .withColumn("window_start", F.col("time_window.start"))
+        .withColumn("window_end", F.col("time_window.end"))
+        .drop("time_window")
+    )

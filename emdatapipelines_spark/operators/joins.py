@@ -1,0 +1,79 @@
+"""Join operators (SURVEY §2.3 J1–J8).
+
+Scale notes: dimension joins broadcast (no shuffle); fact-fact joins rely on
+AQE for skew splitting; the interval join keeps its equi key so Spark plans a
+hash/sort-merge join with the range condition as a residual predicate — never
+a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dim_enrich_join(
+    fact: DataFrame, dim: DataFrame, on, how: str = "left", hint_broadcast: bool = True
+) -> DataFrame:
+    """J1 — left equi-join against a bounded dimension, broadcast by default.
+
+    ≈ events ⟕ state_codes (`models/marts/emergency_events.sql:83-133`). The
+    reference's dims are ≤52 rows; at 100 TB the fact side never shuffles for
+    this join.
+    """
+    d = broadcast(dim) if hint_broadcast else dim
+    return fact.join(d, on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi: list[tuple[str, str]],
+    ts_col: str,
+    start_col: str,
+    end_col: str | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """J3 — interval/range join with an equi carrier key.
+
+    ≈ daily weather ⟕ alerts ON ``observation_date BETWEEN a.effective_date
+    AND COALESCE(a.expires_date, a.effective_date)`` AND state equi key
+    (`models/marts/weather_impacts.sql:159-165`). The equi columns drive the
+    hash join; the BETWEEN is a residual filter evaluated post-match, so the
+    plan stays shuffle-hash/sort-merge (check with .explain — no
+    BroadcastNestedLoopJoin). Null-extension for unmatched left rows is
+    preserved exactly (`weather_impacts.sql:149`).
+    """
+    cond = None
+    for l, r in equi:
+        c = left[l] == right[r]
+        cond = c if cond is None else (cond & c)
+    lo = right[start_col]
+    hi = F.coalesce(right[end_col], right[start_col]) if end_col else right[start_col]
+    cond = cond & (left[ts_col] >= lo) & (left[ts_col] <= hi)
+    return left.join(right, cond, how)
+
+
+def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
+    """J5 — orphan detection: rows of ``df`` with no match in ``other``.
+
+    ≈ the referential-integrity test ``LEFT JOIN state_codes s ... WHERE
+    s.state_code IS NULL`` (`tests/data_quality_tests.yml:11-15`) expressed
+    as a proper left_anti join (no null-filter trick needed).
+    """
+    return df.join(other, on, "left_anti")
+
+
+def map_lookup(col, mapping: dict, default=None) -> Column:
+    """J8 — literal-dictionary "join" as a map expression.
+
+    ≈ pandas dict-map joins: state→region, incident→severity, month→season
+    (`assets/processed_data.py:61-89`, `assets/ml_assets.py:394-397`).
+    Constant-folded; zero shuffle, zero UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    looked = F.create_map(pairs)[c]
+    return F.coalesce(looked, F.lit(default)) if default is not None else looked

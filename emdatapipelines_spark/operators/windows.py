@@ -1,0 +1,88 @@
+"""Window-function operators (SURVEY §2.5 W1–W5).
+
+All windows partition by a business key, so at scale each partition's state
+fits one task; no global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def keyed_window(partition_cols: list[str], order_cols: list) -> WindowSpec:
+    return Window.partitionBy(*partition_cols).orderBy(*order_cols)
+
+
+def lag_over(col, partition_cols: list[str], order_cols: list, offset: int = 1) -> Column:
+    """W1 — ``LAG(x, 1) OVER (PARTITION BY ... ORDER BY ...)`` for
+    year-over-year trends (`models/marts/disaster_analytics.sql:108-111`)."""
+    return F.lag(col, offset).over(keyed_window(partition_cols, order_cols))
+
+
+def lead_over(col, partition_cols: list[str], order_cols: list, offset: int = 1) -> Column:
+    """W5 — ``shift(-1)`` targets: next event date / severity
+    (`assets/ml_assets.py:146-151`)."""
+    return F.lead(col, offset).over(keyed_window(partition_cols, order_cols))
+
+
+def trend_label(pct_change: Column, up: float = 10.0, down: float = -10.0) -> Column:
+    """INCREASING / DECREASING / STABLE banding of a YoY % change
+    (`disaster_analytics.sql:143-158`)."""
+    return (
+        F.when(pct_change > up, F.lit("INCREASING"))
+        .when(pct_change < down, F.lit("DECREASING"))
+        .when(pct_change.isNotNull(), F.lit("STABLE"))
+    )
+
+
+def rolling_time_count(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str,
+    days: int,
+    out_col: str = "rolling_count",
+    exclude_current: bool = True,
+) -> DataFrame:
+    """W3 — trailing time-range rolling count.
+
+    ≈ pandas ``rolling(window='30D').count() - 1`` per source
+    (`assets/ml_assets.py:81-83`): events in the prior ``days`` window,
+    excluding the current row. Implemented as a RANGE frame over epoch
+    seconds — a true time-range frame, not a row frame.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-days * 86400, 0)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    if exclude_current:
+        cnt = cnt - 1
+    return df.withColumn(out_col, cnt)
+
+
+def trailing_mean(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    n_rows: int = 5,
+    out_col: str = "trailing_mean",
+) -> DataFrame:
+    """W4 — shifted trailing mean ``rolling(5, min_periods=1).mean().shift(1)``
+    (`assets/ml_assets.py:86-88`): mean of the previous ``n_rows`` rows,
+    current row excluded. ``order_cols`` must include a unique tiebreaker for
+    a deterministic ROWS frame.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-n_rows, -1)
+    )
+    return df.withColumn(out_col, F.avg(F.col(value_col)).over(w))
+
+
+def row_number_code(partition_cols: list[str], order_cols: list) -> Column:
+    """W2 — ``ROW_NUMBER()`` sequence for public-code generation
+    (`models/public/public_disasters.sql:44`)."""
+    return F.row_number().over(keyed_window(partition_cols, order_cols))

@@ -1,0 +1,42 @@
+"""Q7 — PII detection over string columns.
+
+≈ `utils/data_validation.py:400-427` (SSN/phone/email/credit-card regex scan)
+and the dbt PII tests (`tests/data_quality_tests.yml:155-175`). One
+aggregation pass: per (column, pattern) match counts; nothing is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.aggregates import union_of_aggregates
+
+PII_PATTERNS = {
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "credit_card": r"\d{4}[-\s]?\d{4}[-\s]?\d{4}[-\s]?\d{4}",
+}
+
+
+def pii_scan(df: DataFrame, string_cols: list[str] | None = None, patterns: dict[str, str] | None = None) -> DataFrame:
+    """Rows of (column_name, pii_type, match_count) for every string column ×
+    pattern, computed in a single scan (all counters in one ``agg``)."""
+    patterns = patterns or PII_PATTERNS
+    cols = string_cols or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    frames = []
+    for c in cols:
+        aggs = [
+            F.sum(F.col(c).rlike(p).cast("bigint")).alias(name) for name, p in patterns.items()
+        ]
+        row = df.agg(*aggs)
+        melted = [
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.lit(name).alias("pii_type"),
+                F.coalesce(F.col(name), F.lit(0)).cast("bigint").alias("match_count"),
+            )
+            for name in patterns
+        ]
+        frames.extend(melted)
+    return union_of_aggregates(frames)

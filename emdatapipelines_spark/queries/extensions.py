@@ -1,0 +1,397 @@
+"""LLM-data, ML, and streaming-shaped queries (beyond-reference extensions).
+
+Oracle-checked where the semantics are SQL-expressible; MinHash/SimHash/LSH
+and MLlib training are registered without oracles (driver records the weaker
+rows-only check; tests/ cover their semantics instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..llmdata.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from ..llmdata.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    text_quality,
+    token_count,
+)
+from ..ml.features import daily_event_features
+from ..streaming.windows import tumbling_window_counts
+from .registry import query, t
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact (hash-groupBy)
+# ---------------------------------------------------------------------------
+@query(
+    "dd_exact_dedup",
+    f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT md5({_NORM_SQL})) AS distinct_texts,
+           COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS exact_dup_rows
+    FROM documents
+    """,
+)
+def dd_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    total = d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(F.md5(norm)).alias("distinct_texts"),
+    )
+    return total.select(
+        "total_docs",
+        "distinct_texts",
+        (F.col("total_docs") - F.col("distinct_texts")).alias("exact_dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard near-dup pairs (trigram shingles, explode+join)
+# ---------------------------------------------------------------------------
+@query(
+    "dd_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 1, 2)),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(c.common * 1.0 / (sa.set_size + sb.set_size - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE c.common * 1.0 / (sa.set_size + sb.set_size - c.common) >= 0.05
+    """,
+)
+def dd_jaccard_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash + LSH candidates (deterministic xxhash64 — no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("dd_minhash_lsh")
+def dd_minhash_lsh(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, n=3, num_hashes=64)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+    return cands.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash fingerprints (no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("dd_simhash")
+def dd_simhash(spark, sf_dir):
+    return simhash(t(spark, sf_dir, "documents")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# similarity: exact brute-force cosine top-k (expression path)
+# ---------------------------------------------------------------------------
+@query(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 ROUND(list_dot_product(qv, cv) /
+                       (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+          FROM q, c WHERE query_id != neighbor_id),
+    r AS (SELECT query_id, neighbor_id, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# similarity: LSH-bucketed approximate top-k (scale path — no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("sim_lsh_topk")
+def sim_lsh_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# text: token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+@query(
+    "tx_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                ELSE len({_TOKS_SQL}) END AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)')) AS INT) AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def tx_token_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: quality scoring (Gopher-style signals)
+# ---------------------------------------------------------------------------
+@query(
+    "tx_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+             len(list_filter({_TOKS_SQL},
+                 x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS stop_hits,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars
+      FROM documents)
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(length({_NORM_SQL}) * 1.0 / greatest(n_tokens, 1), 6) AS mean_token_len,
+           ROUND(stop_hits * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           ROUND(punct_chars * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+           ROUND(
+             (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN length({_NORM_SQL}) * 1.0 / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN stop_hits * 1.0 / greatest(n_tokens, 1) >= 0.05 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN punct_chars * 1.0 / greatest(n_chars, 1) <= 0.2 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+    FROM base
+    """,
+)
+def tx_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    q = text_quality("text")
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["quality_score"].alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: stopword-hit language ID heuristic
+# ---------------------------------------------------------------------------
+_LANG_SETS = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','ein','eine','zu','mit','von']",
+    "fr": "['le','la','les','et','est','une','un','des','du','que']",
+    "es": "['el','la','los','las','y','es','un','una','de','que']",
+    "zh": "['的','是','了','在','我','有','和','就','不','人']",
+}
+_HITS = {
+    lang: f"len(list_filter({_TOKS_SQL}, x -> list_contains({s}, x)))" for lang, s in _LANG_SETS.items()
+}
+
+
+@query(
+    "tx_language_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_HITS['en']} AS h_en, {_HITS['de']} AS h_de, {_HITS['fr']} AS h_fr,
+             {_HITS['es']} AS h_es, {_HITS['zh']} AS h_zh
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) <= 0 THEN 'unknown'
+                WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+                WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+                WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+                WHEN h_es >= h_zh THEN 'es'
+                ELSE 'zh' END AS lang_pred
+    FROM s
+    """,
+)
+def tx_language_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+
+
+# ---------------------------------------------------------------------------
+# text: order-insensitive document fingerprint
+# ---------------------------------------------------------------------------
+@query(
+    "tx_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS doc_fingerprint
+    FROM documents
+    """,
+)
+def tx_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("doc_fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# ML: daily feature engineering (W3/W4/W5 composite over events)
+# ---------------------------------------------------------------------------
+@query(
+    "ml_daily_features",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS event_count,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*), 6) AS mean_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, event_date, event_count, mean_value, max_value,
+           CAST(YEAR(event_date) AS INT) AS year, CAST(MONTH(event_date) AS INT) AS month,
+           CAST(quarter(event_date) AS INT) AS quarter, CAST(dayofyear(event_date) AS INT) AS day_of_year,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY epoch(CAST(event_date AS TIMESTAMP))
+                          RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) - 1 AS rolling_7d_days,
+           AVG(event_count) OVER (PARTITION BY event_type ORDER BY event_date
+                                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS trailing_mean_count,
+           LEAD(event_count, 1) OVER (PARTITION BY event_type ORDER BY event_date) AS next_day_count
+    FROM daily
+    """,
+)
+def ml_daily_features(spark, sf_dir):
+    return daily_event_features(t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ML: risk banding via exact global moments (M3 core)
+# ---------------------------------------------------------------------------
+@query(
+    "ml_risk_bands",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,4))) AS DOUBLE) AS ss,
+             CAST(COUNT(value) AS DOUBLE) AS n
+      FROM events),
+    z AS (
+      SELECT greatest(least((value - m.s/m.n) / sqrt((m.ss - m.s*m.s/m.n)/(m.n-1)), 3.0), -3.0) AS zc
+      FROM events, m),
+    scored AS (SELECT greatest(least((zc + 3)/6*10, 10.0), 0.0) AS risk FROM z)
+    SELECT CASE WHEN risk < 2 THEN 'VERY_LOW' WHEN risk < 4 THEN 'LOW'
+                WHEN risk < 6 THEN 'MODERATE' WHEN risk < 8 THEN 'HIGH'
+                ELSE 'VERY_HIGH' END AS risk_category,
+           COUNT(*) AS n_events
+    FROM scored GROUP BY risk_category
+    """,
+)
+def ml_risk_bands(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    c = F.col("value")
+    stats = e.agg(
+        F.sum(c.cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((c * c).cast("decimal(38,4)")).cast("double").alias("ss"),
+        F.count(c).cast("double").alias("n"),
+    )
+    z = (c - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    zc = F.greatest(F.least(z, F.lit(3.0)), F.lit(-3.0))
+    risk = F.greatest(F.least((zc + 3) / 6 * 10, F.lit(10.0)), F.lit(0.0))
+    band = (
+        F.when(risk < 2, "VERY_LOW")
+        .when(risk < 4, "LOW")
+        .when(risk < 6, "MODERATE")
+        .when(risk < 8, "HIGH")
+        .otherwise("VERY_HIGH")
+    )
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .groupBy(band.alias("risk_category"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML: RandomForest on embeddings (MLlib — no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("ml_forest_predictions")
+def ml_forest_predictions(spark, sf_dir):
+    from ..ml.forest import train_forest_classifier
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings")
+    model, _metrics = train_forest_classifier(e, num_trees=20, max_depth=5)
+    data = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    pred = model.transform(data)
+    return pred.select("vec_id", "label", F.col("prediction").cast("int").alias("predicted_label"))
+
+
+# ---------------------------------------------------------------------------
+# T2 — tumbling 1h window counts (batch twin of the streaming aggregate)
+# ---------------------------------------------------------------------------
+@query(
+    "st_tumbling_1h",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS event_count
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def st_tumbling_1h(spark, sf_dir):
+    return tumbling_window_counts(
+        t(spark, sf_dir, "events"), "ts", "1 hour", ["event_type"], watermark=None
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM pipeline composite: filtered + deduped corpus stats by (source, lang)
+# ---------------------------------------------------------------------------
+@query(
+    "llm_corpus_stats",
+    f"""
+    WITH kept AS (
+      SELECT doc_id, source, lang, text,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens
+      FROM documents
+      WHERE n_chars >= 50)
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 6) AS avg_tokens
+    FROM kept GROUP BY source, lang
+    """,
+)
+def llm_corpus_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    withtok = d.withColumn("n_tokens", token_count("text"))
+    return withtok.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )

@@ -1,0 +1,257 @@
+"""Quality-operator queries (SURVEY §2.10 Q1–Q10) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..quality.checks import accuracy_outlier_count, validity_checks
+from ..quality.freshness import freshness_check
+from ..quality.pii import pii_scan
+from ..quality.profile import completeness_profile
+from ..quality.anomaly import concentration_anomaly
+from ..quality.dbt_tests import (
+    TestCase,
+    run_test_suite,
+    test_accepted_range,
+    test_accepted_values,
+    test_not_null,
+    test_relationships,
+    test_unique,
+)
+from ..clock import Clock
+from .registry import query, t
+from datetime import datetime
+
+_CLOCK = Clock(datetime(2024, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# Q1 — completeness profile in one pass
+# ---------------------------------------------------------------------------
+@query(
+    "q1_completeness",
+    """
+    SELECT 'lineitem' AS source_table, COUNT(*) AS row_count,
+           ROUND(1.0 - (
+             (SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+             ) * 1.0 / (COUNT(*) * 11)), 6) AS completeness,
+           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_l_orderkey,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_l_quantity,
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_l_shipdate
+    FROM lineitem
+    """,
+)
+def q1_completeness(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return completeness_profile(
+        l, "lineitem", critical_cols=["l_orderkey", "l_quantity", "l_shipdate"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — z-score outlier count from exact moments
+# ---------------------------------------------------------------------------
+@query(
+    "q2_outliers",
+    """
+    WITH m AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS ss,
+             CAST(COUNT(o_totalprice) AS DOUBLE) AS n
+      FROM orders)
+    SELECT SUM(CASE WHEN ABS((o_totalprice - m.s/m.n) / SQRT((m.ss - m.s*m.s/m.n)/(m.n-1))) > 3
+                    THEN 1 ELSE 0 END) AS outlier_count,
+           COUNT(o_totalprice) AS checked_count
+    FROM orders, m
+    """,
+)
+def q2_outliers(spark, sf_dir):
+    return accuracy_outlier_count(t(spark, sf_dir, "orders"), "o_totalprice", z_threshold=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — consistency: duplicates over key + temporal-order violations
+# ---------------------------------------------------------------------------
+@query(
+    "q3_consistency",
+    """
+    WITH base AS (
+      SELECT COUNT(*) AS row_count,
+             SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS ship_before_order
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    d AS (
+      SELECT COALESCE(SUM(n - 1), 0) AS duplicate_rows FROM (
+        SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) g)
+    SELECT base.row_count, base.ship_before_order, d.duplicate_rows FROM base, d
+    """,
+)
+def q3_consistency(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    base = joined.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum((F.col("l_shipdate") < F.col("o_orderdate")).cast("bigint")).alias(
+            "ship_before_order"
+        ),
+    )
+    dupes = (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("duplicate_rows"))
+    )
+    return base.crossJoin(dupes)
+
+
+# ---------------------------------------------------------------------------
+# Q4 — freshness vs pinned clock (SLA banding)
+# ---------------------------------------------------------------------------
+@query(
+    "q4_freshness",
+    """
+    SELECT 'events' AS source_name, MAX(ts) AS latest_ts,
+           CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - FLOOR(epoch(MAX(ts))))/60) AS BIGINT) AS age_minutes,
+           CASE WHEN FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - FLOOR(epoch(MAX(ts))))/60) > 10080 THEN 'ERROR'
+                WHEN FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - FLOOR(epoch(MAX(ts))))/60) > 1440 THEN 'WARN'
+                ELSE 'PASS' END AS freshness_status
+    FROM events
+    """,
+)
+def q4_freshness(spark, sf_dir):
+    return freshness_check(
+        t(spark, sf_dir, "events"),
+        "ts",
+        "events",
+        warn_minutes=1440,
+        error_minutes=10080,
+        clock=_CLOCK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — declarative validity rules (pattern/enum/range)
+# ---------------------------------------------------------------------------
+@query(
+    "q5_validity",
+    """
+    SELECT COUNT(*) AS row_count,
+           SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, 'Customer#[0-9]{9}')
+                    THEN 1 ELSE 0 END) AS bad_pattern_c_name,
+           SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+                    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+                    THEN 1 ELSE 0 END) AS bad_enum_c_mktsegment,
+           SUM(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN -1000.0 AND 10000.0
+                    THEN 1 ELSE 0 END) AS bad_range_c_acctbal
+    FROM customer
+    """,
+)
+def q5_validity(spark, sf_dir):
+    return validity_checks(
+        t(spark, sf_dir, "customer"),
+        {
+            "c_name": {"pattern": "Customer#[0-9]{9}"},
+            "c_mktsegment": {"enum": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]},
+            "c_acctbal": {"min": -1000.0, "max": 10000.0},
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — PII regex scan over documents.text
+# ---------------------------------------------------------------------------
+@query(
+    "q7_pii_scan",
+    """
+    SELECT 'text' AS column_name, 'ssn' AS pii_type,
+           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{3}-\\d{2}-\\d{4}') THEN 1 ELSE 0 END), 0) AS match_count
+    FROM documents
+    UNION ALL
+    SELECT 'text', 'phone',
+           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}') THEN 1 ELSE 0 END), 0)
+    FROM documents
+    UNION ALL
+    SELECT 'text', 'email',
+           COALESCE(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END), 0)
+    FROM documents
+    UNION ALL
+    SELECT 'text', 'credit_card',
+           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}') THEN 1 ELSE 0 END), 0)
+    FROM documents
+    """,
+)
+def q7_pii_scan(spark, sf_dir):
+    return pii_scan(t(spark, sf_dir, "documents"), string_cols=["text"])
+
+
+# ---------------------------------------------------------------------------
+# Q10 — dbt-style generic test suite (one intentionally failing range test)
+# ---------------------------------------------------------------------------
+@query(
+    "q10_test_suite",
+    """
+    WITH results AS (
+      SELECT 'not_null_c_custkey' AS test_name,
+             (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) AS failures
+      UNION ALL
+      SELECT 'unique_o_orderkey',
+             (SELECT COALESCE(SUM(n), 0) FROM (
+                SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) g)
+      UNION ALL
+      SELECT 'fk_orders_customer',
+             (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'accepted_values_l_returnflag',
+             (SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A','N','R'))
+      UNION ALL
+      SELECT 'accepted_range_l_discount',
+             (SELECT COUNT(*) FROM lineitem WHERE l_discount IS NOT NULL
+                AND l_discount NOT BETWEEN 0.0 AND 0.05))
+    SELECT test_name, failures,
+           CASE WHEN failures = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM results
+    """,
+)
+def q10_test_suite(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    cases = [
+        TestCase("not_null_c_custkey", test_not_null(c, "c_custkey")),
+        TestCase("unique_o_orderkey", test_unique(o, "o_orderkey")),
+        TestCase("fk_orders_customer", test_relationships(o, "o_custkey", c, "c_custkey")),
+        TestCase("accepted_values_l_returnflag", test_accepted_values(l, "l_returnflag", ["A", "N", "R"])),
+        # deliberately failing test: discounts run up to 0.10 in the fixture
+        TestCase("accepted_range_l_discount", test_accepted_range(l, "l_discount", 0.0, 0.05)),
+    ]
+    return run_test_suite(cases)
+
+
+# ---------------------------------------------------------------------------
+# Q6 — concentration anomaly (dimensional skew probe)
+# ---------------------------------------------------------------------------
+@query(
+    "q6_concentration",
+    """
+    WITH counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    top AS (SELECT event_type, n FROM counts ORDER BY n DESC, event_type LIMIT 1)
+    SELECT top.event_type AS top_value, top.n AS top_count,
+           ROUND(top.n * 1.0 / tot.total, 6) AS share,
+           (top.n * 1.0 / tot.total) > 0.5 AS is_concentrated
+    FROM top, tot
+    """,
+)
+def q6_concentration(spark, sf_dir):
+    return concentration_anomaly(t(spark, sf_dir, "events"), "event_type", threshold=0.5)

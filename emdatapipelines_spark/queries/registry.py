@@ -1,0 +1,64 @@
+"""Query/oracle registry + shared fixture helpers.
+
+Determinism conventions (FIXTURES.md):
+- pinned clock ``AS_OF = 2024-02-01 00:00:00`` (events span 2024-01);
+- sums/avgs over doubles go through DECIMAL (exact, partitioning-independent)
+  and are cast back to double;
+- every computed column is aliased identically in the Spark query and the
+  oracle SQL; LIMIT queries carry a full deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+AS_OF = "2024-02-01 00:00:00"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a fixture query; ``oracle`` is the DuckDB-dialect SQL twin
+    (None → driver runs a weaker rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a fixture table. The ``events`` table is written with
+    nanosecond-precision parquet timestamps, which Spark cannot represent
+    (micros max): read them as raw nanos (``nanosAsLong``) and truncate to
+    microsecond timestamps — sub-microsecond information is dropped, which
+    matches the comparison precision of the DuckDB oracle client."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def dsum(col, scale: int = 2):
+    """Exact decimal sum cast back to double (order-independent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def davg(col, scale: int = 4, nd: int = 6):
+    """Deterministic mean: exact decimal sum ÷ count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c), nd)

@@ -1,0 +1,40 @@
+"""Event-time windows + watermarks (T1/T2/T7).
+
+≈ the documented Flink streaming aggregate: ``TUMBLE(ts, INTERVAL '1' HOUR)``
+count by (type, state) (`ReadMe.md:154-163`) with event-time watermarking
+(`flink/conf/flink-conf.yml:87-89`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str, watermark: str = "10 minutes") -> DataFrame:
+    """T1 — declare event time + allowed lateness."""
+    return df.withWatermark(ts_col, watermark)
+
+
+def tumbling_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_cols: list[str],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """T2 — tumbling-window count by group. Works identically on batch and
+    streaming frames (same ``window()`` expression), which is how the engine
+    unit-tests streaming semantics against the batch oracle."""
+    src = df
+    if watermark and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "event_count",
+        )
+    )

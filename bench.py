@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the full query inventory at sf0.1 and emit ONE JSON line.
+
+Contract (driver): ``{"metric": ..., "value": N, "unit": "sec", "queries":
+{"q1": sec, ...}, "sf": ...}`` on stdout. Inputs come from
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Each query is forced end-to-end with the built-in ``noop`` sink so every
+column is materialized through the whole plan (a bare ``count()`` would let
+Catalyst prune the projection and under-report the work). One warmup query
+amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _force(df) -> None:
+    """Execute the full plan, all columns, no driver-side result transfer."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from emdatapipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="emdatapipelines-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+
+    # Warmup: trigger codegen/JIT + parquet footer reads once.
+    warm = queries.get("a1_pricing_summary") or next(iter(queries.values()))
+    _force(warm(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            _force(queries[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    total = round(sum(timings.values()), 4)
+    line = {
+        "metric": "suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if failures:
+        line["failures"] = failures
+    print(json.dumps(line))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

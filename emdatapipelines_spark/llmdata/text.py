@@ -45,23 +45,54 @@ def _hits(col, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lits, t)))
 
 
+def _argmax_lang(scores: dict[str, Column], default: str) -> Column:
+    """First-wins argmax ladder over per-language score columns (tie order
+    en→de→fr→es→zh); all-zero → ``default``."""
+    order = ["en", "de", "fr", "es", "zh"]
+    best = F.greatest(*[scores[lang] for lang in order])
+    out = F.when(best <= 0, F.lit(default))
+    for lang in order:
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit(default))
+
+
 def language_id(col="text", default: str = "unknown") -> Column:
     """Stopword-hit language heuristic: the language whose stopword set hits
     the most tokens wins (ties broken by fixed language order en→de→fr→es→zh);
     no hits → ``default``. A real system would use charset n-gram profiles;
     the operator shape (pure expression, argmax over per-language scores) is
-    the scalable part."""
+    the scalable part.
+
+    Single-expression form — each language's hit count appears twice in the
+    tree. For bulk scans prefer :func:`add_language_id`, which stages
+    tokenization and per-language counts so each is evaluated once per row.
+    """
     scores = {lang: _hits(col, words) for lang, words in LANG_STOPWORDS.items()}
-    best_lang, best_score = None, None
-    for lang in ["en", "de", "fr", "es", "zh"]:
-        s = scores[lang]
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+    return _argmax_lang(scores, default)
+
+
+def add_language_id(df, text_col: str = "text", out: str = "lang_pred", default: str = "unknown"):
+    """Staged language ID over a DataFrame: tokenize once, count each
+    language's stopword hits once, then argmax over plain int columns.
+
+    The stages are separate projections on purpose: Catalyst's
+    CollapseProject keeps non-cheap expressions that are referenced more
+    than once in their own projection, so the regex normalization + split
+    runs exactly once per row (vs. once per language in the naive
+    single-expression form) — at 100 TB the tokenizer is the scan cost.
+    """
+    toks = F.split(_norm(text_col), " ")
+    staged = df.withColumn("__lid_toks", toks)
+    hit_cols = {}
+    for lang, words in LANG_STOPWORDS.items():
+        lits = F.array(*[F.lit(w) for w in words])
+        hit_cols[lang] = F.size(
+            F.filter(F.col("__lid_toks"), lambda t: F.array_contains(lits, t))
+        )
+    staged = staged.select("*", *[c.alias(f"__lid_h_{lang}") for lang, c in hit_cols.items()])
+    scores = {lang: F.col(f"__lid_h_{lang}") for lang in LANG_STOPWORDS}
+    staged = staged.withColumn(out, _argmax_lang(scores, default))
+    return staged.drop("__lid_toks", *[f"__lid_h_{lang}" for lang in LANG_STOPWORDS])
 
 
 def text_quality(col="text") -> dict[str, Column]:

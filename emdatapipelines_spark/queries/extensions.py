@@ -18,9 +18,9 @@ from ..llmdata.dedup import (
 )
 from ..llmdata.similarity import brute_force_cosine_topk, lsh_cosine_topk
 from ..llmdata.text import (
+    add_language_id,
     bpe_ish_token_count,
     fingerprint,
-    language_id,
     text_quality,
     token_count,
 )
@@ -239,7 +239,7 @@ _HITS = {
 )
 def tx_language_id(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", language_id("text").alias("lang_pred"))
+    return add_language_id(d, "text", out="lang_pred").select("doc_id", "lang", "lang_pred")
 
 
 # ---------------------------------------------------------------------------

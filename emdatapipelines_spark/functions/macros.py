@@ -189,6 +189,23 @@ def heat_index(temperature, humidity) -> Column:
     return F.when((t > 26.7) & h.isNotNull(), F.round(t - ((F.lit(100.0) - h) / 5.0), 2)).otherwise(t)
 
 
+def mask_sensitive(col, classification, is_admin: bool = False) -> Column:
+    """Mask a sensitive column for non-admin readers.
+
+    ≈ `macros/federal_compliance.sql:15-25`: for RESTRICTED/CONFIDENTIAL
+    classifications a non-admin reader sees
+    ``CONCAT(LEFT(col, 2), REPEAT('*', LENGTH(col) - 2))``; admins and
+    lower classifications see the raw value.
+    """
+    c, k = _col(col), _col(classification)
+    if is_admin:
+        return c
+    masked = F.concat(
+        F.substring(c, 1, 2), F.repeat(F.lit("*"), F.greatest(F.length(c) - 2, F.lit(0)))
+    )
+    return F.when(k.isin("RESTRICTED", "CONFIDENTIAL"), masked).otherwise(c)
+
+
 def surrogate_key(*cols) -> Column:
     """Deterministic surrogate key ``MD5(CONCAT_WS('_', ...))``
     (`models/marts/disaster_analytics.sql:81`, `weather_impacts.sql:94`)."""

@@ -124,6 +124,134 @@ def cosine_topk_pandas(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ ``threshold``.
+
+    Scale shape: the corpus is collected once into a broadcast matrix and
+    each corpus partition computes a numpy block-matmul against it —
+    O(n²·d) flops through BLAS instead of per-pair expression evaluation,
+    with only the ≥-threshold survivors materialized. At true 100 TB scale
+    the broadcast side becomes an LSH/IVF prefilter (see
+    :func:`lsh_cosine_topk`); the blocked-matmul kernel stays the same.
+    """
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat, all_norms = bc.value
+        for part in batches:
+            if part.empty:
+                continue
+            p_ids = part[id_col].to_numpy()
+            p_mat = np.vstack(part[vec_col].to_numpy()).astype(np.float64)
+            p_norms = np.linalg.norm(p_mat, axis=1)
+            sims = (p_mat @ all_mat.T) / (p_norms[:, None] * all_norms[None, :])
+            # id_a < id_b keeps each surviving pair exactly once
+            ii, jj = np.nonzero((sims >= threshold) & (p_ids[:, None] < all_ids[None, :]))
+            if len(ii) == 0:
+                continue
+            yield pd.DataFrame(
+                {"id_a": p_ids[ii], "id_b": all_ids[jj], "cosine": np.round(sims[ii, jj], 6)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(block, out_schema)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist_mod: int = 64,
+    nprobe: int = 2,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize the corpus into cells,
+    probe only the query's ``nprobe`` nearest cells.
+
+    Deterministic coarse centroids: every corpus vector whose id ≡ 0 mod
+    ``nlist_mod`` is a centroid (a k-means step would re-fit these; the
+    partition/probe shape is identical). Corpus vectors are assigned to their
+    nearest centroid (broadcast matmul, one pass); a query scans only its
+    ``nprobe`` closest cells — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist
+    with recall controlled by nprobe.
+    """
+    spark = corpus.sparkSession
+    cents = corpus.filter(F.col(c_id) % nlist_mod == 0).select(
+        F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cvec")
+    )
+    cpdf = cents.toPandas()
+    cent_ids = cpdf["cell_id"].to_numpy()
+    cent_mat = np.vstack(cpdf["cvec"].to_numpy()).astype(np.float64)
+    cent_norm = np.linalg.norm(cent_mat, axis=1)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+
+    def assign(n_cells: int):
+        schema = "item_id long, vec array<float>, cells array<long>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, cmat, cnorm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                sims = (m @ cmat.T) / (norms[:, None] * cnorm[None, :])
+                top = np.argsort(-sims, axis=1)[:, :n_cells]
+                yield pd.DataFrame(
+                    {
+                        "item_id": pdf["item_id"],
+                        "vec": pdf["vec"],
+                        "cells": [ids_[row].tolist() for row in top],
+                    }
+                )
+
+        return run, schema
+
+    c_in = corpus.select(F.col(c_id).alias("item_id"), F.col(c_vec).alias("vec"))
+    run1, schema1 = assign(1)
+    c_cells = c_in.mapInPandas(run1, schema1).select(
+        F.col("item_id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        F.element_at("cells", 1).alias("cell"),
+    )
+    q_in = queries.select(F.col(q_id).alias("item_id"), F.col(q_vec).alias("vec"))
+    runp, schemap = assign(nprobe)
+    q_cells = q_in.mapInPandas(runp, schemap).select(
+        F.col("item_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.explode("cells").alias("cell"),
+    )
+    joined = c_cells.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qa, ca = _as_double(F.col("qv")), _as_double(F.col("cv"))
+    scored = joined.withColumn(
+        "cosine", F.round(_dot(qa, ca) / (_norm(qa) * _norm(ca)), 6)
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -16,7 +16,12 @@ from ..llmdata.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ..llmdata.similarity import brute_force_cosine_topk, lsh_cosine_topk
+from ..llmdata.similarity import (
+    brute_force_cosine_topk,
+    embedding_neardup_pairs,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from ..llmdata.text import (
     add_language_id,
     bpe_ish_token_count,
@@ -138,6 +143,97 @@ def sim_cosine_topk(spark, sf_dir):
 def sim_lsh_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine near-duplicate pairs (blocked numpy matmul).
+# Threshold 0.4 is tuned to the synthetic fixture (random embeddings top out
+# at cosine ≈ 0.51); real corpora use ~0.95 — it's a parameter.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def dd_embedding_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# similarity: IVF-bucketed approximate top-k (scale path — no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(
+        e.filter(F.col("vec_id") < 8), e, k=5, nlist_mod=64, nprobe=2
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: binary payload plumbing — metadata, byte-budget partitioning,
+# Arrow-batched decode/featurize stage (decode kernel stubbed — no SQL oracle)
+# ---------------------------------------------------------------------------
+@query("mm_media_features")
+def mm_media_features(spark, sf_dir):
+    from ..llmdata.multimodal import (
+        attach_media_metadata,
+        decode_and_featurize,
+        partition_by_bytes,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "video/mp4")
+        .otherwise("audio/wav")
+        .alias("mime_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    media = attach_media_metadata(media)
+    media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
+    feats = decode_and_featurize(media, feature_dim=8)
+    return feats.select(
+        "media_id",
+        "mime_type",
+        "decode_status",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal: frame-sampling plan from metadata only (no decode)
+# ---------------------------------------------------------------------------
+@query(
+    "mm_frame_plan",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT media_id, UNNEST(range(0, greatest(duration_ms - 1, 0) + 1, 1000)) AS sample_ts_ms
+    FROM media
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    from ..llmdata.multimodal import frame_sample_plan
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 1, "video/mp4").otherwise("image/png").alias("mime_type"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
 
 
 # ---------------------------------------------------------------------------

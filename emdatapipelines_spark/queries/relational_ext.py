@@ -1,0 +1,495 @@
+"""Second tranche of SURVEY §2 operator queries (P6, A3, A7, percentiles,
+J4, J6, O1, SCD2, Q9, §2.12 macro functions), each with a DuckDB oracle.
+Section tags refer to the SURVEY §2 inventory rows the query exercises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..clock import DEFAULT_CLOCK
+from ..functions.macros import (
+    alert_priority,
+    categorize_disaster_impact,
+    event_severity,
+    mask_sensitive,
+    standardize_state_code,
+)
+from ..operators.aggregates import conditional_count, windowed_agg
+from ..operators.projections import active_alert_predicate
+from .registry import davg, dsum, query, t
+
+_AS_OF = DEFAULT_CLOCK.iso_ts()
+
+
+# ---------------------------------------------------------------------------
+# P6 — active/expired predicate with null handling (public_assets.py:140-141)
+# ---------------------------------------------------------------------------
+@query(
+    "p6_active_alerts",
+    f"""
+    WITH alerts AS (
+      SELECT event_id, event_type, ts AS effective_ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE ts + INTERVAL 5 DAY END AS expires_ts
+      FROM events)
+    SELECT event_type, COUNT(*) AS active_alerts
+    FROM alerts
+    WHERE expires_ts > TIMESTAMP '{_AS_OF}' OR expires_ts IS NULL
+       OR effective_ts >= TIMESTAMP '{_AS_OF}' - INTERVAL 24 HOUR
+    GROUP BY event_type
+    """,
+)
+def p6_active_alerts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    alerts = e.select(
+        "event_id",
+        "event_type",
+        F.col("ts").alias("effective_ts"),
+        F.when(F.col("event_type") != "error", F.col("ts") + F.expr("INTERVAL 5 DAYS")).alias(
+            "expires_ts"
+        ),
+    )
+    active = alerts.filter(
+        active_alert_predicate("effective_ts", "expires_ts", DEFAULT_CLOCK.timestamp())
+    )
+    return active.groupBy("event_type").agg(F.count(F.lit(1)).alias("active_alerts"))
+
+
+# ---------------------------------------------------------------------------
+# A2+A3 — multi-dim yearly trend aggregation with conditional counts
+# (disaster_analytics.sql:52-76)
+# ---------------------------------------------------------------------------
+@query(
+    "a3_yearly_trend",
+    """
+    SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+           COUNT(CASE WHEN MONTH(o_orderdate) IN (6,7,8) THEN 1 END) AS n_summer,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)/COUNT(o_totalprice), 6) AS avg_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, order_year, o_orderpriority
+    """,
+)
+def a3_yearly_trend(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        conditional_count(F.col("o_totalprice") > 200000).alias("n_large"),
+        conditional_count(F.month("o_orderdate").isin(6, 7, 8)).alias("n_summer"),
+        davg("o_totalprice").alias("avg_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — generic config-driven aggregation with a time bucket
+# (ops/data_processing_ops.py:221-283); same shape serves streaming
+# ---------------------------------------------------------------------------
+@query(
+    "a7_config_window_agg",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value), 6) AS avg_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS record_count
+    FROM events GROUP BY event_type, window_start, window_end
+    """,
+)
+def a7_config_window_agg(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    out = windowed_agg(
+        e,
+        ["event_type"],
+        "ts",
+        "6 hours",
+        {"avg_value": davg("value"), "max_value": F.max("value")},
+    )
+    return out.select(
+        "event_type", "window_start", "window_end", "avg_value", "max_value", "record_count"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 note / metrics surface — exact percentiles (p50/p95/p99 from
+# ops/public_ops.py:543-549; percentile_approx is the 100 TB variant)
+# ---------------------------------------------------------------------------
+@query(
+    "a11_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_percentiles(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — date-key left join of two daily aggregates
+# (public_weather_alerts.sql:109-112)
+# ---------------------------------------------------------------------------
+@query(
+    "j4_date_key_join",
+    """
+    WITH od AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS day_revenue
+      FROM orders GROUP BY 1),
+    ld AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY 1)
+    SELECT od.d AS activity_date, od.n_orders, od.day_revenue,
+           COALESCE(ld.n_shipments, 0) AS n_shipments
+    FROM od LEFT JOIN ld ON od.d = ld.d
+    """,
+)
+def j4_date_key_join(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    od = o.groupBy(F.col("o_orderdate").cast("date").alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("day_revenue")
+    )
+    ld = l.groupBy(F.col("l_shipdate").cast("date").alias("activity_date")).agg(
+        F.count(F.lit(1)).alias("n_shipments")
+    )
+    joined = od.join(ld, "activity_date", "left")
+    return joined.select(
+        "activity_date",
+        "n_orders",
+        "day_revenue",
+        F.coalesce("n_shipments", F.lit(0)).alias("n_shipments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — inner consistency join + mismatch filter
+# (tests/data_quality_tests.yml:327-335)
+# ---------------------------------------------------------------------------
+@query(
+    "j6_consistency_join",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS mismatched_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j6_consistency_join(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).filter(
+        F.col("l_shipdate").cast("date") < F.col("o_orderdate").cast("date")
+    )
+    return joined.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("mismatched_lines"))
+
+
+# ---------------------------------------------------------------------------
+# O1+O3 — recency ordering + LIMIT (assets/public_assets.py:60)
+# ---------------------------------------------------------------------------
+@query(
+    "o1_recent_limit",
+    """
+    SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
+    ORDER BY ts DESC, event_id
+    LIMIT 50
+    """,
+)
+def o1_recent_limit(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select("event_id", "event_type", "ts", "value")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (dbt snapshot, strategy='timestamp') — order-status history as
+# (valid_from, valid_to, is_current) versions per customer
+# (snapshots/disaster_declarations_snapshot.sql:4-13)
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_status_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM ordered WHERE prev_status IS NULL OR prev_status != o_orderstatus),
+    versions AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to
+      FROM changes)
+    SELECT o_custkey, o_orderstatus, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versions
+    """,
+)
+def scd2_status_history(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev_status").isNull() | (F.col("prev_status") != F.col("o_orderstatus")))
+        .select("o_custkey", "o_orderstatus", F.col("o_orderdate").alias("valid_from"), "o_orderkey")
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return changes.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# ---------------------------------------------------------------------------
+# Q9 — composite weighted quality report (data_quality_ops.py:738-872,
+# weights ≈ jobs/quality_jobs.py:125-132), one pass over events
+# ---------------------------------------------------------------------------
+@query(
+    "q9_quality_report",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(user_id) * 1.0 / COUNT(*) AS c_user,
+             COUNT(event_type) * 1.0 / COUNT(*) AS c_type,
+             COUNT(value) * 1.0 / COUNT(*) AS c_value,
+             COUNT(CASE WHEN value BETWEEN 0 AND 1000 THEN 1 END) * 1.0 / COUNT(value) AS validity,
+             COUNT(DISTINCT event_id) * 1.0 / COUNT(*) AS consistency,
+             CAST(FLOOR((epoch(TIMESTAMP '{_AS_OF}') - epoch(MAX(CAST(ts AS TIMESTAMP)))) / 3600) AS BIGINT) AS staleness_hours
+      FROM events),
+    s AS (
+      SELECT n_rows,
+             ROUND((c_user + c_type + c_value) / 3, 6) AS completeness,
+             ROUND(validity, 6) AS validity,
+             ROUND(consistency, 6) AS consistency,
+             CASE WHEN staleness_hours <= 72 THEN 1.0 ELSE 0.0 END AS freshness,
+             staleness_hours
+      FROM m)
+    SELECT n_rows, completeness, validity, consistency, freshness, staleness_hours,
+           ROUND(0.4*completeness + 0.3*validity + 0.2*consistency + 0.1*freshness, 6) AS overall_score,
+           CASE WHEN 0.4*completeness + 0.3*validity + 0.2*consistency + 0.1*freshness >= 0.95 THEN 'EXCELLENT'
+                WHEN 0.4*completeness + 0.3*validity + 0.2*consistency + 0.1*freshness >= 0.85 THEN 'GOOD'
+                WHEN 0.4*completeness + 0.3*validity + 0.2*consistency + 0.1*freshness >= 0.70 THEN 'FAIR'
+                ELSE 'CRITICAL' END AS status
+    FROM s
+    """,
+)
+def q9_quality_report(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    m = e.agg(
+        n.alias("n_rows"),
+        (F.count("user_id") / n).alias("c_user"),
+        (F.count("event_type") / n).alias("c_type"),
+        (F.count("value") / n).alias("c_value"),
+        (F.count(F.when(F.col("value").between(0, 1000), 1)) / F.count("value")).alias(
+            "validity_raw"
+        ),
+        (F.countDistinct("event_id") / n).alias("consistency_raw"),
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(DEFAULT_CLOCK.timestamp())
+                    - F.unix_timestamp(F.max("ts"))
+                )
+                / 3600
+            )
+        ).alias("staleness_hours"),
+    )
+    s = m.select(
+        "n_rows",
+        F.round((F.col("c_user") + F.col("c_type") + F.col("c_value")) / 3, 6).alias(
+            "completeness"
+        ),
+        F.round("validity_raw", 6).alias("validity"),
+        F.round("consistency_raw", 6).alias("consistency"),
+        F.when(F.col("staleness_hours") <= 72, 1.0).otherwise(0.0).alias("freshness"),
+        "staleness_hours",
+    )
+    overall = (
+        0.4 * F.col("completeness")
+        + 0.3 * F.col("validity")
+        + 0.2 * F.col("consistency")
+        + 0.1 * F.col("freshness")
+    )
+    return s.select(
+        "n_rows",
+        "completeness",
+        "validity",
+        "consistency",
+        "freshness",
+        "staleness_hours",
+        F.round(overall, 6).alias("overall_score"),
+        F.when(overall >= 0.95, "EXCELLENT")
+        .when(overall >= 0.85, "GOOD")
+        .when(overall >= 0.70, "FAIR")
+        .otherwise("CRITICAL")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — scoring macro functions as column expressions
+# (calculate_event_severity / categorize_disaster_impact /
+#  generate_emergency_alert_priority)
+# ---------------------------------------------------------------------------
+@query(
+    "fn_event_scoring",
+    """
+    WITH base AS (
+      SELECT event_id,
+             CASE event_type WHEN 'error' THEN 'HURRICANE' WHEN 'purchase' THEN 'FLOOD'
+                  WHEN 'click' THEN 'SEVERE STORM' WHEN 'view' THEN 'WINTER STORM'
+                  ELSE 'OTHER' END AS incident_type,
+             CAST(FLOOR(value / 25) AS INT) AS duration_days,
+             user_id * 20000 AS population,
+             CASE WHEN value >= 400 THEN 'CRITICAL' WHEN value >= 200 THEN 'HIGH'
+                  WHEN value >= 50 THEN 'MEDIUM' ELSE 'LOW' END AS risk_level,
+             CASE WHEN value >= 300 THEN 'Immediate' WHEN value >= 100 THEN 'Expected'
+                  ELSE 'Future' END AS urgency,
+             CASE user_id % 3 WHEN 0 THEN 'Observed' WHEN 1 THEN 'Likely'
+                  ELSE 'Possible' END AS certainty
+      FROM events),
+    scored AS (
+      SELECT event_id, incident_type,
+             LEAST(
+               CASE WHEN incident_type IN ('HURRICANE','TORNADO','EARTHQUAKE') THEN 8
+                    WHEN incident_type IN ('FLOOD','FIRE','WILDFIRE') THEN 6
+                    WHEN incident_type IN ('SEVERE STORM','WINTER STORM','SNOWSTORM') THEN 4
+                    ELSE 2 END
+               + CASE WHEN duration_days > 30 THEN 2 WHEN duration_days > 7 THEN 1 ELSE 0 END
+               + CASE WHEN population > 100000 THEN 2 WHEN population > 10000 THEN 1 ELSE 0 END,
+               10) AS severity,
+             GREATEST(LEAST(
+               CASE WHEN risk_level = 'CRITICAL' THEN 1 WHEN risk_level = 'HIGH' THEN 2
+                    WHEN risk_level = 'MEDIUM' THEN 3 ELSE 4 END
+               + CASE WHEN urgency = 'Immediate' THEN -1 WHEN urgency = 'Expected' THEN 0 ELSE 1 END
+               + CASE WHEN certainty = 'Observed' THEN -1 WHEN certainty = 'Likely' THEN 0 ELSE 1 END
+               + CASE WHEN COALESCE(population, 0) > 100000 THEN -1 ELSE 0 END,
+               5), 1) AS priority
+      FROM base)
+    SELECT event_id, incident_type, severity,
+           CASE WHEN severity >= 8 THEN 'CATASTROPHIC' WHEN severity >= 6 THEN 'MAJOR'
+                WHEN severity >= 4 THEN 'MODERATE' WHEN severity >= 2 THEN 'MINOR'
+                ELSE 'MINIMAL' END AS impact_category,
+           priority
+    FROM scored
+    """,
+)
+def fn_event_scoring(spark, sf_dir):
+    from ..operators.joins import map_lookup
+
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        map_lookup(
+            "event_type",
+            {
+                "error": "HURRICANE",
+                "purchase": "FLOOD",
+                "click": "SEVERE STORM",
+                "view": "WINTER STORM",
+            },
+            default="OTHER",
+        ).alias("incident_type"),
+        F.floor(F.col("value") / 25).cast("int").alias("duration_days"),
+        (F.col("user_id") * 20000).alias("population"),
+        F.when(F.col("value") >= 400, "CRITICAL")
+        .when(F.col("value") >= 200, "HIGH")
+        .when(F.col("value") >= 50, "MEDIUM")
+        .otherwise("LOW")
+        .alias("risk_level"),
+        F.when(F.col("value") >= 300, "Immediate")
+        .when(F.col("value") >= 100, "Expected")
+        .otherwise("Future")
+        .alias("urgency"),
+        F.when(F.col("user_id") % 3 == 0, "Observed")
+        .when(F.col("user_id") % 3 == 1, "Likely")
+        .otherwise("Possible")
+        .alias("certainty"),
+    )
+    sev = event_severity("incident_type", "duration_days", "population")
+    return base.select(
+        "event_id",
+        "incident_type",
+        sev.alias("severity"),
+        categorize_disaster_impact(sev).alias("impact_category"),
+        alert_priority("risk_level", "urgency", "certainty", "population").alias("priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.12 — state-code standardization + compliance masking
+# (standardize_state_code ~110-branch macro; federal_compliance masking)
+# ---------------------------------------------------------------------------
+def _state_case_sql(expr: str) -> str:
+    """DuckDB CASE twin of the standardize_state_code literal map."""
+    from ..functions.macros import _STATES
+
+    branches = []
+    for code, name, fips in _STATES:
+        branches.append(f"WHEN {expr} IN ('{code}','{name}','{fips}') THEN '{code}'")
+    return "CASE " + " ".join(branches) + f" ELSE {expr} END"
+
+
+@query(
+    "fn_state_mask",
+    f"""
+    WITH base AS (
+      SELECT s_suppkey, UPPER(TRIM(lpad(CAST(s_suppkey % 60 AS VARCHAR), 2, '0'))) AS fips_in,
+             UPPER(TRIM(s_name)) AS name_in, s_name,
+             CASE WHEN s_suppkey % 4 = 0 THEN 'CONFIDENTIAL'
+                  WHEN s_suppkey % 4 = 1 THEN 'RESTRICTED'
+                  WHEN s_suppkey % 4 = 2 THEN 'INTERNAL' ELSE 'PUBLIC' END AS data_classification
+      FROM supplier)
+    SELECT s_suppkey,
+           {_state_case_sql('fips_in')} AS state_from_fips,
+           {_state_case_sql('name_in')} AS name_passthrough,
+           data_classification,
+           CASE WHEN data_classification IN ('RESTRICTED','CONFIDENTIAL')
+                THEN concat(substring(s_name, 1, 2), repeat('*', greatest(length(s_name) - 2, 0)))
+                ELSE s_name END AS name_masked
+    FROM base
+    """,
+)
+def fn_state_mask(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    base = s.select(
+        "s_suppkey",
+        F.lpad((F.col("s_suppkey") % 60).cast("string"), 2, "0").alias("fips_in"),
+        F.col("s_name").alias("name_in"),
+        "s_name",
+        F.when(F.col("s_suppkey") % 4 == 0, "CONFIDENTIAL")
+        .when(F.col("s_suppkey") % 4 == 1, "RESTRICTED")
+        .when(F.col("s_suppkey") % 4 == 2, "INTERNAL")
+        .otherwise("PUBLIC")
+        .alias("data_classification"),
+    )
+    return base.select(
+        "s_suppkey",
+        standardize_state_code("fips_in").alias("state_from_fips"),
+        standardize_state_code("name_in").alias("name_passthrough"),
+        "data_classification",
+        mask_sensitive("s_name", "data_classification").alias("name_masked"),
+    )

@@ -25,6 +25,7 @@ def foreach_batch_upsert(
     version_col: str,
     checkpoint_dir: str,
     trigger_seconds: int = 30,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """T4/T9 — `foreachBatch` idempotent upsert into a parquet target.
 
@@ -46,12 +47,15 @@ def foreach_batch_upsert(
         final = spark.read.parquet(tmp)
         final.write.mode("overwrite").parquet(target_path)
 
-    return (
-        stream_df.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        # drain everything available then stop — deterministic test/backfill mode
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def start_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update") -> StreamingQuery:

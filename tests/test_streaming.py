@@ -1,0 +1,86 @@
+"""Structured Streaming semantics: replay the events fixture as a file
+stream and check the streaming results equal their batch twins
+(SURVEY §2.9 T1/T2/T4/T6/T9).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.queries.registry import t
+from emdatapipelines_spark.streaming.sinks import foreach_batch_upsert, start_to_memory
+from emdatapipelines_spark.streaming.sources import stream_source
+from emdatapipelines_spark.streaming.windows import tumbling_window_counts, with_event_time
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events fixture re-landed as microsecond-timestamp parquet (the raw
+    fixture is nanos, which streaming readers can't scan directly)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    t(spark, SF_SMALL, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_tumbling_window_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+
+    windowed = tumbling_window_counts(stream, "ts", "1 hour", ["event_type"])
+    q = start_to_memory(windowed, "t2_stream", output_mode="complete")
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in spark.table("t2_stream").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in tumbling_window_counts(batch, "ts", "1 hour", ["event_type"]).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_watermark_is_declared(spark, events_dir):
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir)
+    wm = with_event_time(stream, "ts", "15 minutes")
+    assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    target = str(tmp_path / "upsert_target")
+
+    def run(checkpoint: str):
+        stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+        q = foreach_batch_upsert(
+            stream, target, keys=["event_id"], version_col="ts",
+            checkpoint_dir=checkpoint, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    first = spark.read.parquet(target)
+    n_first = first.count()
+    sum_first = first.select(F.sum("value")).first()[0]
+    batch = spark.read.parquet(events_dir)
+    # exactly-once effect: one row per event key, none lost
+    assert n_first == batch.select("event_id").distinct().count()
+
+    # replay from a fresh checkpoint (simulated recovery/duplicate delivery):
+    # keyed last-wins merge must converge, not double rows
+    run(str(tmp_path / "ckpt2"))
+    again = spark.read.parquet(target)
+    assert again.count() == n_first
+    assert again.select(F.sum("value")).first()[0] == sum_first
+
+
+def test_rate_source_smoke(spark):
+    r = stream_source(spark, "rate", rows_per_second=10)
+    assert r.isStreaming and "timestamp" in r.columns

@@ -274,26 +274,28 @@ def lsh_cosine_topk(
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
 
-    def bucket_expr(vec_col):
-        v = _as_double(vec_col)
+    def bucket_bits(v):
         bits = []
         for p in planes:
             lits = F.array(*[F.lit(float(x)) for x in p])
             bits.append(F.when(_dot(v, lits) >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    q = queries.select(
-        F.col(q_id).alias("query_id"),
-        _as_double(q_vec).alias("qv"),
-        _norm(_as_double(q_vec)).alias("qn"),
-        bucket_expr(q_vec).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"),
-        _as_double(c_vec).alias("cv"),
-        _norm(_as_double(c_vec)).alias("cn"),
-        bucket_expr(c_vec).alias("bucket"),
-    )
+    # two-stage projection: materialize the double vector once per row, then
+    # derive norm + n_planes plane-dots from the attribute. CollapseProject
+    # keeps the non-cheap cast-transform in its own projection instead of
+    # re-evaluating it per consumer (norm + each plane).
+    def prep(df, id_col, vec_col, out_id, out_vec, out_norm):
+        staged = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
+        return staged.select(
+            out_id,
+            out_vec,
+            _norm(F.col(out_vec)).alias(out_norm),
+            bucket_bits(F.col(out_vec)).alias("bucket"),
+        )
+
+    q = prep(queries, q_id, q_vec, "query_id", "qv", "qn")
+    c = prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -9,9 +9,10 @@ distributed `pyspark.ml` on DataFrames.
 from __future__ import annotations
 
 from pyspark.ml.classification import RandomForestClassificationModel, RandomForestClassifier
-from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator, RegressionEvaluator
 from pyspark.ml.functions import array_to_vector
-from pyspark.sql import DataFrame, functions as F
+from pyspark.ml.regression import RandomForestRegressionModel, RandomForestRegressor
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def train_forest_classifier(
@@ -49,3 +50,57 @@ def train_forest_classifier(
         )[:10],
     }
     return model, metrics
+
+
+def train_forest_regressor(
+    df: DataFrame,
+    feature_array_col: str = "embedding",
+    target_col: str = "label",
+    num_trees: int = 100,
+    max_depth: int = 10,
+    seed: int = 42,
+) -> tuple[RandomForestRegressionModel, dict]:
+    """M2 regressor twin — MSE/RMSE metrics (`ml_assets.py:259-331`:
+    RandomForestRegressor, same split/hyperparameters as the classifier)."""
+    data = df.select(
+        array_to_vector(F.col(feature_array_col).cast("array<double>")).alias("features"),
+        F.col(target_col).cast("double").alias("label"),
+    )
+    train, test = data.randomSplit([0.8, 0.2], seed=seed)
+    rf = RandomForestRegressor(
+        numTrees=num_trees, maxDepth=max_depth, seed=seed, labelCol="label", featuresCol="features"
+    )
+    model = rf.fit(train)
+    pred = model.transform(test)
+    evaluator = RegressionEvaluator(labelCol="label", predictionCol="prediction")
+    mse = evaluator.evaluate(pred, {evaluator.metricName: "mse"})
+    metrics = {
+        "mse": mse,
+        "rmse": evaluator.evaluate(pred, {evaluator.metricName: "rmse"}),
+        "r2": evaluator.evaluate(pred, {evaluator.metricName: "r2"}),
+        "n_train": train.count(),
+        "n_test": test.count(),
+    }
+    return model, metrics
+
+
+def save_model_with_metadata(
+    model, path: str, metrics: dict, spark: SparkSession, model_name: str = "model"
+) -> DataFrame:
+    """S15 — model artifact sink: persist the MLlib model + append a metadata
+    row (`assets/ml_assets.py:309-318`: joblib dump + metadata record).
+    Returns the metadata DataFrame (caller appends it to a registry table)."""
+    model.write().overwrite().save(path)
+    meta = [
+        {
+            "model_name": model_name,
+            "model_path": path,
+            "metric_name": k,
+            "metric_value": float(v),
+        }
+        for k, v in metrics.items()
+        if isinstance(v, (int, float))
+    ]
+    return spark.createDataFrame(
+        meta, "model_name string, model_path string, metric_name string, metric_value double"
+    )

@@ -134,10 +134,15 @@ def a7_config_window_agg(spark, sf_dir):
 )
 def a11_percentiles(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99_price"),
+    # one percentile buffer evaluating all three fractions (single sort per
+    # group) instead of three independent exact-percentile aggregates
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    agg = l.groupBy("l_returnflag").agg(pcts.alias("__p"))
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("__p", 1), 4).alias("p50_price"),
+        F.round(F.element_at("__p", 2), 4).alias("p95_price"),
+        F.round(F.element_at("__p", 3), 4).alias("p99_price"),
     )
 
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.upsert import upsert_last_wins
@@ -56,6 +56,45 @@ def foreach_batch_upsert(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def kafka_frame(df: DataFrame, key_col: str) -> DataFrame:
+    """S9 — shape a DataFrame for the Kafka sink: ``key`` = the geographic/
+    entity partition key, ``value`` = the whole row as JSON.
+
+    ≈ the reference's keyed per-row producer (`ops/data_ingestion_ops.py:
+    277-317`, keys at 277-306; producer config `resources/kafka.py:48-64`).
+    Works for both ``df.write.format("kafka")`` and
+    ``writeStream.format("kafka")`` — compression/acks/batching are
+    broker-client options, not row shape.
+    """
+    payload_cols = [c for c in df.columns]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
+def write_kafka_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 30,
+) -> StreamingQuery:
+    """S9/S11 — keyed JSON Kafka producer sink (requires the Kafka connector
+    on the classpath; tests cover :func:`kafka_frame` shaping only)."""
+    shaped = kafka_frame(stream_df, key_col)
+    return (
+        shaped.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("kafka.compression.type", "gzip")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
 
 
 def start_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update") -> StreamingQuery:

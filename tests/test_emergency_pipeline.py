@@ -1,0 +1,85 @@
+"""End-to-end rebuild of the reference's staging→marts→metrics→public DAG
+over the sf0.001 fixtures (SURVEY §7.2 step 5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.pipelines import build_emergency_dag
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dag_results(spark):
+    reg = build_emergency_dag(spark, SF_SMALL)
+    results = reg.build(spark)
+    return reg, results
+
+
+def test_all_layers_materialize(spark, dag_results):
+    _, results = dag_results
+    expected = {
+        "src_declarations", "src_alerts", "seed_regions",
+        "stg_declarations", "stg_alerts",
+        "emergency_events", "disaster_analytics",
+        "data_quality_metrics", "public_disasters", "public_region_stats",
+    }
+    assert expected <= set(results)
+    for name in expected:
+        assert results[name].count() > 0, name
+    # models are queryable by name, like dbt refs
+    assert spark.sql("SELECT COUNT(*) c FROM emergency_events").first()["c"] > 0
+
+
+def test_staging_contract(dag_results):
+    _, results = dag_results
+    stg = results["stg_declarations"]
+    for c in ("ingestion_timestamp", "data_source", "data_classification", "retention_date"):
+        assert c in stg.columns
+    assert stg.filter(F.col("declaration_id").isNull()).count() == 0
+
+
+def test_union_and_enrichment(dag_results):
+    _, results = dag_results
+    ev = results["emergency_events"]
+    srcs = {r["event_source"] for r in ev.select("event_source").distinct().collect()}
+    assert srcs == {"DECLARATION", "ALERT"}
+    # dim enrichment is left-extending: every row keeps a region_key
+    assert ev.filter(F.col("region_key").isNull()).count() == 0
+    assert {r["event_season"] for r in ev.select("event_season").distinct().collect()} <= {
+        "WINTER", "SPRING", "SUMMER", "FALL"
+    }
+
+
+def test_analytics_trend_labels(dag_results):
+    _, results = dag_results
+    da = results["disaster_analytics"]
+    labels = {r["trend"] for r in da.select("trend").distinct().collect()}
+    assert labels <= {"INCREASING", "DECREASING", "STABLE", None}
+    # surrogate key is unique
+    assert da.count() == da.select("analytics_id").distinct().count()
+
+
+def test_public_privacy_threshold(dag_results):
+    _, results = dag_results
+    pub = results["public_region_stats"]
+    assert pub.filter(F.col("group_size") < 5).count() == 0
+    # privacy rounding to -3 → all totals are multiples of 1000
+    assert pub.filter(F.col("total_magnitude_rounded") % 1000 != 0).count() == 0
+
+
+def test_public_codes_unique(dag_results):
+    _, results = dag_results
+    pub = results["public_disasters"]
+    assert pub.count() == pub.select("public_code").distinct().count()
+
+
+def test_mv_refresh(spark, dag_results):
+    reg, results = dag_results
+    before = results["public_region_stats"].count()
+    refreshed = reg.refresh_materialized(spark, "public_region_stats")
+    assert refreshed.count() == before

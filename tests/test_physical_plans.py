@@ -1,0 +1,65 @@
+"""Physical-plan guards: the properties that make these queries scale to
+100 TB must stay visible in the plan — column-pruned scans, pushed filters,
+broadcast dim joins, two-phase (partial + final) aggregation. A regression
+that silently drops one of these would still pass value checks at sf0.01
+while becoming a full-scan or shuffle catastrophe at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "p4_enum_filter")
+    # enum + range predicates pushed into the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderpriority" in plan
+    assert "GreaterThanOrEqual(o_totalprice" in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(spark, "a1_pricing_summary")
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, "no parquet scan found"
+    # the lineitem scan must NOT read join keys it doesn't need
+    assert all("l_orderkey" not in l for l in scan_lines)
+    assert all("l_partkey" not in l for l in scan_lines)
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "j1_dim_enrich")
+    assert plan.count("BroadcastHashJoin") >= 2     # nation + region
+    assert "SortMergeJoin" not in plan
+
+
+def test_two_phase_aggregation(spark):
+    plan = _plan(spark, "a1_pricing_summary")
+    # map-side combine before the shuffle
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_broadcasts_dim_and_partial_aggs(spark):
+    df = entry.entry(spark)
+    plan = df._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+@pytest.mark.parametrize("name", ["p1_project_cast", "p7_range_validate"])
+def test_projection_queries_stay_codegen(spark, name):
+    plan = _plan(spark, name)
+    # pure-projection queries must remain a single whole-stage-codegen scan +
+    # project — no exchanges ("*(n)" is the codegen-stage marker)
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan

@@ -64,6 +64,36 @@ def anti_join(df: DataFrame, other: DataFrame, on) -> DataFrame:
     return df.join(other, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi join: explode the hot key space with a salt.
+
+    The reference hash-distributes on ``state_code`` — 51 values with CA/TX
+    dominating (`resources/database.py:160`), the classic skew shape at
+    100 TB. AQE's skew-join split handles most cases (SURVEY §7.4.5); this
+    operator is the explicit fallback for joins AQE can't rebalance (e.g.
+    both sides huge on one key): the left side gets a random salt in
+    [0, salt_buckets), the right side is replicated ``salt_buckets`` times,
+    and the join key becomes (key, salt) — one hot partition becomes
+    ``salt_buckets`` even ones at the cost of replicating the right side.
+
+    Use when right is the smaller-but-not-broadcastable side.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_right = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def map_lookup(col, mapping: dict, default=None) -> Column:
     """J8 — literal-dictionary "join" as a map expression.
 

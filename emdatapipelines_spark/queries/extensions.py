@@ -467,6 +467,59 @@ def st_tumbling_1h(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM pipeline composite: the full cleaning chain — quality filter → language
+# filter → exact dedup (keep min doc_id) → per-language corpus stats. One
+# declarative plan; Catalyst fuses the filters into the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_clean_corpus",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+             md5({_NORM_SQL}) AS content_hash
+      FROM documents
+      WHERE n_chars >= 50),
+    kept AS (SELECT * FROM scored WHERE n_tokens BETWEEN 10 AND 100000),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           COUNT(DISTINCT content_hash) AS distinct_texts
+    FROM dedup WHERE rn = 1 GROUP BY lang
+    """,
+)
+def llm_clean_corpus(spark, sf_dir):
+    from ..llmdata.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 50)
+    toked = d.withColumn("n_tokens", token_count("text")).filter(
+        F.col("n_tokens").between(10, 100000)
+    )
+    deduped = exact_dedup(toked, id_col="doc_id", text_col="text")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return deduped.withColumn("content_hash", F.md5(norm)).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("content_hash").alias("distinct_texts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 scale variant: approx_count_distinct (HLL) — engine-specific sketch, no
+# cross-engine oracle; accuracy asserted in tests/test_scale_operators.py
+# ---------------------------------------------------------------------------
+@query("a12_approx_distinct")
+def a12_approx_distinct(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # LLM pipeline composite: filtered + deduped corpus stats by (source, lang)
 # ---------------------------------------------------------------------------
 @query(

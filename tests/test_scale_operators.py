@@ -1,0 +1,61 @@
+"""Scale-path operators: salted skew join, approximate distinct counts,
+IVF/LSH recall sanity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from emdatapipelines_spark.operators.joins import salted_join
+from emdatapipelines_spark.queries.registry import t
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavily skewed left side: 90% of rows share one key
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit("HOT")).otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame(
+        [("HOT", 1), ("k950", 2), ("k999", 3)], "k string, rv int"
+    )
+    plain = left.join(right, "k").select("k", "lv", "rv")
+    salted = salted_join(left, right, "k", salt_buckets=8).select("k", "lv", "rv")
+    assert salted.count() == plain.count() == 902
+    assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+
+
+def test_approx_distinct_within_rsd(spark):
+    qs = entry.queries()
+    approx = {r["l_returnflag"]: r for r in qs["a12_approx_distinct"](spark, SF).collect()}
+    exact = {
+        r["l_returnflag"]: r
+        for r in t(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("suppliers"),
+            F.countDistinct("l_partkey").alias("parts"),
+        )
+        .collect()
+    }
+    for flag, row in approx.items():
+        assert abs(row["approx_suppliers"] - exact[flag]["suppliers"]) <= 0.05 * exact[flag]["suppliers"] + 2
+        assert abs(row["approx_parts"] - exact[flag]["parts"]) <= 0.05 * exact[flag]["parts"] + 2
+
+
+def test_ivf_recall_against_exact(spark):
+    qs = entry.queries()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["sim_cosine_topk"](spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in qs["sim_ivf_topk"](spark, SF).collect()
+    }
+    # approximate search: meaningful overlap with the exact top-k (IVF probes
+    # a fraction of cells; random fixture vectors are a worst case)
+    assert len(ivf & exact) / len(exact) >= 0.2

@@ -1,0 +1,72 @@
+"""Custom stateful streaming operators (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.queries.registry import t
+from emdatapipelines_spark.streaming.sinks import start_to_memory
+from emdatapipelines_spark.streaming.sources import stream_source
+from emdatapipelines_spark.streaming.stateful import (
+    running_group_stats,
+    streaming_dedup_first_seen,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stateful"))
+    t(spark, SF_SMALL, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_running_group_stats_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+
+    stats = running_group_stats(stream, "event_type", "value")
+    q = start_to_memory(stats, "stateful_stats", output_mode="update")
+    q.awaitTermination(120)
+
+    # last update per key is the final running value
+    final = (
+        spark.table("stateful_stats")
+        .groupBy("event_type")
+        .agg(F.max("total_count").alias("total_count"), F.max("max_value").alias("max_value"))
+    )
+    got = {r["event_type"]: (r["total_count"], r["max_value"]) for r in final.collect()}
+    expected = {
+        r["event_type"]: (r["c"], r["m"])
+        for r in batch.groupBy("event_type")
+        .agg(F.count("value").alias("c"), F.max("value").alias("m"))
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_dedup_first_seen(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+    # fingerprint = coarse value bucket → plenty of stream-level duplicates
+    stream_fp = stream.select(
+        "event_type", F.floor(F.col("value") / 50).cast("string").alias("fp")
+    )
+    dedup = streaming_dedup_first_seen(stream_fp, "event_type", "fp")
+    q = start_to_memory(dedup, "stateful_dedup", output_mode="update")
+    q.awaitTermination(120)
+
+    got = spark.table("stateful_dedup")
+    # one row per distinct (key, fingerprint), none duplicated
+    assert got.count() == got.select("event_type", "fp").distinct().count()
+    expected = (
+        batch.select("event_type", F.floor(F.col("value") / 50).cast("string").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == expected

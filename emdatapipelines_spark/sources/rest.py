@@ -119,8 +119,28 @@ def conform_records(
     rows = [json.loads(json.dumps(r, default=str)) for r in records]
     if schema is not None:
         df = spark.createDataFrame(rows, schema=schema)
+    elif rows:
+        # declared-but-tolerant landing: without a declared schema every field
+        # lands as a string (nested values as JSON text) and ``type_map``
+        # casts the declared ones. This survives all-null columns and
+        # mixed-type fields that break type inference on messy API payloads.
+        keys: list[str] = []
+        for r in rows:
+            for k in r:
+                if k not in keys:
+                    keys.append(k)
+        str_rows = [
+            tuple(
+                None
+                if r.get(k) is None
+                else (r[k] if isinstance(r[k], str) else json.dumps(r[k]))
+                for k in keys
+            )
+            for r in rows
+        ]
+        df = spark.createDataFrame(str_rows, ", ".join(f"`{k}` string" for k in keys))
     else:
-        df = spark.createDataFrame(rows) if rows else spark.createDataFrame([], "record_id string")
+        df = spark.createDataFrame([], "record_id string")
     for f_name in config.required_fields:
         if f_name not in df.columns:
             df = df.withColumn(f_name, F.lit(None).cast("string"))

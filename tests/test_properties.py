@@ -1,0 +1,86 @@
+"""Property-based invariants (hypothesis) — the reference ships no
+randomized testing (SURVEY §5); these pin the engine's operator contracts.
+Spark-backed properties keep example counts small; pure-Python ones run wide.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.api import RateLimiter, fingerprint_query
+from emdatapipelines_spark.io import optimal_bucket_count
+from emdatapipelines_spark.operators.aggregates import privacy_threshold_agg
+from emdatapipelines_spark.operators.upsert import upsert_last_wins
+
+# --------------------------------------------------------------------------
+# pure-Python properties — cheap, run wide
+# --------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=10**12), st.integers(min_value=0, max_value=10**12))
+def test_bucket_count_monotone(a, b):
+    lo, hi = sorted((a, b))
+    assert optimal_bucket_count(lo) <= optimal_bucket_count(hi)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=200))
+def test_fingerprint_whitespace_case_invariant(q):
+    # ASCII-scoped: unicode case folding is not round-trippable (ß → SS)
+    assert fingerprint_query(q) == fingerprint_query("  " + q.upper() + "  ")
+
+
+@given(st.integers(min_value=1, max_value=20), st.integers(min_value=0, max_value=40))
+def test_rate_limiter_never_exceeds_quota(quota, n_requests):
+    rl = RateLimiter(quotas={"public": quota})
+    granted = sum(1 for i in range(n_requests) if rl.check("org", "public", 1000.0 + i))
+    assert granted == min(quota, n_requests)
+
+
+# --------------------------------------------------------------------------
+# Spark-backed properties — few, small examples
+# --------------------------------------------------------------------------
+
+_keyed_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(1, 3)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(existing=_keyed_rows, incoming=_keyed_rows)
+def test_upsert_last_wins_invariants(spark, existing, incoming):
+    e = spark.createDataFrame(existing, "k int, v int, version int")
+    i = spark.createDataFrame(
+        [(k, v, ver + 10) for k, v, ver in incoming], "k int, v int, version int"
+    )
+    merged = upsert_last_wins(e, i, ["k"], "version")
+    rows = merged.collect()
+    # exactly one row per key
+    keys = [r["k"] for r in rows]
+    assert len(keys) == len(set(keys))
+    # key space = union of inputs
+    assert set(keys) == {k for k, _, _ in existing} | {k for k, _, _ in incoming}
+    # idempotent: re-applying the same incoming changes nothing
+    again = upsert_last_wins(merged, i, ["k"], "version")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=30),
+    threshold=st.integers(1, 6),
+)
+def test_privacy_threshold_suppresses_small_groups(spark, rows, threshold):
+    df = spark.createDataFrame(rows, "grp int, v int")
+    out = privacy_threshold_agg(
+        df, ["grp"], [F.sum("v").alias("total")], min_group_size=threshold
+    ).collect()
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in rows)
+    # exactly the groups meeting the threshold survive — no small-group leaks
+    assert {r["grp"] for r in out} == {g for g, n in sizes.items() if n >= threshold}
+    assert all(r["group_size"] >= threshold for r in out)

@@ -56,6 +56,34 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+#: queries where a BroadcastNestedLoopJoin is the *intended* plan — each
+#: broadcasts a tiny side (single-row global moments, or a handful of query
+#: vectors) against the fact side, so the nested loop is O(n · tiny):
+#:   ml_risk_bands / q2 / q3 / q6: crossJoin(broadcast(1-row aggregate))
+#:   sim_cosine_topk: non-equi (id != id) join against broadcast query set
+BNLJ_ALLOWED = {
+    "ml_risk_bands",
+    "q2_outliers",
+    "q3_consistency",
+    "q6_concentration",
+    "sim_cosine_topk",
+}
+
+
+def test_no_accidental_nested_loop_or_cartesian(spark):
+    """Suite-wide audit: a non-equi join sneaking into any other query would
+    silently plan a BroadcastNestedLoopJoin/CartesianProduct — fine at
+    sf0.01, catastrophic at 100 TB."""
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().toString()
+        if "CartesianProduct" in plan:
+            flagged[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            flagged[name] = "BroadcastNestedLoopJoin"
+    assert not flagged, f"unexpected nested-loop/cartesian plans: {flagged}"
+
+
 @pytest.mark.parametrize("name", ["p1_project_cast", "p7_range_validate"])
 def test_projection_queries_stay_codegen(spark, name):
     plan = _plan(spark, name)

@@ -57,13 +57,9 @@ def retention_filter(df: DataFrame, ts_col: str, retention_days: int, clock: Clo
 
 
 def mask_sensitive(col, classification_col):
-    """PII masking — keep first/last char, star the middle
-    (≈ ``REPEAT('*', LENGTH(c)-2)`` masking in `macros/federal_compliance.sql:15-25`),
-    applied only when the row classification is not PUBLIC."""
-    c = F.col(col) if isinstance(col, str) else col
-    cls = F.col(classification_col) if isinstance(classification_col, str) else classification_col
-    masked = F.when(
-        F.length(c) > 2,
-        F.concat(F.substring(c, 1, 1), F.repeat(F.lit("*"), F.length(c) - 2), F.substring(c, -1, 1)),
-    ).otherwise(F.repeat(F.lit("*"), F.length(c)))
-    return F.when(cls == "PUBLIC", c).otherwise(masked)
+    """PII masking for non-admin readers — delegates to the reference-exact
+    macro (`macros/federal_compliance.sql:15-25`: ``CONCAT(LEFT(col, 2),
+    REPEAT('*', LENGTH(col) - 2))`` for RESTRICTED/CONFIDENTIAL rows)."""
+    from .functions.macros import mask_sensitive as _mask
+
+    return _mask(col, classification_col)

@@ -122,6 +122,29 @@ def text_quality(col="text") -> dict[str, Column]:
     }
 
 
+def chunk_tokens(col="text", chunk_size: int = 64, overlap: int = 16) -> Column:
+    """Split a document into overlapping token-window chunks — the standard
+    pre-training/RAG chunking shape (stride = chunk_size − overlap). Returns
+    ``array<struct<chunk_index int, chunk_text string>>``; explode it to get
+    one row per chunk. Pure expressions — sequence + slice + concat_ws — so
+    chunking runs at scan speed with no Python in the loop.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.split(_norm(col), " ")
+    n = F.size(toks)
+    # chunk starts: 0, stride, 2·stride, … while start < n (at least one)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_index"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_size)).alias("chunk_text"),
+        ),
+    )
+
+
 def fingerprint(col="text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (the classic "fingerprint" canonicalization — robust to token

@@ -25,6 +25,7 @@ from ..llmdata.similarity import (
 from ..llmdata.text import (
     add_language_id,
     bpe_ish_token_count,
+    chunk_tokens,
     fingerprint,
     text_quality,
     token_count,
@@ -336,6 +337,52 @@ _HITS = {
 def tx_language_id(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return add_language_id(d, "text", out="lang_pred").select("doc_id", "lang", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# text: overlapping token-window chunking (chunk 64, overlap 16, stride 48)
+# ---------------------------------------------------------------------------
+@query(
+    "tx_chunking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk, len({_TOKS_SQL}) AS n FROM documents),
+    c AS (
+      SELECT doc_id, tk,
+             UNNEST(range(0, CAST(greatest(ceil((n - 16) / 48.0), 1) AS INT))) AS i
+      FROM toks)
+    SELECT doc_id, CAST(i AS INT) AS chunk_index,
+           array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(len(tk[i*48+1 : i*48+64]) AS INT) AS chunk_tokens
+    FROM c
+    """,
+)
+def tx_chunking(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.explode(chunk_tokens("text", chunk_size=64, overlap=16)).alias("ch")
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ch.chunk_index").alias("chunk_index"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.size(F.split(F.col("ch.chunk_text"), " ")).alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mix sampling: deterministic per-stratum fractions (seeded sampleBy;
+# engine-specific RNG — no cross-engine oracle, tolerance-tested instead)
+# ---------------------------------------------------------------------------
+@query("llm_training_mix")
+def llm_training_mix(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    fractions = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+    )
 
 
 # ---------------------------------------------------------------------------

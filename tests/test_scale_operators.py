@@ -46,6 +46,23 @@ def test_approx_distinct_within_rsd(spark):
         assert abs(row["approx_parts"] - exact[flag]["parts"]) <= 0.05 * exact[flag]["parts"] + 2
 
 
+def test_training_mix_deterministic_and_proportional(spark):
+    qs = entry.queries()
+    a = {r["lang"]: r["sampled_docs"] for r in qs["llm_training_mix"](spark, SF).collect()}
+    b = {r["lang"]: r["sampled_docs"] for r in qs["llm_training_mix"](spark, SF).collect()}
+    assert a == b  # seeded sampleBy is run-to-run deterministic
+    totals = {
+        r["lang"]: r["n"]
+        for r in t(spark, SF, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    fractions = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+    for lang, frac in fractions.items():
+        expected = totals[lang] * frac
+        # Bernoulli sampling: allow 4 sigma
+        sigma = (totals[lang] * frac * (1 - frac)) ** 0.5
+        assert abs(a.get(lang, 0) - expected) <= 4 * sigma + 1, lang
+
+
 def test_ivf_recall_against_exact(spark):
     qs = entry.queries()
     exact = {

@@ -75,24 +75,39 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     ``_fake_decode`` for a real kernel in production.
     """
 
-    def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
-        # deterministic fake: seed an RNG from the payload hash (NOT a real decode)
-        if payload is None:
-            raise NotImplementedError("real media decode not available in this environment")
-        seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little", signed=False) % (2**32)
-        rng = np.random.RandomState(seed)
-        return rng.rand(dim)
+    def _fake_decode_batch(payloads: list, dim: int) -> tuple[list, list]:
+        # Deterministic fake decode, vectorized over the whole Arrow batch
+        # (NOT a real decode — a real kernel would also be batch-shaped:
+        # stacked tensors in, feature matrix out). Per-payload seed = first 8
+        # bytes; features from a splitmix64-style mix, one numpy pass.
+        seeds = np.array(
+            [
+                0 if p is None else int.from_bytes(p[:8].ljust(8, b"\0"), "little")
+                for p in payloads
+            ],
+            dtype=np.uint64,
+        )
+        idx = np.arange(1, dim + 1, dtype=np.uint64)
+        x = seeds[:, None] + idx[None, :] * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        feats_mat = (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        feats, status = [], []
+        for i, p in enumerate(payloads):
+            if p is None:
+                # real kernels raise NotImplementedError per unsupported
+                # payload; surfaced as a status column, never a failed job
+                feats.append(None)
+                status.append("decode_unavailable")
+            else:
+                feats.append(feats_mat[i].tolist())
+                status.append("ok")
+        return feats, status
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, status = [], []
-            for payload in pdf["payload"]:
-                try:
-                    feats.append(_fake_decode(payload, feature_dim).tolist())
-                    status.append("ok")
-                except NotImplementedError:
-                    feats.append(None)
-                    status.append("decode_unavailable")
+            feats, status = _fake_decode_batch(list(pdf["payload"]), feature_dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

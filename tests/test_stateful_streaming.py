@@ -19,15 +19,19 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
+    # 4 files + maxFilesPerTrigger=1 → 4 microbatches, so state genuinely
+    # carries across batches instead of being exercised on a single batch
     d = str(tmp_path_factory.mktemp("events_stateful"))
-    t(spark, SF_SMALL, "events").write.mode("overwrite").parquet(d)
+    t(spark, SF_SMALL, "events").repartition(4).write.mode("overwrite").parquet(d)
     return d
 
 
 def test_running_group_stats_matches_batch(spark, events_dir):
     batch = spark.read.parquet(events_dir)
     schema = batch.schema
-    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+    stream = stream_source(
+        spark, "file", schema=schema, path=events_dir, max_files_per_trigger=1
+    ).drop("proc_time")
 
     stats = running_group_stats(stream, "event_type", "value")
     q = start_to_memory(stats, "stateful_stats", output_mode="update")

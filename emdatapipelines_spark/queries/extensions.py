@@ -494,6 +494,44 @@ def ml_forest_predictions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# time-series similarity: pairwise correlation between event-type hourly
+# series (≈ distributed time-series similarity search — series bucketed to a
+# common grid, equi-join on the bucket, corr aggregate; at scale the same
+# shape with an LSH/PAA prefilter on the series sketches)
+# ---------------------------------------------------------------------------
+@query(
+    "ts_corr_pairs",
+    """
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(corr(a.n, b.n), 4) AS hourly_corr,
+           COUNT(*) AS common_hours
+    FROM hourly a JOIN hourly b ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def ts_corr_pairs(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.window("ts", "1 hour").getField("start").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), F.col("h").alias("ha"), F.col("n").alias("na")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), F.col("h").alias("hb"), F.col("n").alias("nb")
+    )
+    joined = a.join(b, (F.col("ha") == F.col("hb")) & (F.col("type_a") < F.col("type_b")))
+    return joined.groupBy("type_a", "type_b").agg(
+        F.round(F.corr("na", "nb"), 4).alias("hourly_corr"),
+        F.count(F.lit(1)).alias("common_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T2 — tumbling 1h window counts (batch twin of the streaming aggregate)
 # ---------------------------------------------------------------------------
 @query(

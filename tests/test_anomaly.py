@@ -1,0 +1,52 @@
+"""Q6 anomaly detectors: volume baselines, temporal clustering,
+dimensional concentration.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from emdatapipelines_spark.quality.anomaly import (
+    VolumeBaseline,
+    concentration_anomaly,
+    temporal_clustering,
+    volume_anomaly,
+)
+
+
+def test_volume_anomaly_bands(spark):
+    df = spark.range(100)
+    low = volume_anomaly(df, "s", VolumeBaseline(min_rows=200, max_rows=500)).first()
+    ok = volume_anomaly(df, "s", VolumeBaseline(min_rows=50, max_rows=500)).first()
+    high = volume_anomaly(df, "s", VolumeBaseline(min_rows=1, max_rows=50)).first()
+    assert low["volume_status"] == "VOLUME_LOW"
+    assert ok["volume_status"] == "OK"
+    assert high["volume_status"] == "VOLUME_HIGH"
+    assert ok["row_count"] == 100
+
+
+def test_temporal_clustering_detects_tight_batch(spark):
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    tight = spark.createDataFrame(
+        [(i, base + timedelta(seconds=i)) for i in range(50)], "id int, ts timestamp"
+    )
+    spread = spark.createDataFrame(
+        [(i, base + timedelta(hours=i)) for i in range(50)], "id int, ts timestamp"
+    )
+    assert temporal_clustering(tight, "ts", spread_minutes=6).first()["is_clustered"]
+    assert not temporal_clustering(spread, "ts", spread_minutes=6).first()["is_clustered"]
+    # small batches are never flagged (row_count > 10 guard)
+    tiny = spark.createDataFrame([(1, base), (2, base)], "id int, ts timestamp")
+    assert not temporal_clustering(tiny, "ts", spread_minutes=6).first()["is_clustered"]
+
+
+def test_concentration_anomaly(spark):
+    skewed = spark.createDataFrame(
+        [(i, "CA" if i < 90 else "TX") for i in range(100)], "id int, state string"
+    )
+    even = spark.createDataFrame(
+        [(i, f"S{i % 10}") for i in range(100)], "id int, state string"
+    )
+    s = concentration_anomaly(skewed, "state", threshold=0.5).first()
+    assert s["top_value"] == "CA" and s["is_concentrated"] and s["share"] == 0.9
+    assert not concentration_anomaly(even, "state", threshold=0.5).first()["is_concentrated"]

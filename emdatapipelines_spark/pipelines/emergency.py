@@ -136,6 +136,45 @@ def build_emergency_dag(spark: SparkSession, sf_dir: str) -> ModelRegistry:
             .withColumn("analytics_id", surrogate_key("region_name", "event_year", "event_source"))
         )
 
+    @reg.model("weather_impacts", deps=["stg_alerts"], materialization="table")
+    def weather_impacts(s, deps):
+        """≈ `models/marts/weather_impacts.sql`: A1 daily rollup per region +
+        J3 interval join back to high-risk alert windows, with the exact
+        null-extending semantics (`weather_impacts.sql:149`:
+        ``COALESCE(a.alert_id IS NOT NULL, FALSE)``)."""
+        alerts = deps["stg_alerts"]
+        daily = alerts.groupBy("region_key", "alert_date").agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.avg("magnitude").alias("avg_magnitude"),
+            F.max("magnitude").alias("max_magnitude"),
+            F.count(F.when(F.col("risk_level") != "LOW", 1)).alias("elevated_alerts"),
+        )
+        # high-risk windows: [alert_date, alert_date + 2 days]
+        windows = (
+            alerts.filter(F.col("risk_level").isin("HIGH", "CRITICAL"))
+            .select(
+                F.col("region_key").alias("w_region"),
+                F.col("alert_id").alias("window_alert_id"),
+                F.col("alert_date").alias("window_start"),
+                F.date_add("alert_date", 2).alias("window_end"),
+            )
+        )
+        cond = (
+            (daily["region_key"] == windows["w_region"])
+            & (daily["alert_date"] >= windows["window_start"])
+            & (daily["alert_date"] <= windows["window_end"])
+        )
+        joined = daily.join(windows, cond, "left")
+        return (
+            joined.groupBy("region_key", "alert_date", "n_alerts", "avg_magnitude",
+                           "max_magnitude", "elevated_alerts")
+            .agg(F.count("window_alert_id").alias("overlapping_windows"))
+            .withColumn(
+                "has_concurrent_alert",
+                F.coalesce(F.col("overlapping_windows") > 0, F.lit(False)),
+            )
+        )
+
     # -- metrics ------------------------------------------------------------
     @reg.model("data_quality_metrics", deps=["stg_declarations", "stg_alerts"])
     def data_quality_metrics(s, deps):

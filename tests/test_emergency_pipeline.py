@@ -78,6 +78,45 @@ def test_public_codes_unique(dag_results):
     assert pub.count() == pub.select("public_code").distinct().count()
 
 
+def test_weather_impacts_null_extension(spark, dag_results):
+    _, results = dag_results
+    wi = results["weather_impacts"]
+    # left interval join: every daily row survives, matched or not
+    stg = results["stg_alerts"]
+    assert wi.count() == stg.select("region_key", "alert_date").distinct().count()
+    # null-extension semantics: unmatched days carry FALSE, never NULL
+    assert wi.filter(F.col("has_concurrent_alert").isNull()).count() == 0
+    flags = {r["has_concurrent_alert"] for r in wi.select("has_concurrent_alert").distinct().collect()}
+    assert flags == {True, False}
+
+
+def test_scd2_snapshot_lifecycle_over_dag(spark, dag_results):
+    """dbt-snapshot flow on top of the DAG: day-1 snapshot of the current
+    declarations, then a merged day-2 source with changes/deletes/inserts."""
+    from emdatapipelines_spark.operators.scd2 import IS_CURRENT, scd2_init, scd2_merge
+
+    _, results = dag_results
+    src = results["stg_declarations"].select(
+        "declaration_id", "incident_type", F.col("processed_at").alias("updated_at")
+    )
+    snap = scd2_init(src, "updated_at")
+    day2 = src.withColumn("updated_at", F.col("updated_at") + F.expr("INTERVAL 1 DAY")).withColumn(
+        "incident_type",
+        F.when(F.col("declaration_id") % 7 == 0, F.lit("RECLASSIFIED")).otherwise(
+            F.col("incident_type")
+        ),
+    ).filter(F.col("declaration_id") % 11 != 0)  # hard deletes
+    merged = scd2_merge(snap, day2, key="declaration_id", updated_at="updated_at")
+    n_src = src.count()
+    cur = merged.filter(F.col(IS_CURRENT))
+    # every non-deleted key has exactly one current version
+    assert cur.count() == day2.count()
+    # changed keys carry history: closed old version + open new one
+    changed = merged.filter(F.col("incident_type") == "RECLASSIFIED")
+    assert changed.count() > 0 and changed.filter(~F.col(IS_CURRENT)).count() == 0
+    assert merged.count() >= n_src
+
+
 def test_mv_refresh(spark, dag_results):
     reg, results = dag_results
     before = results["public_region_stats"].count()

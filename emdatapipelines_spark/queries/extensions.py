@@ -384,6 +384,55 @@ def llm_training_mix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text: TF-IDF keyword extraction — tokens explode → tf per (doc, token) →
+# df per token → idf = ln(N/df) → top-3 keywords per doc. All native ops
+# (explode/groupBy/join/window); the token df table is the only shuffle whose
+# size grows with vocabulary, not corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_tfidf_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS token FROM documents),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.doc_freq), 4) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def tx_tfidf_keywords(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    tok = d.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df_tbl), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 4).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text: order-insensitive document fingerprint
 # ---------------------------------------------------------------------------
 @query(

@@ -20,6 +20,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_candidates,
     simhash,
 )
+from .sampling import hash_stratified_sample, hash_sample_sql_predicate  # noqa: F401
 from .similarity import brute_force_cosine_topk, cosine_topk_pandas, lsh_cosine_topk  # noqa: F401
 from .text import (  # noqa: F401
     token_count,

@@ -1,0 +1,63 @@
+"""Deterministic stratified sampling for training-mix construction.
+
+Large-scale training-data pipelines need per-stratum (language / source /
+quality-band) down-sampling that is (a) reproducible across runs and engines,
+(b) shuffle-free, and (c) stable under re-partitioning — properties a seeded
+RNG sample (``df.sampleBy``) cannot give across engines because the RNG stream
+depends on partition layout.
+
+The scheme here is the standard hash-mod sampler: bucket each row into a
+65536-slot space via the first four hex chars of ``md5(key)`` and keep the row
+when the bucket falls below ``fraction * 65536``.  Because lowercase hex sorts
+lexicographically in numeric order, the comparison is a plain string ``<``
+against a 4-hex-digit threshold — identical in Spark, DuckDB, or any ANSI SQL
+engine, which makes the sample oracle-verifiable row-for-row.
+
+At 100 TB this is a narrow-dependency map over the scan (no shuffle, no seed
+coordination between executors); the md5 is whole-stage-codegen'd JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_bucket_threshold(fraction: float) -> str:
+    """4-hex-digit threshold t such that P[substr(md5(k),1,4) < t] ≈ fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"  # sorts above every hex string → keep all rows
+    return format(int(round(fraction * 65536)), "04x")
+
+
+def _keep_condition(key: Column, threshold: str) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(threshold)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Keep each stratum at its configured fraction, deterministically.
+
+    Strata absent from ``fractions`` are dropped (same contract as
+    ``DataFrame.sampleBy``). ``key_col`` should be a stable unique id so the
+    decision for a row never changes across runs or engines.
+    """
+    cond = F.lit(False)
+    for stratum, fraction in fractions.items():
+        cond = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            _keep_condition(F.col(key_col), hash_bucket_threshold(fraction)),
+        ).otherwise(cond)
+    return df.filter(cond)
+
+
+def hash_sample_sql_predicate(key_sql: str, fraction: float) -> str:
+    """The equivalent ANSI-SQL predicate (for oracle parity / documentation)."""
+    return f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{hash_bucket_threshold(fraction)}'"

@@ -22,6 +22,7 @@ from ..llmdata.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from ..llmdata.sampling import hash_stratified_sample
 from ..llmdata.text import (
     add_language_id,
     bpe_ish_token_count,
@@ -372,11 +373,28 @@ def tx_chunking(spark, sf_dir):
 # training-mix sampling: deterministic per-stratum fractions (seeded sampleBy;
 # engine-specific RNG — no cross-engine oracle, tolerance-tested instead)
 # ---------------------------------------------------------------------------
-@query("llm_training_mix")
+_MIX_FRACTIONS = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+@query(
+    "llm_training_mix",
+    """
+    WITH th AS (
+      SELECT * FROM (VALUES ('en', 'cccd'), ('de', '8000'), ('fr', '8000'),
+                            ('es', '8000'), ('zh', '4000')) AS v(lang, threshold))
+    SELECT d.lang, COUNT(*) AS sampled_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sampled_chars
+    FROM documents d
+    JOIN th ON d.lang = th.lang
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.threshold
+    GROUP BY d.lang
+    """,
+)
 def llm_training_mix(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    fractions = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
-    sampled = d.sampleBy("lang", fractions, seed=42)
+    sampled = hash_stratified_sample(
+        d, strata_col="lang", fractions=_MIX_FRACTIONS, key_col="doc_id"
+    )
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("sampled_docs"),
         F.sum("n_chars").cast("bigint").alias("sampled_chars"),

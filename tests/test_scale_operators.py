@@ -50,7 +50,7 @@ def test_training_mix_deterministic_and_proportional(spark):
     qs = entry.queries()
     a = {r["lang"]: r["sampled_docs"] for r in qs["llm_training_mix"](spark, SF).collect()}
     b = {r["lang"]: r["sampled_docs"] for r in qs["llm_training_mix"](spark, SF).collect()}
-    assert a == b  # seeded sampleBy is run-to-run deterministic
+    assert a == b  # hash-mod sampling is deterministic by construction
     totals = {
         r["lang"]: r["n"]
         for r in t(spark, SF, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
@@ -61,6 +61,24 @@ def test_training_mix_deterministic_and_proportional(spark):
         # Bernoulli sampling: allow 4 sigma
         sigma = (totals[lang] * frac * (1 - frac)) ** 0.5
         assert abs(a.get(lang, 0) - expected) <= 4 * sigma + 1, lang
+
+
+def test_hash_sampler_edge_fractions(spark):
+    from emdatapipelines_spark.llmdata.sampling import (
+        hash_bucket_threshold,
+        hash_stratified_sample,
+    )
+
+    assert hash_bucket_threshold(0.5) == "8000"
+    assert hash_bucket_threshold(0.0) == "0000"
+    assert hash_bucket_threshold(1.0) == "g"  # above all hex → keeps everything
+    df = spark.range(500).select(F.col("id"), F.lit("en").alias("lang"))
+    keep_all = hash_stratified_sample(df, "lang", {"en": 1.0}, "id")
+    keep_none = hash_stratified_sample(df, "lang", {"en": 0.0}, "id")
+    drop_stratum = hash_stratified_sample(df, "lang", {"other": 1.0}, "id")
+    assert keep_all.count() == 500
+    assert keep_none.count() == 0
+    assert drop_stratum.count() == 0
 
 
 def test_ivf_recall_against_exact(spark):

@@ -433,6 +433,39 @@ def tpch_q5_local_supplier(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order priority checking: the LEFT SEMI join (EXISTS).
+# Rounds out the join surface next to j5's anti join; the semi join
+# deduplicates the fact side before the shuffle reaches the aggregate, so
+# no row multiplication ever happens (the 100 TB reason to prefer it over
+# join+distinct). Adapted to the fixture schema: "orders with at least one
+# returned lineitem" (lineitem has no commit/receipt dates).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_priority_semi",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_semi(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 — scoring macro functions as column expressions
 # (calculate_event_severity / categorize_disaster_impact /
 #  generate_emergency_alert_priority)

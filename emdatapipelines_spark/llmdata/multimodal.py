@@ -120,6 +120,64 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     return df.select("media_id", "mime_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, mime_type string, payload binary, "
+    "width int, height int, resize_status string"
+)
+
+
+def resize_images(df: DataFrame, target_width: int = 224, target_height: int = 224) -> DataFrame:
+    """Resize stage for image rows — same distributed shape as
+    ``decode_and_featurize``: Arrow batches in, resized rows out.
+
+    STUB: the real kernel (PIL/opencv decode → resample → re-encode) is
+    unavailable in this container. The stand-in emits a deterministic
+    payload — the source bytes cycled to the target byte budget
+    (``target_width * target_height // 8``, capped) — so output sizes scale
+    with the target dims and the pipeline downstream of resize (batching,
+    re-partitioning, writes) is exercised with realistic row weights.
+
+    Non-image rows pass through unchanged (``skipped_not_image``); null
+    payloads are flagged (``decode_unavailable``), never failed — one corrupt
+    object must not kill a 100 TB job.
+    """
+    budget = max(1, (target_width * target_height) // 8)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, widths, heights, status = [], [], [], []
+            for mime, payload in zip(pdf["mime_type"], pdf["payload"]):
+                is_image = isinstance(mime, str) and mime.startswith("image/")
+                if not is_image:
+                    out_payload.append(payload)
+                    widths.append(None)
+                    heights.append(None)
+                    status.append("skipped_not_image")
+                elif payload is None:
+                    out_payload.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    status.append("decode_unavailable")
+                else:
+                    reps = budget // max(len(payload), 1) + 1
+                    out_payload.append((bytes(payload) * reps)[:budget])
+                    widths.append(target_width)
+                    heights.append(target_height)
+                    status.append("ok")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime_type": pdf["mime_type"],
+                    "payload": out_payload,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "resize_status": status,
+                }
+            )
+
+    return df.select("media_id", "mime_type", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode the sample timeline from
     metadata only (no decode): one row per (media_id, sample_ts_ms). The

@@ -212,6 +212,52 @@ def mm_media_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multimodal: resize stage (stub kernel, real mapInPandas plumbing). The
+# stub's output contract is deterministic — images resize to the target byte
+# budget, non-images pass through — so the distributed Python stage itself is
+# value-hash-checked against a plain SQL oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "mm_resize",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'video/mp4'
+                ELSE 'audio/wav' END AS mime_type,
+           CASE WHEN doc_id % 3 = 0 THEN 'ok' ELSE 'skipped_not_image' END AS resize_status,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 6272
+                     ELSE octet_length(encode(text)) END AS BIGINT) AS out_bytes,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224 END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 224 END AS INT) AS height
+    FROM documents
+    """,
+)
+def mm_resize(spark, sf_dir):
+    from ..llmdata.multimodal import partition_by_bytes, resize_images
+
+    d = t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "video/mp4")
+        .otherwise("audio/wav")
+        .alias("mime_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    media = media.withColumn("byte_size", F.length("payload").cast("long"))
+    media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
+    resized = resize_images(media, target_width=224, target_height=224)
+    return resized.select(
+        "media_id",
+        "mime_type",
+        "resize_status",
+        F.length("payload").cast("bigint").alias("out_bytes"),
+        "width",
+        "height",
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal: frame-sampling plan from metadata only (no decode)
 # ---------------------------------------------------------------------------
 @query(

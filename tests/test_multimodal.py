@@ -62,3 +62,24 @@ def test_frame_sample_plan_counts(spark):
     counts = {r["media_id"]: r["n"] for r in plan.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
     # samples at 0,1000,2000,3000 for 3500ms; just 0 for sub-interval clips
     assert counts == {1: 4, 2: 1}
+
+
+def test_resize_stage_stub_semantics(spark):
+    from emdatapipelines_spark.llmdata.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32).collect()}
+    budget = (64 * 32) // 8
+    assert out[0]["resize_status"] == "ok"
+    assert len(out[0]["payload"]) == budget
+    assert (out[0]["width"], out[0]["height"]) == (64, 32)
+    # non-image rows pass through untouched
+    assert out[1]["resize_status"] == "skipped_not_image"
+    assert bytes(out[1]["payload"]) == b"ftyp-fake-bytes-1"
+    assert out[1]["width"] is None
+    # null payload flagged, not failed
+    assert out[3]["resize_status"] == "decode_unavailable" and out[3]["payload"] is None
+    # deterministic run-to-run
+    again = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32).collect()}
+    assert {k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in out.items()} == {
+        k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in again.items()
+    }

@@ -466,6 +466,94 @@ def tpch_q4_priority_semi(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: outer join with a
+# join-condition predicate (not a post-filter — the rejected rows must still
+# null-extend), then an aggregation OVER an aggregation. The histogram's
+# second groupBy runs on |customers| rows, already reduced by the first.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_custdist",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM co GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_custdist(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    co = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: HAVING-filtered aggregate joined
+# back to its facts. The aggregate runs first and reduces lineitem to the
+# handful of qualifying order keys; the join back is keyed on that tiny set,
+# which AQE demotes to a broadcast at runtime.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        o.join(big, o["o_orderkey"] == F.col("big_orderkey"))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(l.alias("li"), F.col("li.l_orderkey") == o["o_orderkey"])
+        .groupBy("c_name", o["o_orderkey"], "o_orderdate", "o_totalprice")
+        .agg(
+            F.sum(F.col("li.l_quantity").cast("decimal(28,6)")).cast("double").alias("total_qty")
+        )
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.12 — scoring macro functions as column expressions
 # (calculate_event_severity / categorize_disaster_impact /
 #  generate_emergency_alert_priority)

@@ -96,6 +96,55 @@ def dd_jaccard_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup: cluster assignment — connected components over near-dup pairs
+# (5-gram shingles: same near-dup pairs as 3-gram at threshold 0.5 but a far
+#  smaller shingle self-join — multiplicity per shingle drops with n)
+# (iterative min-label propagation; oracle = DuckDB recursive CTE reachability
+# over the same edge set). Near-dup similarity is not transitive, so
+# keep-one-per-group must run on components, not raw pairs.
+# ---------------------------------------------------------------------------
+_JACCARD_EDGES_SQL = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 2)),
+                       i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE c.common * 1.0 / (sa.set_size + sb.set_size - c.common) >= 0.5
+"""
+
+
+@query(
+    "dd_cluster_assign",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_EDGES_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dd_cluster_assign(spark, sf_dir):
+    from ..llmdata.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
 # dedup: MinHash + LSH candidates (deterministic xxhash64 — no SQL oracle)
 # ---------------------------------------------------------------------------
 @query("dd_minhash_lsh")

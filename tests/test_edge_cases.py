@@ -78,3 +78,15 @@ def test_engine_sql_over_built_dag(spark):
     )
     assert df.count() > 0
     assert eng.usage_log[-1]["org"] == "research-lab"
+
+
+def test_connected_components_known_graph(spark):
+    from emdatapipelines_spark.llmdata.dedup import connected_components
+
+    # chain 1-2-3-4, separate pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

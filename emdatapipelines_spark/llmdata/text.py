@@ -151,3 +151,30 @@ def fingerprint(col="text") -> Column:
     reordering and duplication)."""
     toks = F.array_sort(F.array_distinct(F.split(_norm(col), " ")))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def bigram_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/C4-style repetition signals per document: the fraction of word
+    bigram occurrences that are repeats (1 − distinct/total) and the share of
+    the single most frequent bigram. High values flag boilerplate, keyword
+    stuffing, and degenerate generations — standard pre-training filters.
+
+    Two map-side-combined shuffles, both keyed by doc (and doc+bigram), so
+    cost scales linearly with corpus token count; no per-doc Python.
+    Emits docs with at least one bigram (≥ 2 tokens).
+    """
+    toks = F.split(_norm(text_col), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    exploded = df.filter(F.size(toks) >= 2).select(
+        F.col(id_col), F.explode(bigrams).alias("bigram")
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return per_bigram.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_bigrams"),
+        F.round(1 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dup_bigram_frac"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_bigram_frac"),
+    )

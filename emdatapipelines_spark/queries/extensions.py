@@ -25,6 +25,7 @@ from ..llmdata.similarity import (
 from ..llmdata.sampling import hash_stratified_sample
 from ..llmdata.text import (
     add_language_id,
+    bigram_repetition,
     bpe_ish_token_count,
     chunk_tokens,
     fingerprint,
@@ -393,6 +394,33 @@ def tx_quality(spark, sf_dir):
         q["punct_ratio"].alias("punct_ratio"),
         q["quality_score"].alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text: Gopher/C4-style repetition signals — duplicate-bigram fraction and
+# top-bigram share per document (boilerplate / keyword-stuffing / degenerate-
+# generation filters)
+# ---------------------------------------------------------------------------
+@query(
+    "tx_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    bg AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(tk)),
+                                           i -> array_to_string(tk[i:i+1], ' '))) AS bigram
+      FROM toks WHERE len(tk) >= 2),
+    per_bigram AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_bigrams,
+           ROUND(1 - COUNT(*) * 1.0 / SUM(c), 6) AS dup_bigram_frac,
+           ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_bigram_frac
+    FROM per_bigram GROUP BY doc_id
+    """,
+)
+def tx_repetition(spark, sf_dir):
+    return bigram_repetition(t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

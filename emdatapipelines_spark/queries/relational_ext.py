@@ -697,3 +697,281 @@ def fn_state_mask(spark, sf_dir):
         "data_classification",
         mask_sensitive("s_name", "data_classification").alias("name_masked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nation pairs. The two nation
+# dims are broadcast (25 rows each); the only shuffle is the final 3-key
+# aggregate after the fact-fact join on orderkey. The symmetric nation-pair
+# predicate is applied post-join on the two broadcast-enriched columns.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum(rev.cast("decimal(28,6)"), 6).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item revenue ranking: fact-fact join pruned by
+# a quarter-wide date filter on orders (pushed to the scan), revenue agg on
+# customer grain, top-20 by revenue. Nation dim broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(l.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev.cast("decimal(28,6)"), 6).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share for one ship-month. Part dim is
+# broadcast; the month filter prunes the lineitem scan; the two conditional
+# decimal sums are map-side-combined into a single scalar. The ratio is
+# computed on the two exact sums (decimal -> double) so the result is
+# partitioning-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q14_promo_effect",
+    """
+    SELECT ROUND(100.0
+             * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))
+                             ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE),
+           6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_effect(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(28,6)"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — small-quantity revenue for one brand: per-part average
+# computed as an exact decimal mean (partitioning-independent), joined back
+# to the brand-filtered facts. The part dim filter cuts the probe side
+# before the per-part aggregate is even computed, and the joined-back
+# aggregate is tiny -> broadcast under AQE.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q17_small_quantity",
+    """
+    WITH brand_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'),
+    pa AS (
+      SELECT l.l_partkey,
+             0.5 * (CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+               AS half_avg_qty
+      FROM lineitem l JOIN brand_parts bp ON l.l_partkey = bp.p_partkey
+      GROUP BY l.l_partkey)
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg_qty
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    brand_parts = F.broadcast(p.filter(F.col("p_brand") == "Brand#7").select("p_partkey"))
+    pa = (
+        l.join(brand_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            (
+                0.5
+                * (
+                    F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("half_avg_qty")
+        )
+        .select(F.col("l_partkey").alias("pa_partkey"), "half_avg_qty")
+    )
+    return (
+        l.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — NOT NULL key gate as a staging filter (stg_fema_disasters.sql:52-54,
+# stg_noaa_weather.sql:78-79): empty-string-to-NULL coercion followed by a
+# required-keys filter. The coercion + filter are a single narrow projection
+# stage; nothing shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "p2_notnull_keys",
+    """
+    WITH staged AS (
+      SELECT event_id, user_id, ts,
+             NULLIF(TRIM(event_type), '') AS event_type,
+             CASE WHEN value <= 0 THEN NULL ELSE value END AS value
+      FROM events)
+    SELECT event_id, user_id, ts, event_type, value
+    FROM staged
+    WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+      AND ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+    """,
+)
+def p2_notnull_keys(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    staged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.nullif(F.trim("event_type"), F.lit("")).alias("event_type"),
+        F.when(F.col("value") <= 0, None).otherwise(F.col("value")).alias("value"),
+    )
+    cond = None
+    for c in ["event_id", "user_id", "ts", "event_type", "value"]:
+        cc = F.col(c).isNotNull()
+        cond = cc if cond is None else (cond & cc)
+    return staged.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# A9 — whole-frame profile metrics in one pass (data_processing_ops.py:
+# 388-430, data_quality_ops.py:142-190): row count, key-duplicate count,
+# per-column null fractions, and distinct cardinalities. One full scan, one
+# partial-aggregated reduce to a single row — no per-column jobs.
+# ---------------------------------------------------------------------------
+@query(
+    "a9_profile_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS dup_event_ids,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           ROUND(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS null_frac_props,
+           ROUND(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS invalid_frac_value
+    FROM events
+    """,
+)
+def a9_profile_metrics(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return e.agg(
+        n.cast("bigint").alias("n_rows"),
+        (n - F.countDistinct("event_id")).cast("bigint").alias("dup_event_ids"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+        F.round(
+            F.sum(
+                F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)
+            )
+            * 1.0
+            / n,
+            6,
+        ).alias("null_frac_props"),
+        F.round(
+            F.sum(F.when(F.col("value").isNull() | (F.col("value") <= 0), 1).otherwise(0))
+            * 1.0
+            / n,
+            6,
+        ).alias("invalid_frac_value"),
+    )

@@ -274,3 +274,39 @@ def connected_components(
         prev_sum = s
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share at least
+    ``min_shared`` distinct ``n``-token shingles with *any* eval doc — the
+    standard n-gram-overlap test-set contamination check run before
+    pre-training. Returns ``(id_col, n_shared_shingles)`` for flagged docs;
+    anti-join it against the corpus to drop them.
+
+    Scale shape: the eval side (benchmarks) is tiny relative to a 100 TB
+    corpus, so its distinct shingle set is broadcast — the training scan
+    never shuffles for the probe; the only shuffle is the per-doc count.
+    Docs shorter than ``n`` tokens carry no shingles and cannot be flagged.
+    """
+    toks_ok = F.size(F.split(_norm_text(text_col), " ")) >= n
+    ev = (
+        eval_docs.filter(toks_ok)
+        .select(F.explode(_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+    tr = train.filter(toks_ok).select(
+        F.col(id_col), F.explode(_shingles(text_col, n)).alias("shingle")
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )

@@ -107,3 +107,72 @@ def map_lookup(col, mapping: dict, default=None) -> Column:
         pairs += [F.lit(k), F.lit(v)]
     looked = F.create_map(pairs)[c]
     return F.coalesce(looked, F.lit(default)) if default is not None else looked
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the columns of the
+    latest right row with ``right_ts <= left_ts`` within the same ``on`` key
+    (inclusive; left rows with no prior right row get nulls).
+
+    Implemented as union + single window pass — ONE shuffle on the key, no
+    range-condition join and no per-key explosion, so cost is
+    O(n log n_per_key) regardless of how many right rows precede each left
+    row. The naive range join is quadratic per key; this form is the one
+    that survives 100 TB. The right side must be unique per
+    ``(on..., right_ts)`` — pre-aggregate it if it isn't, or the match is
+    nondeterministic.
+
+    Capability twin of the reference's pandas ``merge_asof``-style
+    nearest-date feature attachment (pipelines/dagster/emergency_pipeline/
+    assets/ml_assets.py:93-116 joins daily summaries by exact date; asof
+    generalizes it to irregular timestamps).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    out_names = [f"{c}{suffix}" if c in left.columns else c for c in right_cols]
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__asof_ts"),
+        *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
+    )
+    r = right.select(
+        *on,
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    ).select(*on, "__t", "__side", "__payload", *[c for c in left.columns if c not in on])
+    l = left.select(
+        *on,
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[c for c in left.columns if c not in on],
+    )
+    from pyspark.sql import Window
+
+    # right rows sort before left rows at equal timestamps -> inclusive match
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return matched.select(
+        *on,
+        *[c for c in left.columns if c not in on],
+        F.col("__match.__asof_ts").alias(f"{right_ts}{suffix}" if right_ts in left.columns else right_ts),
+        *[F.col(f"__match.{n}").alias(n) for n in out_names],
+    )

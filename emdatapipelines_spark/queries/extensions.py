@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..llmdata.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -816,4 +817,36 @@ def llm_corpus_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup/decontamination: n-gram overlap against a benchmark set — training
+# docs sharing >= 3 distinct 5-token shingles with any eval doc (doc_id % 53
+# == 0 plays the benchmark). Eval shingles broadcast; one shuffle total.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_decontaminate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh0 AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(tk)-3),
+                                           i -> array_to_string(tk[i:i+4], ' '))) AS shingle
+      FROM toks WHERE len(tk) >= 5),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 53 = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh s JOIN ev USING (shingle)
+    WHERE s.doc_id % 53 <> 0
+    GROUP BY s.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dd_decontaminate(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 53 != 0),
+        docs.filter(F.col("doc_id") % 53 == 0),
+        n=5,
+        min_shared=3,
     )

@@ -975,3 +975,48 @@ def a9_profile_metrics(spark, sf_dir):
             6,
         ).alias("invalid_frac_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 (beyond ref) — backward as-of join: each purchase picks up the latest
+# prior-or-simultaneous click per user. Spark lacks a native ASOF join; the
+# operator (operators/joins.py asof_join) is union + one window pass — a
+# single shuffle on the key, no range join, no per-key blowup. The oracle is
+# DuckDB's native ASOF LEFT JOIN. Right side is pre-aggregated to one row
+# per (user_id, ts) so the match is deterministic in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "j9_asof_latest_click",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+    purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS click_ts, c.click_value
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def j9_asof_latest_click(spark, sf_dir):
+    from ..operators.joins import asof_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_right").alias("click_ts"), "click_value",
+    )

@@ -40,3 +40,23 @@ def pii_scan(df: DataFrame, string_cols: list[str] | None = None, patterns: dict
         ]
         frames.extend(melted)
     return union_of_aggregates(frames)
+
+
+#: redaction order matters: longer/more-specific patterns first so a card
+#: number is never half-eaten by the phone pattern; identical order must be
+#: used by any oracle reimplementation.
+REDACTION_ORDER = ["email", "credit_card", "phone", "ssn"]
+
+
+def pii_redact(col, patterns: dict[str, str] | None = None, order: list[str] | None = None):
+    """Masking transform twin of :func:`pii_scan` — replaces every PII match
+    with a ``[TYPE]`` placeholder (``utils/data_validation.py:400-427``
+    detects; this is the scrub a training-corpus pipeline runs before
+    export). Pure chained ``regexp_replace`` — JVM regex at scan speed, no
+    UDF, safe at any scale."""
+    patterns = patterns or PII_PATTERNS
+    order = order or REDACTION_ORDER
+    c = F.col(col) if isinstance(col, str) else col
+    for name in order:
+        c = F.regexp_replace(c, patterns[name], f"[{name.upper()}]")
+    return c

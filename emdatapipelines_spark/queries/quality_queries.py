@@ -255,3 +255,60 @@ def q10_test_suite(spark, sf_dir):
 )
 def q6_concentration(spark, sf_dir):
     return concentration_anomaly(t(spark, sf_dir, "events"), "event_type", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Q7 twin — PII redaction transform: the scrub a training-corpus export runs
+# after the scan. PII-bearing text is synthesized deterministically from
+# events columns (the fixture tables carry no real PII), then masked by the
+# chained-regexp_replace transform; the oracle applies the identical
+# patterns in the identical order with DuckDB's 'g' flag.
+# ---------------------------------------------------------------------------
+@query(
+    "q7_pii_redact",
+    r"""
+    WITH raw AS (
+      SELECT event_id,
+             'reach user' || CAST(user_id AS VARCHAR) || ' at user'
+             || CAST(user_id AS VARCHAR) || '@mail-' || CAST(user_id % 7 AS VARCHAR)
+             || '.example.com or call (303) 555-'
+             || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             || ' ssn ' || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST((event_id * 7) % 10000 AS VARCHAR), 4, '0')
+             || ' card 4111-1111-1111-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+             AS contact
+      FROM events)
+    SELECT event_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(contact,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\d{4}[-\s]?\d{4}[-\s]?\d{4}[-\s]?\d{4}', '[CREDIT_CARD]', 'g'),
+          '\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}', '[PHONE]', 'g'),
+        '\d{3}-\d{2}-\d{4}', '[SSN]', 'g') AS contact_redacted
+    FROM raw
+    """,
+)
+def q7_pii_redact(spark, sf_dir):
+    from ..quality.pii import pii_redact
+
+    e = t(spark, sf_dir, "events")
+    sid = F.col("user_id").cast("string")
+    eid = F.col("event_id")
+    raw = e.select(
+        "event_id",
+        F.concat(
+            F.lit("reach user"), sid, F.lit(" at user"), sid,
+            F.lit("@mail-"), (F.col("user_id") % 7).cast("string"),
+            F.lit(".example.com or call (303) 555-"),
+            F.lpad((eid % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn "), F.lpad((F.col("user_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((eid % 100).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad(((eid * 7) % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4111-1111-1111-"),
+            F.lpad((eid % 10000).cast("string"), 4, "0"),
+        ).alias("contact"),
+    )
+    return raw.select("event_id", pii_redact("contact").alias("contact_redacted"))

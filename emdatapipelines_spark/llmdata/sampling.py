@@ -61,3 +61,25 @@ def hash_stratified_sample(
 def hash_sample_sql_predicate(key_sql: str, fraction: float) -> str:
     """The equivalent ANSI-SQL predicate (for oracle parity / documentation)."""
     return f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{hash_bucket_threshold(fraction)}'"
+
+
+def hash_shuffle_order(
+    df: DataFrame, key_col: str, seed: str = "emdp", out: str = "shuffle_rank"
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: rank every row
+    by ``md5(seed || key)`` — a reproducible, engine-portable permutation
+    (same hash-ordering trick as the sampler; a seeded RNG shuffle is neither
+    stable across engines nor across partition layouts). Change ``seed`` to
+    get an independent epoch permutation.
+
+    Scale shape: one global sort — a range-partitioned shuffle, the same cost
+    Spark pays for any ORDER BY write. At 100 TB you'd write
+    ``sortWithinPartitions`` after ``repartition(n, hash)`` instead to skip
+    the global range exchange; the total order here is what makes the result
+    oracle-checkable row-for-row.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn(out, F.row_number().over(w).cast("bigint"))

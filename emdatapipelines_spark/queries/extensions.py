@@ -23,7 +23,7 @@ from ..llmdata.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from ..llmdata.sampling import hash_stratified_sample
+from ..llmdata.sampling import hash_shuffle_order, hash_stratified_sample
 from ..llmdata.text import (
     add_language_id,
     bigram_repetition,
@@ -850,3 +850,22 @@ def dd_decontaminate(spark, sf_dir):
         n=5,
         min_shared=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# training export: deterministic global corpus shuffle — every doc ranked by
+# md5(seed || doc_id). Reproducible across runs, engines, and partition
+# layouts (a seeded RNG shuffle is none of these); new seed = new epoch.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_shuffle_order",
+    """
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (ORDER BY md5('emdp' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def llm_shuffle_order(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_shuffle_order(d, "doc_id", seed="emdp")

@@ -3,6 +3,14 @@ SURVEY §2 (+ LLM-data extensions), each paired with an ANSI-SQL oracle that
 DuckDB can run over the same parquet fixtures.
 
 Import side effect: importing this package registers every query.
+
+Registration ORDER matters: the driver's correctness run checks the first 50
+``queries()`` entries only (CORRECTNESS_r01.json recorded exactly the first
+50 in insertion order). To get every query driver-verified across rounds we
+rotate: queries without a green driver row yet are moved to the FRONT of the
+dict; queries already proven green in a prior round's CORRECTNESS file go
+last. ``DRIVER_GREEN`` is the cumulative set of names with a green
+(rows+schema+hash) row in any prior CORRECTNESS_r*.json.
 """
 
 from .registry import QUERIES, ORACLES, query  # noqa: F401
@@ -10,3 +18,38 @@ from . import relational  # noqa: F401,E402
 from . import relational_ext  # noqa: F401,E402
 from . import quality_queries  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+
+# Green rows in CORRECTNESS_r01.json (49 of 50 checked; s5_json_extract was
+# the lone hash-fail — its oracle is fixed, so it stays in the front group
+# for re-verification).
+DRIVER_GREEN: set[str] = {
+    "a1_pricing_summary", "p1_project_cast", "p3_recent_events", "p4_enum_filter",
+    "p7_range_validate", "j1_dim_enrich", "j2_fact_join_yearly", "j3_interval_join",
+    "j5_anti_join", "j8_map_lookup", "a4_privacy_agg", "a5_count_distinct",
+    "a6_union_profile", "a10_surrogate_key", "w1_lag_yoy", "w2_row_number_code",
+    "w3_rolling_count", "w4_trailing_mean", "w5_lead_target", "o2_case_sort_limit",
+    "o4_topk_nations", "u1_union_entities", "s1_string_funcs", "s2_date_funcs",
+    "s3_math_funcs", "s4_case_ladder", "s10_upsert_last_wins", "s13_retention",
+    "p6_active_alerts", "a3_yearly_trend", "a7_config_window_agg", "a11_percentiles",
+    "j4_date_key_join", "j6_consistency_join", "o1_recent_limit", "scd2_status_history",
+    "q9_quality_report", "tpch_q3_shipping_priority", "tpch_q5_local_supplier",
+    "tpch_q4_priority_semi", "tpch_q13_custdist", "tpch_q18_large_orders",
+    "fn_event_scoring", "fn_state_mask", "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect", "tpch_q17_small_quantity",
+    "p2_notnull_keys",
+}
+
+
+def _rotate() -> None:
+    """Unverified (oracle-equipped first, then rows-only) → verified-green."""
+    front_oracle = [n for n in QUERIES if n not in DRIVER_GREEN and n in ORACLES]
+    front_weak = [n for n in QUERIES if n not in DRIVER_GREEN and n not in ORACLES]
+    back = [n for n in QUERIES if n in DRIVER_GREEN]
+    ordered = front_oracle + front_weak + back
+    for d in (QUERIES, ORACLES):
+        snap = dict(d)
+        d.clear()
+        d.update({n: snap[n] for n in ordered if n in snap})
+
+
+_rotate()

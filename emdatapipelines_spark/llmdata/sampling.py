@@ -30,7 +30,12 @@ def hash_bucket_threshold(fraction: float) -> str:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     if fraction >= 1.0:
         return "g"  # sorts above every hex string → keep all rows
-    return format(int(round(fraction * 65536)), "04x")
+    bucket = int(round(fraction * 65536))
+    if bucket >= 65536:
+        # fractions in ~[0.9999924, 1.0) round to 65536, which would format
+        # to the 5-char '10000' and lexicographically keep only '0…' hashes
+        return "g"
+    return format(bucket, "04x")
 
 
 def _keep_condition(key: Column, threshold: str) -> Column:

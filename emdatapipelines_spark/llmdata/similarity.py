@@ -129,51 +129,89 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine ≥ ``threshold``.
+    cosine ≥ ``threshold``. Exact (matches the all-pairs SQL oracle).
 
-    Scale shape: the corpus is collected once into a broadcast matrix and
-    each corpus partition computes a numpy block-matmul against it —
-    O(n²·d) flops through BLAS instead of per-pair expression evaluation,
-    with only the ≥-threshold survivors materialized. At true 100 TB scale
-    the broadcast side becomes an LSH/IVF prefilter (see
-    :func:`lsh_cosine_topk`); the blocked-matmul kernel stays the same.
+    Fully distributed block-pair matmul — nothing is collected to the
+    driver. Rows hash into ``n_blocks`` blocks; each unordered block pair
+    (ba ≤ bb) becomes one ``applyInPandas`` group that BLAS-matmuls its two
+    blocks and keeps only ≥-threshold survivors. Each row is shuffled to
+    exactly ``n_blocks`` groups, so shuffle volume is n·B rows and peak
+    task memory is ~2·n·d/B — tune ``n_blocks`` so a block fits an
+    executor. The O(n²·d) flop count is the price of exactness; at 100 TB
+    run an LSH prefilter (:func:`lsh_cosine_topk` planes / minhash bands)
+    to restrict which block pairs are generated, keeping this kernel.
     """
-    spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    B = n_blocks
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(vec_col).alias("pvec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("blk"),
+    )
+    # A side covers block pairs (blk, bb) for bb ≥ blk (includes diagonal);
+    # B side covers (ba, blk) for ba < blk — each unordered pair once.
+    a_side = base.select(
+        "pid",
+        "pvec",
+        F.lit(0).alias("side"),
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bb"),
+    )
+    b_side = base.filter(F.col("blk") >= 1).select(
+        "pid",
+        "pvec",
+        F.lit(1).alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("blk") - F.lit(1))).alias("ba"),
+        F.col("blk").alias("bb"),
+    )
+    tagged = a_side.unionByName(b_side)
 
     out_schema = "id_a long, id_b long, cosine double"
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat, all_norms = bc.value
-        for part in batches:
-            if part.empty:
-                continue
-            p_ids = part[id_col].to_numpy()
-            p_mat = np.vstack(part[vec_col].to_numpy()).astype(np.float64)
-            p_norms = np.linalg.norm(p_mat, axis=1)
-            sims = (p_mat @ all_mat.T) / (p_norms[:, None] * all_norms[None, :])
-            # id_a < id_b keeps each surviving pair exactly once
-            ii, jj = np.nonzero((sims >= threshold) & (p_ids[:, None] < all_ids[None, :]))
+    def block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        a = pdf[pdf["side"] == 0]
+        if ba == bb:
+            if len(a) < 2:
+                return empty
+            ids = a["pid"].to_numpy()
+            m = np.vstack(a["pvec"].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            sims = (m @ m.T) / (nrm[:, None] * nrm[None, :])
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
             if len(ii) == 0:
-                continue
-            yield pd.DataFrame(
-                {"id_a": p_ids[ii], "id_b": all_ids[jj], "cosine": np.round(sims[ii, jj], 6)}
+                return empty
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cosine": np.round(sims[ii, jj], 6)}
             )
+        b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return empty
+        a_ids, b_ids = a["pid"].to_numpy(), b["pid"].to_numpy()
+        am = np.vstack(a["pvec"].to_numpy()).astype(np.float64)
+        bm = np.vstack(b["pvec"].to_numpy()).astype(np.float64)
+        an, bn = np.linalg.norm(am, axis=1), np.linalg.norm(bm, axis=1)
+        sims = (am @ bm.T) / (an[:, None] * bn[None, :])
+        ii, jj = np.nonzero(sims >= threshold)
+        if len(ii) == 0:
+            return empty
+        lo = np.minimum(a_ids[ii], b_ids[jj])
+        hi = np.maximum(a_ids[ii], b_ids[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": np.round(sims[ii, jj], 6)})
 
-    return corpus.select(id_col, vec_col).mapInPandas(block, out_schema)
+    return tagged.groupBy("ba", "bb").applyInPandas(block_pair, out_schema)
 
 
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    nlist_mod: int = 64,
+    nlist: int = 64,
     nprobe: int = 2,
     q_id: str = "vec_id",
     q_vec: str = "embedding",
@@ -183,16 +221,20 @@ def ivf_cosine_topk(
     """IVF-style approximate top-k: coarse quantize the corpus into cells,
     probe only the query's ``nprobe`` nearest cells.
 
-    Deterministic coarse centroids: every corpus vector whose id ≡ 0 mod
-    ``nlist_mod`` is a centroid (a k-means step would re-fit these; the
-    partition/probe shape is identical). Corpus vectors are assigned to their
-    nearest centroid (broadcast matmul, one pass); a query scans only its
-    ``nprobe`` closest cells — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist
-    with recall controlled by nprobe.
+    Coarse centroids are a BOUNDED deterministic sample: the ``nlist``
+    corpus vectors with the smallest md5(id) (TakeOrdered — the driver
+    receives exactly ``nlist``·d floats regardless of corpus size; a
+    k-means pass would refine these, the partition/probe shape is
+    identical). Corpus vectors are assigned to their nearest centroid
+    (broadcast matmul, one pass); a query scans only its ``nprobe``
+    closest cells — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist with
+    recall controlled by nprobe.
     """
     spark = corpus.sparkSession
-    cents = corpus.filter(F.col(c_id) % nlist_mod == 0).select(
-        F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cvec")
+    cents = (
+        corpus.select(F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cvec"))
+        .orderBy(F.md5(F.col("cell_id").cast("string")), F.col("cell_id"))
+        .limit(int(nlist))
     )
     cpdf = cents.toPandas()
     cent_ids = cpdf["cell_id"].to_numpy()

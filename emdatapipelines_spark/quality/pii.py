@@ -9,8 +9,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators.aggregates import union_of_aggregates
-
 PII_PATTERNS = {
     "ssn": r"\d{3}-\d{2}-\d{4}",
     "phone": r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
@@ -24,22 +22,26 @@ def pii_scan(df: DataFrame, string_cols: list[str] | None = None, patterns: dict
     pattern, computed in a single scan (all counters in one ``agg``)."""
     patterns = patterns or PII_PATTERNS
     cols = string_cols or [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
-    frames = []
-    for c in cols:
-        aggs = [
-            F.sum(F.col(c).rlike(p).cast("bigint")).alias(name) for name, p in patterns.items()
-        ]
-        row = df.agg(*aggs)
-        melted = [
-            row.select(
+    aggs = [
+        F.sum(F.col(c).rlike(p).cast("bigint")).alias(f"{c}\x1f{name}")
+        for c in cols
+        for name, p in patterns.items()
+    ]
+    row = df.agg(*aggs)  # ALL (column × pattern) counters in one scan
+    kvs = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column_name"),
                 F.lit(name).alias("pii_type"),
-                F.coalesce(F.col(name), F.lit(0)).cast("bigint").alias("match_count"),
+                F.coalesce(F.col(f"`{c}\x1f{name}`"), F.lit(0)).cast("bigint").alias("match_count"),
             )
+            for c in cols
             for name in patterns
         ]
-        frames.extend(melted)
-    return union_of_aggregates(frames)
+    )
+    # melt via explode — keeps the single-aggregate subtree referenced once
+    # (a union melt would repeat the scan per branch)
+    return row.select(F.explode(kvs).alias("kv")).select("kv.*")
 
 
 #: redaction order matters: longer/more-specific patterns first so a card

@@ -227,7 +227,7 @@ def dd_embedding_neardup(spark, sf_dir):
 def sim_ivf_topk(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(
-        e.filter(F.col("vec_id") < 8), e, k=5, nlist_mod=64, nprobe=2
+        e.filter(F.col("vec_id") < 8), e, k=5, nlist=8, nprobe=2
     ).orderBy("query_id", "rank")
 
 

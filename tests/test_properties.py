@@ -84,3 +84,17 @@ def test_privacy_threshold_suppresses_small_groups(spark, rows, threshold):
     # exactly the groups meeting the threshold survive — no small-group leaks
     assert {r["grp"] for r in out} == {g for g, n in sizes.items() if n >= threshold}
     assert all(r["group_size"] >= threshold for r in out)
+
+
+@given(st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_hash_bucket_threshold_valid_for_any_fraction(fraction):
+    from emdatapipelines_spark.llmdata.sampling import hash_bucket_threshold
+
+    t = hash_bucket_threshold(fraction)
+    # threshold is either the keep-all sentinel or exactly 4 hex digits; the
+    # ~[0.9999924, 1.0) band must NOT produce the 5-char '10000' whose
+    # lexicographic compare would keep only '0…' hashes (~6.25%)
+    assert t == "g" or (len(t) == 4 and int(t, 16) <= 0xFFFF)
+    if fraction >= 0.99999:
+        kept = 65536 if t == "g" else int(t, 16)
+        assert kept / 65536 >= 0.9999

@@ -312,3 +312,88 @@ def q7_pii_redact(spark, sf_dir):
         ).alias("contact"),
     )
     return raw.select("event_id", pii_redact("contact").alias("contact_redacted"))
+
+
+# ---------------------------------------------------------------------------
+# ENC — column-level encryption round-trip (utils/encryption.py:25-250 twin).
+# GCM ciphertexts carry a random IV, so the oracle checks the INVARIANTS:
+# decrypt(encrypt(x)) == x, ciphertext != plaintext, and a different
+# tenant's key fails to decrypt (try_aes_decrypt → null).
+# ---------------------------------------------------------------------------
+@query(
+    "enc_roundtrip",
+    """
+    SELECT c_custkey, c_name AS name_roundtrip,
+           TRUE AS cipher_differs, TRUE AS wrong_tenant_fails
+    FROM customer
+    """,
+)
+def enc_roundtrip(spark, sf_dir):
+    from ..crypto import decrypt_column, encrypt_column, field_key
+
+    master = "fixture-master-secret"
+    k_a = field_key(master, "c_name", tenant_id="tenant_a")
+    k_b = field_key(master, "c_name", tenant_id="tenant_b")
+    c = t(spark, sf_dir, "customer")
+    enc = c.select("c_custkey", "c_name", encrypt_column("c_name", k_a).alias("cipher"))
+    return enc.select(
+        "c_custkey",
+        decrypt_column("cipher", k_a).alias("name_roundtrip"),
+        (F.col("cipher") != F.col("c_name")).alias("cipher_differs"),
+        F.isnull(decrypt_column("cipher", k_b)).alias("wrong_tenant_fails"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALERTS — declarative rule evaluation over per-type event metrics
+# (sensors/error_sensors.py:75-101 tiered thresholds; :349-411 escalation).
+# Metrics: per-event_type decimal-exact avg(value) + freshness age vs the
+# pinned clock; two gt-rules with warn/critical tiers fire a mixed set.
+# ---------------------------------------------------------------------------
+@query(
+    "alert_rules_fired",
+    """
+    WITH g AS (
+      SELECT event_type AS entity,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value), 6) AS avg_value,
+             CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - FLOOR(epoch(MAX(ts))))/60) AS DOUBLE) AS age_minutes
+      FROM events GROUP BY event_type),
+    m AS (
+      SELECT entity, 'avg_value' AS metric, avg_value AS value FROM g
+      UNION ALL
+      SELECT entity, 'age_minutes', age_minutes FROM g),
+    r AS (SELECT * FROM (VALUES
+       ('avg_value_high','avg_value',49.0,50.5),
+       ('events_stale','age_minutes',1450.0,1470.0)) AS t(rule_name, rule_metric, warn, crit))
+    SELECT m.entity, r.rule_name, m.metric, m.value,
+           CASE WHEN m.value > r.crit THEN r.crit ELSE r.warn END AS threshold,
+           CASE WHEN m.value > r.crit THEN 'critical' ELSE 'warning' END AS severity
+    FROM m JOIN r ON m.metric = r.rule_metric
+    WHERE m.value > r.warn
+    """,
+)
+def alert_rules_fired(spark, sf_dir):
+    from ..quality.alerts import AlertRule, evaluate_alert_rules
+    from .registry import davg
+
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy(F.col("event_type").alias("entity")).agg(
+        davg("value", 4, 6).alias("avg_value"),
+        F.floor(
+            (F.lit(1706745600) - F.floor(F.max("ts").cast("double"))) / 60
+        ).cast("double").alias("age_minutes"),
+    )
+    metrics = g.select(
+        "entity",
+        F.explode(
+            F.array(
+                F.struct(F.lit("avg_value").alias("metric"), F.col("avg_value").alias("value")),
+                F.struct(F.lit("age_minutes").alias("metric"), F.col("age_minutes").alias("value")),
+            )
+        ).alias("kv"),
+    ).select("entity", "kv.metric", "kv.value")
+    rules = [
+        AlertRule("avg_value_high", "avg_value", "gt", warn=49.0, crit=50.5),
+        AlertRule("events_stale", "age_minutes", "gt", warn=1450.0, crit=1470.0),
+    ]
+    return evaluate_alert_rules(metrics, rules)

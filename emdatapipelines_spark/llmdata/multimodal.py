@@ -31,6 +31,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:  # optional dependency: real image kernels activate when PIL is present
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - sandbox has no PIL
+    _PILImage = None
+    HAS_PIL = False
+
 #: canonical multimodal record schema
 MEDIA_SCHEMA = StructType(
     [
@@ -65,15 +73,48 @@ def partition_by_bytes(df: DataFrame, byte_size_col: str, target_partition_bytes
 FEATURE_SCHEMA = "media_id long, mime_type string, feature array<double>, decode_status string"
 
 
-def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
+def _pil_feature(payload: bytes, dim: int) -> list | None:
+    """Real image feature: decode, grayscale, ``dim``-bin normalized
+    histogram. Deterministic for a given payload. None on undecodable."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            g = np.asarray(im.convert("L"), dtype=np.uint8)
+        hist, _ = np.histogram(g, bins=dim, range=(0, 256))
+        total = max(int(hist.sum()), 1)
+        return (hist / total).astype(np.float64).tolist()
+    except Exception:
+        return None
+
+
+def _pil_resize(payload: bytes, w: int, h: int) -> bytes | None:
+    """Real resize kernel: decode → bilinear resample → PNG re-encode."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.convert("RGB").resize((w, h)).save(out, format="PNG")
+            return out.getvalue()
+    except Exception:
+        return None
+
+
+def decode_and_featurize(df: DataFrame, feature_dim: int = 8, kernel: str = "auto") -> DataFrame:
     """Decode + feature-extract stage over media batches.
 
-    STUB: real decoding (PIL/libav/torchaudio) is unavailable in this
-    container; ``_fake_decode`` below produces a deterministic
-    pseudo-feature from the payload bytes so the full distributed path —
-    Arrow batch in, feature rows out — is exercised end-to-end. Swap
-    ``_fake_decode`` for a real kernel in production.
+    ``kernel='auto'`` uses the REAL PIL grayscale-histogram kernel for
+    ``image/*`` rows when PIL is importable on the executors (gated like
+    the Kafka integration test — see ``tests/test_multimodal_pil.py``)
+    and falls back to the deterministic stub otherwise. ``'stub'`` forces
+    the fallback: a pseudo-feature mixed from the payload bytes so the
+    full distributed path — Arrow batch in, feature rows out — is
+    exercised in environments without image libraries. Either way the
+    batch shape, schema, and failure contract (status column, never a
+    failed job) are identical.
     """
+    use_pil = kernel == "pil" or (kernel == "auto" and HAS_PIL)
 
     def _fake_decode_batch(payloads: list, dim: int) -> tuple[list, list]:
         # Deterministic fake decode, vectorized over the whole Arrow batch
@@ -108,6 +149,14 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, status = _fake_decode_batch(list(pdf["payload"]), feature_dim)
+            if use_pil:
+                for i, (mime, payload) in enumerate(zip(pdf["mime_type"], pdf["payload"])):
+                    if payload is not None and isinstance(mime, str) and mime.startswith("image/"):
+                        real = _pil_feature(bytes(payload), feature_dim)
+                        if real is not None:
+                            feats[i], status[i] = real, "ok_pil"
+                        else:
+                            feats[i], status[i] = None, "decode_failed"
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -126,22 +175,26 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(df: DataFrame, target_width: int = 224, target_height: int = 224) -> DataFrame:
+def resize_images(
+    df: DataFrame, target_width: int = 224, target_height: int = 224, kernel: str = "auto"
+) -> DataFrame:
     """Resize stage for image rows — same distributed shape as
     ``decode_and_featurize``: Arrow batches in, resized rows out.
 
-    STUB: the real kernel (PIL/opencv decode → resample → re-encode) is
-    unavailable in this container. The stand-in emits a deterministic
-    payload — the source bytes cycled to the target byte budget
-    (``target_width * target_height // 8``, capped) — so output sizes scale
-    with the target dims and the pipeline downstream of resize (batching,
-    re-partitioning, writes) is exercised with realistic row weights.
+    ``kernel='auto'`` runs the REAL kernel (PIL decode → bilinear resample
+    → PNG re-encode) when PIL is importable, else the stand-in: a
+    deterministic payload — the source bytes cycled to the target byte
+    budget (``target_width * target_height // 8``, capped) — so output
+    sizes scale with the target dims and the pipeline downstream of
+    resize (batching, re-partitioning, writes) is exercised with
+    realistic row weights.
 
-    Non-image rows pass through unchanged (``skipped_not_image``); null
-    payloads are flagged (``decode_unavailable``), never failed — one corrupt
-    object must not kill a 100 TB job.
+    Non-image rows pass through unchanged (``skipped_not_image``); null /
+    undecodable payloads are flagged, never failed — one corrupt object
+    must not kill a 100 TB job.
     """
     budget = max(1, (target_width * target_height) // 8)
+    use_pil = kernel == "pil" or (kernel == "auto" and HAS_PIL)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,6 +211,12 @@ def resize_images(df: DataFrame, target_width: int = 224, target_height: int = 2
                     widths.append(None)
                     heights.append(None)
                     status.append("decode_unavailable")
+                elif use_pil:
+                    real = _pil_resize(bytes(payload), target_width, target_height)
+                    out_payload.append(real)
+                    widths.append(target_width if real is not None else None)
+                    heights.append(target_height if real is not None else None)
+                    status.append("ok_pil" if real is not None else "decode_failed")
                 else:
                     reps = budget // max(len(payload), 1) + 1
                     out_payload.append((bytes(payload) * reps)[:budget])

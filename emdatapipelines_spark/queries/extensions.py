@@ -252,7 +252,7 @@ def mm_media_features(spark, sf_dir):
     # on this path and would md5 every payload for nothing
     media = media.withColumn("byte_size", F.length("payload").cast("long"))
     media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
-    feats = decode_and_featurize(media, feature_dim=8)
+    feats = decode_and_featurize(media, feature_dim=8, kernel="stub")  # oracle-pinned
     return feats.select(
         "media_id",
         "mime_type",
@@ -297,7 +297,7 @@ def mm_resize(spark, sf_dir):
     )
     media = media.withColumn("byte_size", F.length("payload").cast("long"))
     media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
-    resized = resize_images(media, target_width=224, target_height=224)
+    resized = resize_images(media, target_width=224, target_height=224, kernel="stub")  # oracle-pinned
     return resized.select(
         "media_id",
         "mime_type",

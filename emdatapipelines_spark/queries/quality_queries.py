@@ -397,3 +397,35 @@ def alert_rules_fired(spark, sf_dir):
         AlertRule("events_stale", "age_minutes", "gt", warn=1450.0, crit=1470.0),
     ]
     return evaluate_alert_rules(metrics, rules)
+
+
+# ---------------------------------------------------------------------------
+# TENANT — row-level tenant isolation view (tenant_resources.py:317-387
+# filter injection + scope restriction, re-expressed as a pushable
+# predicate). Fixture mapping: nation = geographic scope, mktsegment
+# stands in for the classification column.
+# ---------------------------------------------------------------------------
+@query(
+    "tenant_scoped_view",
+    """
+    SELECT c_custkey, n.n_name AS scope, c_mktsegment AS classification,
+           'colorado_state' AS tenant_id
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3','NATION_7')
+      AND c_mktsegment IN ('AUTOMOBILE','BUILDING')
+    """,
+)
+def tenant_scoped_view(spark, sf_dir):
+    from ..tenant import TenantSpec, tenant_view
+
+    spec = TenantSpec(
+        tenant_id="colorado_state",
+        allowed_scopes=["NATION_3", "NATION_7"],
+        allowed_classifications=["AUTOMOBILE", "BUILDING"],
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("scope"), F.col("c_mktsegment").alias("classification")
+    )
+    return tenant_view(joined, spec, scope_col="scope", classification_col="classification")

@@ -42,8 +42,8 @@ def test_partition_by_bytes(spark):
 
 def test_decode_stage_deterministic_and_null_safe(spark):
     m = _media(spark)
-    f1 = decode_and_featurize(m, feature_dim=8).collect()
-    f2 = decode_and_featurize(m, feature_dim=8).collect()
+    f1 = decode_and_featurize(m, feature_dim=8, kernel="stub").collect()
+    f2 = decode_and_featurize(m, feature_dim=8, kernel="stub").collect()
     by_id = {r["media_id"]: r for r in f1}
     assert all(len(r["feature"]) == 8 for r in f1 if r["feature"] is not None)
     # stubbed kernel is deterministic run-to-run
@@ -67,7 +67,7 @@ def test_frame_sample_plan_counts(spark):
 def test_resize_stage_stub_semantics(spark):
     from emdatapipelines_spark.llmdata.multimodal import resize_images
 
-    out = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32).collect()}
+    out = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32, kernel="stub").collect()}
     budget = (64 * 32) // 8
     assert out[0]["resize_status"] == "ok"
     assert len(out[0]["payload"]) == budget
@@ -79,7 +79,7 @@ def test_resize_stage_stub_semantics(spark):
     # null payload flagged, not failed
     assert out[3]["resize_status"] == "decode_unavailable" and out[3]["payload"] is None
     # deterministic run-to-run
-    again = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32).collect()}
+    again = {r["media_id"]: r for r in resize_images(_media(spark), 64, 32, kernel="stub").collect()}
     assert {k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in out.items()} == {
         k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in again.items()
     }

@@ -88,3 +88,30 @@ def hash_shuffle_order(
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
     w = Window.orderBy(h.asc(), F.col(key_col).asc())
     return df.withColumn(out, F.row_number().over(w).cast("bigint"))
+
+
+def pack_sequences_plan(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    out: str = "pack_id",
+) -> DataFrame:
+    """Deterministic sequence-packing plan for training export: documents are
+    laid out in ``order_col`` order and cut into packs of ~``budget`` tokens
+    by cumulative token count (``pack_id = floor(tokens_before / budget)``).
+
+    This is the streaming-concat packing layout (documents may straddle a
+    boundary and continue in the next pack — the standard pretraining
+    treatment), not per-pack greedy bin-packing, which is inherently
+    sequential. The plan is one global sort (range-partitioned shuffle, the
+    ORDER BY cost any deterministic export pays) + a running-sum window; at
+    100 TB, pre-bucketing by a hash of ``order_col`` and packing within
+    buckets removes the global exchange at the cost of cross-bucket pack
+    boundaries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
+    tokens_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return df.withColumn(out, F.floor(tokens_before / F.lit(budget)).cast("bigint"))

@@ -40,10 +40,31 @@ DRIVER_GREEN: set[str] = {
 }
 
 
+def _bench_times() -> dict[str, float]:
+    """Last recorded per-query timings (BENCH_FULL.json at the repo root),
+    used to order the unverified block cheapest-first: under a count cap the
+    order is irrelevant, under a TIME budget it maximizes verified rows."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "BENCH_FULL.json")
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            return dict(json.load(fh).get("queries") or {})
+    except (OSError, ValueError):
+        return {}
+
+
 def _rotate() -> None:
     """Unverified (oracle-equipped first, then rows-only) → verified-green."""
-    front_oracle = [n for n in QUERIES if n not in DRIVER_GREEN and n in ORACLES]
-    front_weak = [n for n in QUERIES if n not in DRIVER_GREEN and n not in ORACLES]
+    times = _bench_times()
+    cost = lambda n: times.get(n, 1.0)  # noqa: E731 - unknown cost → middle
+    front_oracle = sorted(
+        (n for n in QUERIES if n not in DRIVER_GREEN and n in ORACLES), key=cost
+    )
+    front_weak = sorted(
+        (n for n in QUERIES if n not in DRIVER_GREEN and n not in ORACLES), key=cost
+    )
     back = [n for n in QUERIES if n in DRIVER_GREEN]
     ordered = front_oracle + front_weak + back
     for d in (QUERIES, ORACLES):

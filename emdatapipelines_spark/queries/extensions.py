@@ -869,3 +869,61 @@ def dd_decontaminate(spark, sf_dir):
 def llm_shuffle_order(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return hash_shuffle_order(d, "doc_id", seed="emdp")
+
+
+# ---------------------------------------------------------------------------
+# dedup: SEMANTIC clusters — connected components over embedding-cosine
+# near-dup pairs (block-pair exact kernel -> iterative min-label CC). The
+# composed semantic-dedup step: cluster, then keep-one-per-cluster.
+# Oracle = DuckDB recursive-CTE reachability over the same exact pair set.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_embedding_clusters",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a)
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dd_embedding_clusters(spark, sf_dir):
+    from ..llmdata.dedup import connected_components
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=0.35)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# LLM training export: sequence-packing plan — deterministic doc->pack
+# layout by cumulative token budget (streaming-concat packing).
+# ---------------------------------------------------------------------------
+@query(
+    "llm_pack_plan",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048) AS BIGINT)
+             AS pack_id
+    FROM toked
+    """,
+)
+def llm_pack_plan(spark, sf_dir):
+    from ..llmdata.sampling import pack_sequences_plan
+
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", token_count("text").alias("n_tokens"))
+    return pack_sequences_plan(toked, "n_tokens", budget=2048, order_col="doc_id")

@@ -94,3 +94,21 @@ def test_ivf_recall_against_exact(spark):
     # approximate search: meaningful overlap with the exact top-k (IVF probes
     # a fraction of cells; random fixture vectors are a worst case)
     assert len(ivf & exact) / len(exact) >= 0.2
+
+
+def test_pack_sequences_plan_layout(spark):
+    from emdatapipelines_spark.llmdata.sampling import pack_sequences_plan
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 1000), (3, 5000), (4, 10), (5, 0), (6, 100)],
+        "doc_id int, n_tokens int",
+    )
+    rows = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences_plan(df, "n_tokens", budget=2048, order_col="doc_id").collect()
+    }
+    # cumulative-before: doc1@0, doc2@1000, doc3@2000, doc4@7000, doc5@7010, doc6@7010
+    assert rows == {1: 0, 2: 0, 3: 0, 4: 3, 5: 3, 6: 3}
+    # pack ids never decrease along the layout order
+    ordered = [rows[k] for k in sorted(rows)]
+    assert ordered == sorted(ordered)

@@ -213,6 +213,7 @@ def ivf_cosine_topk(
     k: int = 5,
     nlist: int = 64,
     nprobe: int = 2,
+    kmeans_iters: int = 0,
     q_id: str = "vec_id",
     q_vec: str = "embedding",
     c_id: str = "vec_id",
@@ -223,12 +224,16 @@ def ivf_cosine_topk(
 
     Coarse centroids are a BOUNDED deterministic sample: the ``nlist``
     corpus vectors with the smallest md5(id) (TakeOrdered — the driver
-    receives exactly ``nlist``·d floats regardless of corpus size; a
-    k-means pass would refine these, the partition/probe shape is
-    identical). Corpus vectors are assigned to their nearest centroid
-    (broadcast matmul, one pass); a query scans only its ``nprobe``
-    closest cells — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist with
-    recall controlled by nprobe.
+    receives exactly ``nlist``·d floats regardless of corpus size).
+    ``kmeans_iters`` optionally refines them with distributed Lloyd steps:
+    each iteration assigns the corpus to its nearest centroid (broadcast
+    matmul, map-only) and recomputes per-cell means JVM-side
+    (posexplode → groupBy(cell, dim) partial-aggregated avg), pulling only
+    the nlist·d mean matrix back — per-iteration driver transfer stays
+    constant in corpus size; empty cells drop out. Corpus vectors are then
+    assigned once more and a query scans only its ``nprobe`` closest cells
+    — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist with recall
+    controlled by nprobe.
     """
     spark = corpus.sparkSession
     cents = (
@@ -240,6 +245,36 @@ def ivf_cosine_topk(
     cent_ids = cpdf["cell_id"].to_numpy()
     cent_mat = np.vstack(cpdf["cvec"].to_numpy()).astype(np.float64)
     cent_norm = np.linalg.norm(cent_mat, axis=1)
+
+    for _ in range(int(kmeans_iters)):
+        bc_it = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+
+        def nearest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_, cmat, cnorm = bc_it.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+                norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+                sims = (m @ cmat.T) / (norms[:, None] * cnorm[None, :])
+                yield pd.DataFrame(
+                    {"cell": ids_[np.argmax(sims, axis=1)], "vec": pdf["vec"]}
+                )
+
+        assigned = corpus.select(F.col(c_vec).alias("vec")).mapInPandas(
+            nearest, "cell long, vec array<float>"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        mpdf = means.toPandas()  # ≤ nlist·d rows — constant in corpus size
+        pivot = mpdf.pivot(index="cell", columns="pos", values="m").sort_index()
+        cent_ids = pivot.index.to_numpy()
+        cent_mat = pivot.to_numpy(dtype=np.float64)
+        cent_norm = np.maximum(np.linalg.norm(cent_mat, axis=1), 1e-12)
+
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
 
     def assign(n_cells: int):

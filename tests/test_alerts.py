@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from emdatapipelines_spark.quality.alerts import (
     AlertRule,
     escalate_entities,
@@ -81,3 +83,36 @@ def test_rule_validation():
         AlertRule("bad", "m", "between", warn=1.0)
     with pytest.raises(ValueError):
         AlertRule("bad", "m", "gt")
+
+
+def test_alert_rules_over_streaming_microbatches(spark, tmp_path):
+    """Alert evaluation composes with Structured Streaming: per-microbatch
+    metrics (foreachBatch) flow through the same rule table — the streaming
+    twin of the reference's sensor tick (error_sensors.py:25-146)."""
+    from emdatapipelines_spark.queries.registry import t as load
+    from emdatapipelines_spark.streaming.sources import stream_source
+
+    events_dir = str(tmp_path / "events")
+    load(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+
+    fired_batches = []
+    rules = [AlertRule("low_value", "mean_value", "lt", warn=60.0, crit=10.0)]
+
+    def on_batch(batch_df, batch_id):
+        metrics = batch_df.groupBy(F.col("event_type").alias("entity")).agg(
+            F.avg("value").alias("value")
+        ).withColumn("metric", F.lit("mean_value"))
+        fired_batches.append(evaluate_alert_rules(metrics, rules).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    fired = [r for b in fired_batches for r in b]
+    # fixture means are ~48-51 -> every event_type breaches the warn tier
+    assert len(fired) >= 5 and all(r["severity"] == "warning" for r in fired)

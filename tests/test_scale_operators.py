@@ -112,3 +112,23 @@ def test_pack_sequences_plan_layout(spark):
     # pack ids never decrease along the layout order
     ordered = [rows[k] for k in sorted(rows)]
     assert ordered == sorted(ordered)
+
+
+def test_ivf_kmeans_refinement_runs_and_keeps_recall(spark):
+    from emdatapipelines_spark.llmdata.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+    from emdatapipelines_spark.queries.registry import t as load
+
+    e = load(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_cosine_topk(q, e, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_cosine_topk(q, e, k=5, nlist=8, nprobe=2, kmeans_iters=2).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.2

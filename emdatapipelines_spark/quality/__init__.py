@@ -20,3 +20,4 @@ from .dbt_tests import (  # noqa: F401
     run_test_suite,
 )
 from .report import composite_quality_score  # noqa: F401
+from .alerts import AlertRule, evaluate_alert_rules, escalate_entities  # noqa: F401

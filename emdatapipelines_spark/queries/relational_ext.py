@@ -1020,3 +1020,232 @@ def j9_asof_latest_click(spark, sf_dir):
         "event_id", "user_id", "ts", "value",
         F.col("ts_right").alias("click_ts"), "click_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: a pure filter+scalar-aggregate
+# scan. All three predicates push to the parquet scan (PushedFilters shows
+# l_shipdate/l_discount/l_quantity); no shuffle at all — the partial
+# aggregates merge in a single-row final stage. At 100 TB this is the
+# canonical "embarrassingly parallel" scan: cost is IO, and IO is minimized
+# by pushdown + ReadSchema pruning to 4 columns.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: the deepest join tree in the
+# suite (lineitem ⋈ orders ⋈ customer ⋈ part ⋈ supplier ⋈ nation ⋈ region).
+# Plan strategy: every dimension side (part-filtered, supplier+nation,
+# customer-in-region) is broadcast, so the only shuffle is the
+# lineitem ⋈ orders fact-fact join on orderkey, then a tiny per-year
+# aggregate. The region/nation/part filters cut the build sides BEFORE the
+# broadcast, which is what keeps them broadcast-able at 100 TB (dims grow
+# with catalog size, not fact volume).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH asia_cust AS (
+      SELECT c.c_custkey
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'),
+    all_volumes AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN asia_cust ac ON o.o_custkey = ac.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_8' THEN volume
+                               ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+
+    asia_cust = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    econ_parts = F.broadcast(p.filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    supp_nation = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,6)")
+    vols = (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(econ_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    return (
+        vols.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_8", F.col("volume")).otherwise(zero))
+                .cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier by quarterly revenue. The revenue CTE is
+# one shuffle (groupBy l_suppkey after a pushed shipdate filter); the max
+# is a single-row aggregate of the ALREADY-aggregated frame (supplier
+# cardinality, not fact cardinality) broadcast back as a filter — no second
+# pass over lineitem, no window-over-unpartitioned-frame. Ties are kept
+# (TPC-H semantics) and the output is ordered by s_suppkey.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue"))
+    )
+    max_rev = F.broadcast(revenue.agg(F.max("total_revenue").alias("max_revenue")))
+    return (
+        revenue.join(max_rev, F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (adapted: the fixture customer table has no c_phone, so
+# the "country code" group is c_nationkey) — customers with above-average
+# positive balances in a fixed nation set and NO orders. The average is a
+# single scalar from the dim-sized customer table (broadcast scalar join);
+# the no-orders probe is a LEFT ANTI join on o_custkey, shuffling only the
+# nation-filtered customer slice against orders' key column.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q22_sales_opportunity",
+    """
+    WITH target AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+    avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      FROM target WHERE c_acctbal > 0.0)
+    SELECT tg.c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(tg.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS totacctbal
+    FROM target tg, avg_bal
+    WHERE tg.c_acctbal > avg_bal.avg_acctbal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = tg.c_custkey)
+    GROUP BY tg.c_nationkey
+    ORDER BY tg.c_nationkey
+    """,
+)
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    target = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = F.broadcast(
+        target.filter(F.col("c_acctbal") > 0.0).agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_acctbal")
+        )
+    )
+    return (
+        target.join(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_acctbal"))
+        .join(o.select("o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -59,7 +59,7 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
 #: queries where a BroadcastNestedLoopJoin is the *intended* plan — each
 #: broadcasts a tiny side (single-row global moments, or a handful of query
 #: vectors) against the fact side, so the nested loop is O(n · tiny):
-#:   ml_risk_bands / q2 / q3 / q6: crossJoin(broadcast(1-row aggregate))
+#:   ml_risk_bands / q2 / q3 / q6 / tpch_q22: crossJoin(broadcast(1-row aggregate))
 #:   sim_cosine_topk: non-equi (id != id) join against broadcast query set
 BNLJ_ALLOWED = {
     "ml_risk_bands",
@@ -67,6 +67,7 @@ BNLJ_ALLOWED = {
     "q3_consistency",
     "q6_concentration",
     "sim_cosine_topk",
+    "tpch_q22_sales_opportunity",
 }
 
 

@@ -1249,3 +1249,75 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 — MERGE INTO (CDC apply): the reference's ON DUPLICATE KEY UPDATE
+# upsert (database.py:111-117) + retention DELETE (database.py:215-218)
+# generalized to full MERGE clause semantics in one shuffle. A day-20 CDC
+# batch of per-user activity is merged onto the pre-day-20 snapshot:
+# matched users accumulate deltas, users whose change batch contains an
+# 'error' event are deleted, unseen (non-error) users are inserted.
+# ---------------------------------------------------------------------------
+@query(
+    "s16_merge_cdc",
+    """
+    WITH target AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+             COUNT(*) AS n_events
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id),
+    source AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS delta_value,
+             COUNT(*) AS delta_events,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id)
+    SELECT CASE WHEN t.user_id IS NOT NULL THEN t.user_id ELSE s.user_id END AS user_id,
+           CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                  THEN t.total_value + s.delta_value
+                WHEN t.user_id IS NULL THEN s.delta_value
+                ELSE t.total_value END AS total_value,
+           CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                  THEN t.n_events + s.delta_events
+                WHEN t.user_id IS NULL THEN s.delta_events
+                ELSE t.n_events END AS n_events
+    FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+    WHERE NOT (s.user_id IS NOT NULL AND s.has_error = 1)
+    """,
+)
+def s16_merge_cdc(spark, sf_dir):
+    from ..operators.merge import merge_into
+
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    target = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(dsum("value", 2).alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+    )
+    source = (
+        e.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(
+            dsum("value", 2).alias("delta_value"),
+            F.count(F.lit(1)).alias("delta_events"),
+            F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("has_error"),
+        )
+    )
+    return merge_into(
+        target,
+        source,
+        on=["user_id"],
+        when_matched_update={
+            "total_value": F.col("t.total_value") + F.col("s.delta_value"),
+            "n_events": F.col("t.n_events") + F.col("s.delta_events"),
+        },
+        when_matched_delete_condition=F.col("s.has_error") == 1,
+        when_not_matched_insert={
+            "user_id": F.col("s.user_id"),
+            "total_value": F.col("s.delta_value"),
+            "n_events": F.col("s.delta_events"),
+        },
+        when_not_matched_insert_condition=F.col("s.has_error") == 0,
+    )

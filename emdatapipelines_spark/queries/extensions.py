@@ -927,3 +927,80 @@ def llm_pack_plan(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toked = d.select("doc_id", token_count("text").alias("n_tokens"))
     return pack_sequences_plan(toked, "n_tokens", budget=2048, order_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# W6 — gap-based sessionization (operators/sessions.py): per-user sessions
+# closed by >4h inactivity, rolled up to start/end/count/value. One shuffle:
+# the lag/run-sum windows and the (user_id, session_seq) aggregate all reuse
+# the user_id hash partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "w6_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM seq)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def w6_sessionize(spark, sf_dir):
+    from ..operators.sessions import session_stats
+
+    return session_stats(
+        t(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        gap="4 hours",
+        value_col="value",
+        order_tiebreak=["event_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2-extension — session windows (streaming session_window_counts run in
+# batch mode; the streaming/batch equivalence itself is proven in
+# tests/test_sessions.py). Spark convention: an event exactly at
+# prev_ts + gap opens a NEW session, and the emitted end is last_ts + gap —
+# the oracle replicates both.
+# ---------------------------------------------------------------------------
+@query(
+    "st_session_window",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT *,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      FROM seq)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 4 HOUR AS session_end,
+           user_id,
+           COUNT(*) AS event_count
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st_session_window(spark, sf_dir):
+    from ..streaming.windows import session_window_counts
+
+    return session_window_counts(
+        t(spark, sf_dir, "events"), "ts", "4 hours", ["user_id"], watermark=None
+    )

@@ -38,3 +38,35 @@ def tumbling_window_counts(
             "event_count",
         )
     )
+
+
+def session_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """T2-extension — session (inactivity-gap) windows, the Flink
+    ``SESSION(ts, INTERVAL g)`` counterpart of `tumbling_window_counts`.
+    Same expression on batch and streaming frames; on streaming the
+    watermark bounds session state so closed sessions are evicted.
+
+    Spark merges an event into the open session while it lands strictly
+    BEFORE prev_ts + gap; the emitted window end is last_ts + gap. The
+    batch oracle twin (`st_session_window`) replicates exactly that
+    convention.
+    """
+    src = df
+    if watermark and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("event_count"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *group_cols,
+            "event_count",
+        )
+    )

@@ -1321,3 +1321,93 @@ def s16_merge_cdc(spark, sf_dir):
         },
         when_not_matched_insert_condition=F.col("s.has_error") == 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — ROLLUP grouping sets: subtotal + grand-total rows in ONE aggregation
+# pass (the reference computes its dashboard subtotal tiers with separate
+# queries per level, ops/public_ops.py; grouping sets collapse that into a
+# single shuffle with map-side partial aggregation). grouping_id
+# disambiguates rollup NULLs from data NULLs.
+# ---------------------------------------------------------------------------
+@query(
+    "a13_rollup_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def a13_rollup_totals(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — CUBE grouping sets: all 2^k marginal combinations in one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "a14_cube_margins",
+    """
+    SELECT event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+           CAST(GROUPING(event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT)) AS BIGINT) AS gid,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CUBE(event_type, CAST(EXTRACT(dow FROM ts) AS BIGINT))
+    """,
+)
+def a14_cube_margins(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    # Spark dayofweek: Sunday=1 .. Saturday=7; DuckDB dow: Sunday=0 — shift.
+    dow = (F.dayofweek("ts") - F.lit(1)).cast("bigint")
+    return (
+        e.select("event_type", dow.alias("dow"))
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", "dow", "gid", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A15 — PIVOT (long -> wide conditional aggregation): daily event-type
+# matrix. Spark's pivot with an EXPLICIT value list compiles to the same
+# single-shuffle conditional-aggregate plan as the SQL CASE form — never
+# omit the list, or Spark runs an extra distinct pass over the pivot column
+# (two jobs, unbounded width) before it can even plan.
+# ---------------------------------------------------------------------------
+@query(
+    "a15_pivot_daily_matrix",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def a15_pivot_daily_matrix(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )

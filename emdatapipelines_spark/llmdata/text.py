@@ -178,3 +178,50 @@ def bigram_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
         F.round(1 - F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("dup_bigram_frac"),
         F.round(F.max("c") * 1.0 / F.sum("c"), 6).alias("top_bigram_frac"),
     )
+
+
+def c4_line_filter(
+    col="text",
+    *,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie policy", "{"),
+    min_kept_lines: int = 1,
+):
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) as pure JVM
+    higher-order functions — no UDF, no explode: ``split`` -> ``filter`` with
+    a lambda -> ``array_join`` stays inside whole-stage codegen, so at 100 TB
+    the cost is one codegen'd scan.
+
+    Line rules (a line survives if ALL hold):
+      - ends in terminal punctuation (``. ! ? "``), when required;
+      - has at least ``min_words_per_line`` whitespace words;
+      - contains no blocklisted phrase (case-insensitive).
+
+    Returns (cleaned_text_col, kept_lines_col, doc_keep_predicate): the
+    caller projects the first two and filters on the third
+    (``kept_lines >= min_kept_lines``).
+    """
+    lines = F.split(F.col(col) if isinstance(col, str) else col, "\n")
+
+    def line_ok(x):
+        ok = F.size(F.split(F.trim(x), "\\s+")) >= F.lit(min_words_per_line)
+        if require_terminal_punct:
+            ok = ok & x.rlike('[.!?"]\\s*$')
+        low = F.lower(x)
+        for phrase in blocklist:
+            ok = ok & ~low.contains(phrase.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_kept = F.size(kept)
+    return cleaned, n_kept, n_kept >= F.lit(min_kept_lines)
+
+
+def apply_c4_line_filter(df, text_col: str = "text", **kwargs):
+    """Project `df` through the C4 line filter: text replaced by its cleaned
+    form, `kept_lines` added, below-threshold docs dropped."""
+    cleaned, n_kept, keep = c4_line_filter(text_col, **kwargs)
+    out = df.withColumn("__clean", cleaned).withColumn("kept_lines", n_kept).filter(keep)
+    return out.withColumn(text_col, F.col("__clean")).drop("__clean")

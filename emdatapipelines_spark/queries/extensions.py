@@ -1004,3 +1004,45 @@ def st_session_window(spark, sf_dir):
     return session_window_counts(
         t(spark, sf_dir, "events"), "ts", "4 hours", ["user_id"], watermark=None
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 — time-bounded (interval) join, batch twin of the stream-stream join
+# (streaming/joins.py): each purchase matched to the clicks by the same user
+# in the preceding 2 hours. Equi key (user_id) + range predicate: plans as a
+# keyed SortMergeJoin with the interval as a post-condition — never a
+# nested loop; streaming state stays bounded by watermark + interval.
+# ---------------------------------------------------------------------------
+@query(
+    "j10_click_to_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts > p.ts - INTERVAL 2 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def j10_click_to_purchase(spark, sf_dir):
+    from ..streaming.joins import interval_join
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    return interval_join(
+        purchases, clicks, "user_id", "purchase_ts", "click_ts", lower="2 hours"
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "purchase_value")

@@ -1,0 +1,163 @@
+"""Versioned table sink — snapshot isolation + time travel on plain parquet.
+
+The reference's serving tables are StarRocks primary-key tables whose
+ingestion jobs overwrite/merge in place (`resources/database.py:111-117`)
+with retention cleanup (`database.py:215-218`); readers see whatever the
+last committed load left. This module gives the lakehouse equivalent the
+way Delta/Iceberg do it, reduced to the two mechanisms that matter:
+
+  - **atomic snapshot commit**: each write lands under ``v=N/`` and becomes
+    visible only when the single small ``_LATEST`` pointer file is atomically
+    replaced (rename) — readers never observe a half-written snapshot;
+  - **time travel**: ``read_versioned(..., version=k)`` pins any retained
+    snapshot; ``history()`` lists commits with row counts and modes.
+
+Scale notes: the pointer/manifest are O(1) metadata — data files are written
+once, never rewritten (append mode reuses prior snapshot FILES by reference,
+not by copy, so a 100 TB table's append commit costs only the new
+partitions). ``vacuum`` deletes snapshots past a retention count, never the
+files a retained manifest still references.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LATEST = "_LATEST"
+_MANIFEST = "_manifest.json"
+
+
+def _table_dir(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _latest_version(path: str) -> int | None:
+    try:
+        with open(os.path.join(path, _LATEST), "r", encoding="utf-8") as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def _manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, f"v={version}", _MANIFEST), "r", encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit ``df`` as the next snapshot of the table at ``path``.
+
+    ``mode='overwrite'`` makes the new snapshot exactly ``df``;
+    ``mode='append'`` makes it previous-snapshot ∪ ``df`` — implemented by
+    REFERENCING the previous snapshot's data directories in the new
+    manifest, so append never rewrites history (constant metadata cost, no
+    data copy). Returns the committed version number.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode: {mode}")
+    path = _table_dir(path)
+    prev = _latest_version(path)
+    version = 0 if prev is None else prev + 1
+    vdir = os.path.join(path, f"v={version}")
+    data_dir = os.path.join(vdir, "data")
+
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    dirs = [os.path.join(f"v={version}", "data")]
+    rows = df.sparkSession.read.parquet(data_dir).count()
+    if mode == "append" and prev is not None:
+        prev_m = _manifest(path, prev)
+        dirs = prev_m["data_dirs"] + dirs
+        rows += prev_m["rows"]
+
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "rows": rows,
+        "data_dirs": dirs,
+        "partition_by": partition_by or [],
+        "committed_at": time.time(),
+    }
+    with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+
+    # atomic pointer flip = the commit point
+    tmp = os.path.join(path, f"{_LATEST}.tmp.{version}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _LATEST))
+    return version
+
+
+def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot (default: latest committed)."""
+    v = _latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    m = _manifest(path, v)
+    paths = [os.path.join(path, d) for d in m["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first (version/mode/rows/committed_at)."""
+    out = []
+    latest = _latest_version(path)
+    if latest is None:
+        return out
+    for v in range(latest + 1):
+        try:
+            m = _manifest(path, v)
+        except OSError:
+            continue  # vacuumed
+        out.append({k: m[k] for k in ("version", "mode", "rows", "committed_at")})
+    return out
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop snapshot manifests older than the last ``keep_last``, then any
+    data directory no retained manifest references. Returns removed versions."""
+    import shutil
+
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    retained = set(range(max(0, latest - keep_last + 1), latest + 1))
+    referenced: set[str] = set()
+    for v in retained:
+        try:
+            referenced.update(_manifest(path, v)["data_dirs"])
+        except OSError:
+            continue
+    removed = []
+    for v in range(latest + 1):
+        if v in retained:
+            continue
+        vdir = os.path.join(path, f"v={v}")
+        if not os.path.isdir(vdir):
+            continue
+        man = os.path.join(vdir, _MANIFEST)
+        if os.path.exists(man):
+            os.remove(man)
+        if os.path.join(f"v={v}", "data") not in referenced:
+            data = os.path.join(vdir, "data")
+            if os.path.isdir(data):
+                shutil.rmtree(data)
+        if not os.listdir(vdir):
+            os.rmdir(vdir)
+        removed.append(v)
+    return removed

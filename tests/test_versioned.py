@@ -1,0 +1,62 @@
+"""Versioned snapshot sink (versioned.py): atomic commits, time travel,
+append-by-reference, vacuum retention."""
+
+from __future__ import annotations
+
+import os
+
+from emdatapipelines_spark.versioned import (
+    history,
+    read_versioned,
+    vacuum,
+    write_versioned,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS val")
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    assert write_versioned(_df(spark, 0, 10), p) == 0
+    assert write_versioned(_df(spark, 100, 105), p) == 1
+    assert read_versioned(spark, p).count() == 5            # latest
+    assert read_versioned(spark, p, version=0).count() == 10  # time travel
+    assert [h["version"] for h in history(p)] == [0, 1]
+
+
+def test_append_references_previous_snapshot(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    write_versioned(_df(spark, 0, 10), p)
+    write_versioned(_df(spark, 10, 15), p, mode="append")
+    latest = read_versioned(spark, p)
+    assert latest.count() == 15
+    assert {r["id"] for r in latest.collect()} == set(range(15))
+    # append must NOT copy v0's data — v1 holds only the delta
+    v1_rows = spark.read.parquet(os.path.join(p, "v=1", "data")).count()
+    assert v1_rows == 5
+    assert read_versioned(spark, p, version=0).count() == 10
+
+
+def test_vacuum_keeps_referenced_data(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    write_versioned(_df(spark, 0, 10), p)               # v0
+    write_versioned(_df(spark, 10, 12), p, mode="append")  # v1 refs v0 data
+    write_versioned(_df(spark, 20, 23), p, mode="append")  # v2 refs v0+v1
+    removed = vacuum(p, keep_last=2)
+    assert removed == [0]
+    # v0's manifest is gone but its DATA survives (v1/v2 reference it)
+    assert not os.path.exists(os.path.join(p, "v=0", "_manifest.json"))
+    assert read_versioned(spark, p).count() == 15
+    assert read_versioned(spark, p, version=1).count() == 12
+
+
+def test_partitioned_snapshot_prunes(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr("id", "id % 4 AS part")
+    write_versioned(df, p, partition_by=["part"])
+    got = read_versioned(spark, p).filter("part = 2")
+    assert got.count() == 25
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]

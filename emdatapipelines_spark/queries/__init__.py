@@ -18,6 +18,7 @@ from . import relational  # noqa: F401,E402
 from . import relational_ext  # noqa: F401,E402
 from . import quality_queries  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
+from . import analytics_ext  # noqa: F401,E402
 
 # Green rows in CORRECTNESS_r01.json (49 of 50 checked; s5_json_extract was
 # the lone hash-fail — its oracle is fixed, so it stays in the front group

@@ -1,0 +1,97 @@
+"""Two-stage aggregation machinery: reusable partials and skew salting.
+
+The reference recomputes its rollups from raw rows on every schedule tick
+(`ops/data_processing_ops.py:221-283` re-runs the full groupby; the dbt marts
+rebuild whole tables). At 100 TB the standard fix is to keep *mergeable
+partial aggregates* at fine grain (day) and re-aggregate to coarser grains
+(month, total) from the partials — touching GB of partials instead of TB of
+raw rows. Sum/count/min/max are trivially mergeable; avg is derived as
+total_sum / total_count at read time, never averaged-of-averages.
+
+``salted_aggregate`` applies the same merge algebra to the skew problem: a
+groupBy on a low-cardinality hot key (5 event types across 10^11 rows) puts
+each key's entire volume on one reducer. Salting splits stage one into
+``key × salt`` partials (even partitions, map-side combine still applies)
+and merges the bounded partial set in stage two. The result is byte-identical
+to the unsalted groupBy — only the physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# (partial column suffix, stage-one expr builder, merge expr builder)
+_ALGEBRA = {
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def partial_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, Column | str],
+    scale: int = 2,
+) -> DataFrame:
+    """Stage one: per-``keys`` mergeable partials for each measure.
+
+    Emits ``<m>_sum`` (exact DECIMAL), ``<m>_min``, ``<m>_max``, ``<m>_n``
+    per measure. The decimal sum keeps the partial exactly mergeable — a
+    double partial would make the merged total depend on merge order.
+    """
+    exprs: list[Column] = []
+    for name, col in measures.items():
+        c = F.col(col) if isinstance(col, str) else col
+        d = c.cast(f"decimal(28,{scale})")
+        exprs += [
+            F.sum(d).alias(f"{name}_sum"),
+            F.min(c).alias(f"{name}_min"),
+            F.max(c).alias(f"{name}_max"),
+            F.count(c).alias(f"{name}_n"),
+        ]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def merge_partials(
+    partials: DataFrame, keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Stage two: roll partials up to the coarser ``keys`` grain.
+
+    sum-of-sums / min-of-mins / max-of-maxes / sum-of-counts, plus the
+    derived ``<m>_avg`` = merged sum ÷ merged count (single double division,
+    deterministic under any merge order because the sums are decimal-exact).
+    """
+    exprs: list[Column] = []
+    for m in measures:
+        total = F.sum(f"{m}_sum")
+        n = F.sum(f"{m}_n")
+        exprs += [
+            total.cast("double").alias(f"{m}_sum"),
+            F.min(f"{m}_min").alias(f"{m}_min"),
+            F.max(f"{m}_max").alias(f"{m}_max"),
+            n.alias(f"{m}_n"),
+            (total.cast("double") / n).alias(f"{m}_avg"),
+        ]
+    return partials.groupBy(*keys).agg(*exprs)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    measures: dict[str, Column | str],
+    salt_col: Column,
+    salt_buckets: int = 16,
+    scale: int = 2,
+) -> DataFrame:
+    """Skew-safe groupBy: aggregate on (keys, salt) then merge per keys.
+
+    ``salt_col`` must be deterministic (e.g. ``pmod(col('id'), 16)``) so the
+    plan is stable, but the OUTPUT is invariant to the salt entirely — the
+    merge algebra guarantees the same totals as a direct groupBy. Stage one
+    spreads each hot key over ``salt_buckets`` partitions; stage two shuffles
+    only ``|keys| × salt_buckets`` partial rows.
+    """
+    salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(salt_buckets)))
+    partials = partial_aggregate(salted, key_cols + ["__salt"], measures, scale)
+    return merge_partials(partials, key_cols, list(measures)).drop("__salt")

@@ -1,5 +1,6 @@
 """Warehouse-analytics extensions: gaps-and-islands streaks, NTILE decile
-profiling, and weekly retention cohorts.
+profiling, weekly retention cohorts, PSI drift, partial-aggregate re-merge,
+salted skew-safe aggregation, and the versioned-sink commit log.
 
 The reference's dashboards consume per-entity activity rollups
 (``ops/public_ops.py`` builds usage/latency summaries for Grafana panels);
@@ -24,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from ..operators.reaggregate import merge_partials, partial_aggregate, salted_aggregate
+from ..quality.drift import bin_counts, psi_by_bin
 from .registry import dsum, query, t
 
 
@@ -178,3 +181,150 @@ def a20_retention_cohorts(spark, sf_dir):
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_no")
     )
+
+
+@query(
+    "q11_drift_psi",
+    """
+    WITH ref AS (
+      SELECT CAST(floor(value / 50) AS INT) AS bin, COUNT(*) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+    ), cur AS (
+      SELECT CAST(floor(value / 50) AS INT) AS bin, COUNT(*) AS n
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1
+    )
+    SELECT r.bin,
+           CAST(r.n AS DOUBLE) / (SELECT SUM(n) FROM ref) AS p_ref,
+           CAST(c.n AS DOUBLE) / (SELECT SUM(n) FROM cur) AS p_cur,
+           (CAST(c.n AS DOUBLE) / (SELECT SUM(n) FROM cur)
+            - CAST(r.n AS DOUBLE) / (SELECT SUM(n) FROM ref))
+           * ln((CAST(c.n AS DOUBLE) / (SELECT SUM(n) FROM cur))
+                / (CAST(r.n AS DOUBLE) / (SELECT SUM(n) FROM ref))) AS psi_term
+    FROM ref r JOIN cur c USING (bin)
+    ORDER BY bin
+    """,
+)
+def q11_drift_psi(spark, sf_dir):
+    """Q-family drift: PSI of the event-value distribution, first half of
+    January (reference window) vs the rest (current window).
+
+    The anomaly sensors in the reference compare point statistics batch-over
+    -baseline (`sensors/error_sensors.py` latency z-checks); PSI is the
+    distributional twin. Each window collapses to ~10 bin rows before the
+    (broadcast-trivial) join, so cost is two column-pruned scans.
+    """
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    bins = lambda df: bin_counts(  # noqa: E731
+        df, F.floor(F.col("value") / 50).cast("int")
+    )
+    out = psi_by_bin(bins(ev.filter(F.col("ts") < cut)), bins(ev.filter(F.col("ts") >= cut)))
+    return out.orderBy("bin")
+
+
+@query(
+    "a19_reaggregate_monthly",
+    """
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+           l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS price_sum,
+           MIN(l_extendedprice) AS price_min,
+           MAX(l_extendedprice) AS price_max,
+           COUNT(l_extendedprice) AS price_n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
+             / COUNT(l_extendedprice) AS price_avg
+    FROM lineitem
+    GROUP BY ship_month, l_returnflag
+    ORDER BY ship_month, l_returnflag
+    """,
+)
+def a19_reaggregate_monthly(spark, sf_dir):
+    """Incremental-rollup identity: daily mergeable partials re-aggregated to
+    month must equal a direct monthly aggregation of the raw rows.
+
+    This is the maintenance path the reference lacks (its dbt marts rebuild
+    from raw rows every run): at 100 TB the monthly rollup reads ~30 partial
+    rows per (day, flag) group instead of re-scanning the fact table. The
+    oracle IS the direct aggregation, so the driver verifies the merge
+    algebra exactly (decimal-sum partials make it order-independent).
+    """
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "ship_day", F.col("l_shipdate").cast("date")
+    )
+    daily = partial_aggregate(
+        li, ["ship_day", "l_returnflag"], {"price": "l_extendedprice"}, scale=2
+    )
+    monthly = merge_partials(
+        daily.withColumn("ship_month", F.date_trunc("month", "ship_day").cast("date")),
+        ["ship_month", "l_returnflag"],
+        ["price"],
+    )
+    return monthly.orderBy("ship_month", "l_returnflag")
+
+
+@query(
+    "a17_salted_skew_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           COUNT(value) AS value_n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS value_avg
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a17_salted_skew_agg(spark, sf_dir):
+    """Skew-safe rollup over a 5-value hot key (event_type): stage one
+    aggregates on (key, salt16) so no reducer owns a whole key's volume;
+    stage two merges the 5x16 partials. The oracle is the plain GROUP BY —
+    the driver proves the salted plan is value-identical to the direct one.
+    """
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"value": "value"},
+        salt_col=F.col("event_id").cast("int"),
+        salt_buckets=16,
+    )
+    return out.orderBy("event_type")
+
+
+@query(
+    "s17_versioned_history",
+    """
+    SELECT 0 AS version, 'overwrite' AS mode,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 1, 'append',
+           CAST((SELECT COUNT(*) FROM nation)
+                + (SELECT COUNT(*) FROM nation WHERE n_nationkey < 5) AS BIGINT)
+    ORDER BY version
+    """,
+)
+def s17_versioned_history(spark, sf_dir):
+    """Commit log of the versioned snapshot sink (S10/S14 lakehouse twin of
+    the reference's StarRocks primary-key tables, `resources/database.py:111-117`):
+    overwrite nation as v0, append a 5-row delta as v1, and return the
+    history the readers would see. The oracle recomputes both snapshot row
+    counts from the raw table, verifying append-by-reference accounting.
+    """
+    import shutil
+    import tempfile
+
+    from ..versioned import history, write_versioned
+
+    n = t(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="emdp_versioned_")
+    try:
+        write_versioned(n, d)
+        write_versioned(n.filter(F.col("n_nationkey") < 5), d, mode="append")
+        rows = [(h["version"], h["mode"], h["rows"]) for h in history(d)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version INT, mode STRING, n_rows BIGINT"
+    ).orderBy("version")

@@ -1,0 +1,97 @@
+"""Two-stage aggregation algebra (operators/reaggregate.py) and PSI drift
+(quality/drift.py): merge identity, salt invariance, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.operators.reaggregate import (
+    merge_partials,
+    partial_aggregate,
+    salted_aggregate,
+)
+from emdatapipelines_spark.quality.drift import bin_counts, psi_by_bin
+
+
+def _facts(spark):
+    return spark.range(0, 1000).selectExpr(
+        "id",
+        "id % 7 AS day",
+        "id % 3 AS grp",
+        "CAST(id % 100 AS DOUBLE) / 4 AS x",
+    )
+
+
+def _direct(df, keys):
+    return {
+        (r[keys[0]] if len(keys) == 1 else tuple(r[k] for k in keys)): (
+            r["s"], r["lo"], r["hi"], r["n"],
+        )
+        for r in df.groupBy(*keys)
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.count("x").alias("n"),
+        )
+        .collect()
+    }
+
+
+def test_merge_partials_equals_direct_aggregation(spark):
+    df = _facts(spark)
+    partials = partial_aggregate(df, ["day", "grp"], {"x": "x"}, scale=2)
+    merged = merge_partials(partials, ["grp"], ["x"])
+    want = _direct(df, ["grp"])
+    got = {r["grp"]: r for r in merged.collect()}
+    assert set(got) == set(want)
+    for k, (s, lo, hi, n) in want.items():
+        r = got[k]
+        assert (r["x_sum"], r["x_min"], r["x_max"], r["x_n"]) == (s, lo, hi, n)
+        assert math.isclose(r["x_avg"], s / n, rel_tol=0, abs_tol=0)
+
+
+def test_salted_aggregate_invariant_to_salt_choice(spark):
+    df = _facts(spark)
+    a = salted_aggregate(df, ["grp"], {"x": "x"}, F.col("id").cast("int"), 16)
+    b = salted_aggregate(df, ["grp"], {"x": "x"}, F.col("id").cast("int") * 7, 4)
+    rows_a = {r["grp"]: r.asDict() for r in a.collect()}
+    rows_b = {r["grp"]: r.asDict() for r in b.collect()}
+    assert rows_a == rows_b
+    want = _direct(df, ["grp"])
+    for k, (s, lo, hi, n) in want.items():
+        r = rows_a[k]
+        assert (r["x_sum"], r["x_min"], r["x_max"], r["x_n"]) == (s, lo, hi, n)
+
+
+def test_salted_stage_one_groups_by_salt(spark):
+    """The salted plan must aggregate on (key, salt) first — visible as a
+    partial_aggregate output with salt_buckets rows per key."""
+    df = _facts(spark)
+    salted = df.withColumn("__salt", F.pmod(F.col("id").cast("int"), F.lit(8)))
+    partials = partial_aggregate(salted, ["grp", "__salt"], {"x": "x"})
+    per_key = partials.groupBy("grp").count().collect()
+    assert all(r["count"] == 8 for r in per_key)
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    df = _facts(spark)
+    bins = bin_counts(df, (F.col("x") / 5).cast("int"))
+    out = psi_by_bin(bins, bins).collect()
+    assert len(out) > 1
+    for r in out:
+        assert r["p_ref"] == r["p_cur"]
+        assert abs(r["psi_term"]) == 0.0
+
+
+def test_psi_positive_for_shifted_distribution(spark):
+    df = _facts(spark)
+    ref = bin_counts(df, (F.col("x") / 5).cast("int"))
+    cur = bin_counts(df.filter("x < 12"), (F.col("x") / 5).cast("int"))
+    out = psi_by_bin(ref, cur).collect()
+    total = sum(r["psi_term"] for r in out)
+    assert total > 0.1  # major shift: upper bins vanished
+    # only shared bins appear
+    assert {r["bin"] for r in out} == {0, 1, 2}

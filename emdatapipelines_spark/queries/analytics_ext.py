@@ -158,9 +158,12 @@ def a20_retention_cohorts(spark, sf_dir):
 
     Scale shape: the cohort week comes from a ``MIN OVER (PARTITION BY
     user_id)`` window on the deduped user-week frame instead of a
-    groupBy-then-join back — one shuffle on ``user_id`` instead of two plus
-    a join. Both weeks are Monday-truncated dates, so the offset division
-    by 7 is exact integer math.
+    groupBy-then-join back. The explicit ``repartition(user_id)`` makes ONE
+    exchange of the fact table serve both the (user_id, wk) dedup and the
+    user_id window — ``HashPartitioning(user_id)`` satisfies the dedup's
+    clustered-distribution requirement on a key superset, so Catalyst
+    inserts no second fact-sized shuffle. Both weeks are Monday-truncated
+    dates, so the offset division by 7 is exact integer math.
     """
     weeks = (
         t(spark, sf_dir, "events")
@@ -168,7 +171,8 @@ def a20_retention_cohorts(spark, sf_dir):
             "user_id",
             F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
         )
-        .distinct()
+        .repartition(F.col("user_id"))
+        .dropDuplicates(["user_id", "wk"])
     )
     cohorted = weeks.withColumn(
         "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))

@@ -76,6 +76,32 @@ def merge_partials(
     return partials.groupBy(*keys).agg(*exprs)
 
 
+def combine_partials(
+    frames: list[DataFrame], keys: list[str], measures: list[str]
+) -> DataFrame:
+    """Merge several partial frames into one, STAYING in partial format
+    (decimal sums, no derived avg) so the result remains mergeable — this is
+    the maintenance operation for an incrementally-kept rollup: stored
+    partials ∪ new batch partials → combined partials.
+
+    Sum precision is pinned to DECIMAL(38, scale-of-input) so repeated
+    combines keep a stable schema across snapshot round-trips.
+    """
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), frames)
+    exprs: list[Column] = []
+    for m in measures:
+        scale = union.schema[f"{m}_sum"].dataType.scale
+        exprs += [
+            F.sum(f"{m}_sum").cast(f"decimal(38,{scale})").alias(f"{m}_sum"),
+            F.min(f"{m}_min").alias(f"{m}_min"),
+            F.max(f"{m}_max").alias(f"{m}_max"),
+            F.sum(f"{m}_n").alias(f"{m}_n"),
+        ]
+    return union.groupBy(*keys).agg(*exprs)
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],

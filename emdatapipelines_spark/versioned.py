@@ -55,6 +55,7 @@ def write_versioned(
     *,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``.
 
@@ -91,6 +92,7 @@ def write_versioned(
         "data_dirs": dirs,
         "partition_by": partition_by or [],
         "committed_at": time.time(),
+        "meta": meta or {},
     }
     with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
@@ -114,7 +116,7 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
 
 
 def history(path: str) -> list[dict]:
-    """Commit log, oldest first (version/mode/rows/committed_at)."""
+    """Commit log, oldest first (version/mode/rows/committed_at/meta)."""
     out = []
     latest = _latest_version(path)
     if latest is None:
@@ -124,7 +126,9 @@ def history(path: str) -> list[dict]:
             m = _manifest(path, v)
         except OSError:
             continue  # vacuumed
-        out.append({k: m[k] for k in ("version", "mode", "rows", "committed_at")})
+        row = {k: m[k] for k in ("version", "mode", "rows", "committed_at")}
+        row["meta"] = m.get("meta", {})
+        out.append(row)
     return out
 
 

@@ -1,0 +1,92 @@
+"""Incrementally-maintained rollup (streaming/incremental.py): streamed
+partials must serve the same answer as a direct batch aggregation, and
+replayed batches must not double-count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.operators.reaggregate import merge_partials
+from emdatapipelines_spark.queries.registry import t
+from emdatapipelines_spark.streaming.incremental import (
+    apply_rollup_batch,
+    incremental_rollup,
+)
+from emdatapipelines_spark.streaming.sources import stream_source
+from emdatapipelines_spark.versioned import history, read_versioned
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _serve(spark, path):
+    return {
+        r["event_type"]: (r["value_sum"], r["value_min"], r["value_max"], r["value_n"])
+        for r in merge_partials(
+            read_versioned(spark, path), ["event_type"], ["value"]
+        ).collect()
+    }
+
+
+def _direct(df):
+    return {
+        r["event_type"]: (r["s"], r["lo"], r["hi"], r["n"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("s"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count("value").alias("n"),
+        )
+        .collect()
+    }
+
+
+def test_streamed_rollup_equals_batch(spark, tmp_path):
+    events = t(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = stream_source(spark, "file", schema=batch.schema, path=src).drop("proc_time")
+    table = str(tmp_path / "rollup")
+    q = incremental_rollup(
+        stream,
+        table,
+        keys=["event_type"],
+        measures={"value": "value"},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert _serve(spark, table) == _direct(batch)
+
+
+def test_multi_batch_accumulation_and_replay_skip(spark, tmp_path):
+    events = t(spark, SF_SMALL, "events")
+    first = events.filter("event_id % 2 = 0")
+    second = events.filter("event_id % 2 = 1")
+    table = str(tmp_path / "rollup")
+
+    assert apply_rollup_batch(first, 0, table, ["event_type"], {"value": "value"})
+    assert apply_rollup_batch(second, 1, table, ["event_type"], {"value": "value"})
+    want = _direct(events)
+    assert _serve(spark, table) == want
+
+    # replay of an applied epoch must be a no-op (exactly-once effect)
+    assert not apply_rollup_batch(second, 1, table, ["event_type"], {"value": "value"})
+    assert _serve(spark, table) == want
+    assert [h["meta"]["batch_id"] for h in history(table)] == [0, 1]
+
+
+def test_partial_schema_stable_across_commits(spark, tmp_path):
+    """Repeated combines must not drift the decimal precision of stored sums
+    (schema drift would break readers pinned to an old snapshot)."""
+    events = t(spark, SF_SMALL, "events")
+    table = str(tmp_path / "rollup")
+    for i in range(3):
+        apply_rollup_batch(
+            events.filter(f"event_id % 3 = {i}"), i, table, ["event_type"], {"value": "value"}
+        )
+    v1 = read_versioned(spark, table, version=1)
+    v2 = read_versioned(spark, table, version=2)
+    assert dict(v1.dtypes)["value_sum"] == dict(v2.dtypes)["value_sum"]

@@ -146,6 +146,57 @@ def dd_cluster_assign(spark, sf_dir):
     return connected_components(pairs)
 
 
+@query(
+    "dd_dedup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_EDGES_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS surviving_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS surviving_chars
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.cluster_id IS NULL OR d.doc_id = c.cluster_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def dd_dedup_survivors(spark, sf_dir):
+    """The COMPLETE near-dup removal pipeline, end to end: shingle pairs →
+    connected components → keep the canonical (smallest-id) doc per cluster →
+    per-source surviving corpus. This is the query a training-data curator
+    actually runs; the upstream stages (`dd_jaccard_pairs`,
+    `dd_cluster_assign`) are its driver-verified intermediates.
+
+    Scale shape: the cluster map covers only documents that appear in some
+    near-dup pair (typically a small fraction of the corpus), so the final
+    left join shuffles the corpus once on doc_id and AQE broadcasts the
+    cluster side when it is small; the keep-predicate is a pushed filter,
+    not a second pass.
+    """
+    from ..llmdata.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
+    clusters = connected_components(pairs)
+    survivors = d.join(clusters, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id"))
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("surviving_docs"),
+            F.sum("n_chars").cast("bigint").alias("surviving_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash + LSH candidates (deterministic xxhash64 — no SQL oracle)
 # ---------------------------------------------------------------------------

@@ -84,3 +84,35 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
 def test_rate_source_smoke(spark):
     r = stream_source(spark, "rate", rows_per_second=10)
     assert r.isStreaming and "timestamp" in r.columns
+
+
+def test_stream_static_dim_join_equals_batch(spark, events_dir):
+    """Stream-static join (dim enrichment of a stream): the static side is
+    planned as a broadcast against every microbatch — the streaming twin of
+    J1. Results must equal the batch join."""
+    batch = spark.read.parquet(events_dir)
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type STRING, category STRING",
+    )
+    stream = stream_source(spark, "file", schema=batch.schema, path=events_dir).drop(
+        "proc_time"
+    )
+    joined = (
+        stream.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = start_to_memory(joined, "ss_dim_join", output_mode="complete")
+    q.awaitTermination(120)
+
+    got = {r["category"]: r["n"] for r in spark.table("ss_dim_join").collect()}
+    want = {
+        r["category"]: r["n"]
+        for r in batch.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 4

@@ -20,14 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# (partial column suffix, stage-one expr builder, merge expr builder)
-_ALGEBRA = {
-    "sum": (F.sum, F.sum),
-    "min": (F.min, F.min),
-    "max": (F.max, F.max),
-}
-
-
 def partial_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -121,3 +113,34 @@ def salted_aggregate(
     salted = df.withColumn("__salt", F.pmod(salt_col, F.lit(salt_buckets)))
     partials = partial_aggregate(salted, key_cols + ["__salt"], measures, scale)
     return merge_partials(partials, key_cols, list(measures)).drop("__salt")
+
+
+def hll_partial(
+    df: DataFrame, keys: list[str], col: str, lg_k: int = 12, out: str = "sketch"
+) -> DataFrame:
+    """Per-``keys`` HyperLogLog sketch of ``col`` (Apache DataSketches HLL,
+    Spark-native `hll_sketch_agg`). The approximate member of the mergeable
+    -partials family: a COUNT(DISTINCT) cannot be merged across grains, but
+    its sketch can — the union of daily sketches serves the monthly grain.
+    Estimates are deterministic for a fixed merge tree but can differ by a
+    fraction of a percent across DIFFERENT merge trees (sparse→dense
+    promotion happens at different points), so the serving contract is
+    "always serve a grain from the same partials"; error stays within the
+    sketch's own ±~1.6% at lg_k=12 under any tree.
+
+    At 100 TB this replaces the expand+double-shuffle exact distinct with a
+    fixed 2^lg_k-byte state per group, map-side combined.
+    """
+    return df.groupBy(*keys).agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias(out))
+
+
+def hll_merge(
+    partials: DataFrame, keys: list[str], sketch_col: str = "sketch", out: str = "approx_distinct"
+) -> DataFrame:
+    """Roll sketch partials up to coarser ``keys``: union the sketches, then
+    estimate. Deterministic for a fixed partial layout (verified by unit
+    test), which is what makes stored sketch partials a valid serving layer
+    for any grain ≥ the partial grain."""
+    return partials.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out)
+    )

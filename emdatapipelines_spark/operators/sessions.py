@@ -88,3 +88,53 @@ def session_stats(
             F.sum(F.col(value_col).cast("decimal(28,2)")).cast("double").alias("session_value")
         )
     return tagged.groupBy(entity_col, "session_seq").agg(*aggs)
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached stage k via a
+    strictly-increasing-timestamp path through ``stages``.
+
+    A user counts for stage k when there exist events e_1 < e_2 < ... < e_k
+    (by ``ts_col``) with the required types — the standard product-funnel
+    semantic (each step must happen AFTER the previous step's first valid
+    occurrence; earliest-completion path).
+
+    Scale shape: one hash Exchange on ``user_col`` serves every stage — each
+    stage is a conditional-min window over the same partitioning (Catalyst
+    plans k Window operators over one shuffle), then a per-user collapse and
+    a tiny global count. Compare the join-chain formulation (k shuffles of
+    filtered subsets + k joins); at 10^11 events the single-Exchange window
+    chain wins on both shuffle volume and plan depth.
+    """
+    w = Window.partitionBy(user_col)
+    out = df.select(user_col, ts_col, event_col)
+    prev = None
+    reach_cols = []
+    for i, stage in enumerate(stages):
+        cond = F.col(event_col) == F.lit(stage)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        reach = F.min(F.when(cond, F.col(ts_col))).over(w)
+        name = f"__t{i}"
+        out = out.withColumn(name, reach)
+        prev = F.col(name)
+        reach_cols.append(name)
+
+    per_user = out.groupBy(user_col).agg(
+        *[F.max(c).alias(c) for c in reach_cols]
+    )
+    counts = per_user.agg(
+        *[F.count(c).alias(f"__c{i}") for i, c in enumerate(reach_cols)]
+    )
+    stack_args = ", ".join(
+        f"'{'>'.join(stages[: i + 1])}', __c{i}" for i in range(len(stages))
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, users)"
+    )

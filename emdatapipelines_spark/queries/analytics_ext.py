@@ -332,3 +332,60 @@ def s17_versioned_history(spark, sf_dir):
     return spark.createDataFrame(
         rows, "version INT, mode STRING, n_rows BIGINT"
     ).orderBy("version")
+
+
+@query(
+    "w9_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT 'click' AS stage, CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+    UNION ALL
+    SELECT 'click>view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'click>view>purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    ORDER BY stage
+    """,
+)
+def w9_funnel_stages(spark, sf_dir):
+    """Three-step ordered funnel (click → view → purchase, earliest
+    -completion path). The oracle uses the equivalent join-chain min-ts
+    formulation; the engine uses the single-Exchange conditional-min window
+    chain (`operators/sessions.py: funnel_stages`) — same semantics, one
+    shuffle instead of three.
+    """
+    from ..operators.sessions import funnel_stages
+
+    ev = t(spark, sf_dir, "events")
+    out = funnel_stages(ev, "user_id", "ts", "event_type", ["click", "view", "purchase"])
+    return out.orderBy("stage")
+
+
+@query("a21_hll_distinct_rollup")
+def a21_hll_distinct_rollup(spark, sf_dir):
+    """Approximate-distinct serving from stored sketch partials: daily HLL
+    sketches of user_id, merged to a monthly distinct-user estimate
+    (`operators/reaggregate.py: hll_partial/hll_merge`). Rows-only driver
+    check by design — DataSketches estimates are engine-specific, so there
+    is no DuckDB twin; merge determinism and the error bound are
+    asserted in tests/test_reaggregate.py.
+    """
+    from ..operators.reaggregate import hll_merge, hll_partial
+
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    daily = hll_partial(ev, ["month", "day"], "user_id")
+    return hll_merge(daily, ["month"]).orderBy("month")

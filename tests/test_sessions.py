@@ -8,6 +8,8 @@ import datetime as dt
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from emdatapipelines_spark.operators.sessions import session_stats, sessionize
 from emdatapipelines_spark.streaming.sinks import start_to_memory
 from emdatapipelines_spark.streaming.sources import stream_source
@@ -82,3 +84,51 @@ def test_session_window_stream_equals_batch(spark, tmp_path):
         for r in session_window_counts(batch, "ts", "4 hours", ["user_id"], watermark=None).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_funnel_stages_semantics(spark):
+    """Hand-computed funnel: order matters, equal timestamps do NOT chain
+    (strictly-later requirement), missing steps stop the path."""
+    from emdatapipelines_spark.operators.sessions import funnel_stages
+
+    rows = [
+        # u1: full ordered path
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 11:00:00", "view"),
+        (1, "2024-01-01 12:00:00", "purchase"),
+        # u2: purchase BEFORE view → stops at click>view
+        (2, "2024-01-01 10:00:00", "click"),
+        (2, "2024-01-01 12:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "purchase"),
+        # u3: view at the SAME instant as click → strict > fails, stops at click
+        (3, "2024-01-01 10:00:00", "click"),
+        (3, "2024-01-01 10:00:00", "view"),
+        # u4: never clicked → counts nowhere
+        (4, "2024-01-01 10:00:00", "view"),
+        (4, "2024-01-01 11:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts STRING, event_type STRING").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_stages(df, "user_id", "ts", "event_type",
+                               ["click", "view", "purchase"]).collect()
+    }
+    assert got == {"click": 3, "click>view": 2, "click>view>purchase": 1}
+
+
+def test_funnel_single_exchange(spark):
+    """The window-chain funnel must shuffle the fact table exactly once."""
+    from emdatapipelines_spark.operators.sessions import funnel_stages
+
+    df = spark.range(0, 1000).selectExpr(
+        "id % 100 AS user_id",
+        "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts",
+        "CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view' "
+        "ELSE 'purchase' END AS event_type",
+    )
+    out = funnel_stages(df, "user_id", "ts", "event_type", ["click", "view", "purchase"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange on user_id + the single-partition final agg exchange
+    assert plan.count("Exchange hashpartitioning") == 1

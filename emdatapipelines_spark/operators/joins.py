@@ -176,3 +176,49 @@ def asof_join(
         F.col("__match.__asof_ts").alias(f"{right_ts}{suffix}" if right_ts in left.columns else right_ts),
         *[F.col(f"__match.{n}").alias(n) for n in out_names],
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-match: distinct values of ``name_col``
+    paired when their Levenshtein distance is ≤ ``max_dist``.
+
+    Never all-pairs: candidates come from a character-BIGRAM equi-join
+    (strings sharing no bigram can't be within small edit distance of each
+    other — one edit destroys at most 2 of a string's len-1 bigrams, so any
+    pair with min length > 2·max_dist + 1 still shares one). The quadratic
+    work collapses to per-bigram blocks, the same shape as the shingle join
+    in `llmdata/dedup.py`; ``max_gram_df`` caps pathological hot bigrams at
+    web scale (dropping grams shared by more than that many names — recall
+    then relies on the pair's rarer grams, the standard q-gram trade).
+
+    The reference joins station/county names across sources by exact
+    normalized string (`models/staging/*.sql`); this is the resilient twin
+    for dirty name columns. Levenshtein runs JVM-side on candidate pairs
+    only.
+    """
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    grams = names.select(
+        "name",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(name) - 1), i -> substring(name, i, 2))")
+            )
+        ).alias("g"),
+    )
+    if max_gram_df is not None:
+        keep = grams.groupBy("g").count().filter(F.col("count") <= max_gram_df)
+        grams = grams.join(keep.select("g"), "g")
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b"))
+        .distinct()
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("int")
+    ).filter(F.col("dist") <= max_dist)

@@ -389,3 +389,87 @@ def a21_hll_distinct_rollup(spark, sf_dir):
     )
     daily = hll_partial(ev, ["month", "day"], "user_id")
     return hll_merge(daily, ["month"]).orderBy("month")
+
+
+@query(
+    "j11_fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    bg AS (
+      SELECT p_name, UNNEST(list_distinct(
+        list_transform(range(1, len(p_name)), i -> substr(p_name, i, 2)))) AS g
+      FROM names),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM bg a JOIN bg b ON a.g = b.g AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def j11_fuzzy_name_match(spark, sf_dir):
+    """Entity-resolution fuzzy join over part names: bigram-blocked candidate
+    generation (never all-pairs) + JVM Levenshtein on candidates only
+    (`operators/joins.py: fuzzy_name_pairs`). The oracle replicates the same
+    blocking, so the driver verifies both the distance math and the
+    candidate recall.
+    """
+    from ..operators.joins import fuzzy_name_pairs
+
+    p = t(spark, sf_dir, "part")
+    return fuzzy_name_pairs(p, "p_name", max_dist=2).orderBy("name_a", "name_b")
+
+
+@query(
+    "s18_version_diff",
+    """
+    SELECT 'delete' AS change_type, n_nationkey FROM nation WHERE n_nationkey >= 20
+    UNION ALL
+    SELECT 'insert', n_nationkey + 100 FROM nation WHERE n_nationkey < 2
+    UNION ALL
+    SELECT 'update', n_nationkey FROM nation WHERE n_nationkey < 3 AND n_nationkey >= 0
+    ORDER BY change_type, n_nationkey
+    """,
+)
+def s18_version_diff(spark, sf_dir):
+    """Change data feed between snapshots (`versioned.py: diff_versions` —
+    the Delta CDF analog): v0 = nation; v1 = nation with keys ≥ 20 deleted,
+    names of keys < 3 rewritten, and two synthetic keys inserted. The oracle
+    recomputes the expected change set from the raw table, verifying the
+    insert/delete/update classification end to end.
+    """
+    import shutil
+    import tempfile
+
+    from ..versioned import diff_versions, write_versioned
+
+    n = t(spark, sf_dir, "nation")
+    v1 = (
+        n.filter(F.col("n_nationkey") < 20)
+        .withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") < 3, F.concat(F.col("n_name"), F.lit("_X")))
+            .otherwise(F.col("n_name")),
+        )
+        .unionByName(
+            n.filter(F.col("n_nationkey") < 2).select(
+                (F.col("n_nationkey") + 100).cast("int").alias("n_nationkey"),
+                F.col("n_name"),
+                F.col("n_regionkey"),
+            )
+        )
+    )
+    d = tempfile.mkdtemp(prefix="emdp_cdf_")
+    try:
+        write_versioned(n, d)
+        write_versioned(v1, d)
+        out = diff_versions(spark, d, 0, 1, keys=["n_nationkey"]).orderBy(
+            "change_type", "n_nationkey"
+        )
+        # materialize before the table dir is removed
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

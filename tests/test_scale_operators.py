@@ -132,3 +132,23 @@ def test_ivf_kmeans_refinement_runs_and_keeps_recall(spark):
         for r in ivf_cosine_topk(q, e, k=5, nlist=8, nprobe=2, kmeans_iters=2).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.2
+
+
+def test_fuzzy_name_pairs_blocking_and_cap(spark):
+    """Bigram blocking must find all close pairs without an all-pairs join;
+    the hot-gram cap drops only candidates, never the distance math."""
+    from emdatapipelines_spark.operators.joins import fuzzy_name_pairs
+
+    names = ["alpha node", "alpho node", "beta node", "gamma link", "gamma lynk"]
+    df = spark.createDataFrame([(n,) for n in names], "name STRING")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    }
+    assert ("alpha node", "alpho node", 1) in got
+    assert ("gamma link", "gamma lynk", 1) in got
+    # 'beta node' vs 'alpha node' is distance > 2 → excluded despite sharing grams
+    assert not any("beta node" in pair[:2] and "alpha node" in pair[:2] for pair in got)
+    # plan must not contain a cartesian product
+    plan = fuzzy_name_pairs(df, "name")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -60,3 +60,34 @@ def test_partitioned_snapshot_prunes(spark, tmp_path):
     assert got.count() == 25
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_diff_versions_classification(spark, tmp_path):
+    from emdatapipelines_spark.versioned import diff_versions, write_versioned
+
+    p = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k INT, v STRING"
+    )
+    write_versioned(v0, p)
+    write_versioned(v1, p)
+    got = {
+        (r["change_type"], r["k"])
+        for r in diff_versions(spark, p, 0, 1, keys=["k"]).collect()
+    }
+    assert got == {("update", 2), ("delete", 3), ("insert", 4)}
+
+
+def test_diff_versions_schema_mismatch_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from emdatapipelines_spark.versioned import diff_versions, write_versioned
+
+    p = str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([(1, "a")], "k INT, v STRING"), p)
+    write_versioned(spark.createDataFrame([(1, "a", 2)], "k INT, v STRING, w INT"), p)
+    with _pytest.raises(ValueError, match="schemas differ"):
+        diff_versions(spark, p, 0, 1, keys=["k"])

@@ -98,3 +98,91 @@ def test_hash_bucket_threshold_valid_for_any_fraction(fraction):
     if fraction >= 0.99999:
         kept = 65536 if t == "g" else int(t, 16)
         assert kept / 65536 >= 0.9999
+
+
+# --------------------------------------------------------------------------
+# two-stage aggregation algebra (operators/reaggregate.py)
+# --------------------------------------------------------------------------
+
+_measure_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # group key
+        st.integers(min_value=0, max_value=7),          # fine-grain key
+        st.integers(min_value=-10**6, max_value=10**6),  # value in cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_measure_rows)
+def test_partial_merge_equals_direct_agg_property(spark, rows):
+    """For ANY dataset: partials at (grp, sub) merged to grp must equal the
+    direct aggregation at grp — the mergeable-partials contract."""
+    from emdatapipelines_spark.operators.reaggregate import (
+        merge_partials,
+        partial_aggregate,
+    )
+
+    df = spark.createDataFrame(rows, "grp INT, sub INT, cents INT").selectExpr(
+        "grp", "sub", "CAST(cents AS DOUBLE) / 100 AS x"
+    )
+    merged = {
+        r["grp"]: (r["x_sum"], r["x_min"], r["x_max"], r["x_n"])
+        for r in merge_partials(
+            partial_aggregate(df, ["grp", "sub"], {"x": "x"}), ["grp"], ["x"]
+        ).collect()
+    }
+    direct = {
+        r["grp"]: (r["s"], r["lo"], r["hi"], r["n"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.count("x").alias("n"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_measure_rows, st.integers(min_value=1, max_value=9))
+def test_salted_aggregate_salt_invariance_property(spark, rows, buckets):
+    """The salted plan's OUTPUT must be identical for any salt fan-out."""
+    from emdatapipelines_spark.operators.reaggregate import salted_aggregate
+
+    df = spark.createDataFrame(rows, "grp INT, sub INT, cents INT").selectExpr(
+        "grp", "sub", "CAST(cents AS DOUBLE) / 100 AS x"
+    )
+    a = salted_aggregate(df, ["grp"], {"x": "x"}, F.col("sub"), buckets)
+    b = salted_aggregate(df, ["grp"], {"x": "x"}, F.col("sub") + 1, 3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),   # user
+            st.integers(min_value=0, max_value=30),  # ts offset
+            st.sampled_from(["a", "b", "c"]),        # event type
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    """Stage k+1 can never have more users than stage k, for any event set."""
+    from emdatapipelines_spark.operators.sessions import funnel_stages
+
+    df = spark.createDataFrame(rows, "u INT, off INT, et STRING").selectExpr(
+        "u", "timestamp_micros(CAST(off AS LONG) * 1000000) AS ts", "et"
+    )
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_stages(df, "u", "ts", "et", ["a", "b", "c"]).collect()
+    }
+    assert got["a"] >= got["a>b"] >= got["a>b>c"] >= 0

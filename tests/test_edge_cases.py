@@ -90,3 +90,60 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_new_operators_on_empty_input(spark):
+    """Every new operator must degrade cleanly on empty frames — at scale an
+    empty partition/batch is a daily occurrence, not an edge case."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.operators.joins import fuzzy_name_pairs
+    from emdatapipelines_spark.operators.reaggregate import (
+        merge_partials,
+        partial_aggregate,
+        salted_aggregate,
+    )
+    from emdatapipelines_spark.operators.sessions import funnel_stages
+    from emdatapipelines_spark.quality.drift import bin_counts, psi_by_bin
+
+    empty = spark.createDataFrame([], "k INT, ts TIMESTAMP, et STRING, x DOUBLE")
+
+    # funnel on no events: all stages exist with zero users
+    got = {
+        r["stage"]: r["users"]
+        for r in funnel_stages(empty, "k", "ts", "et", ["a", "b"]).collect()
+    }
+    assert got == {"a": 0, "a>b": 0}
+
+    # partial/merge/salted on empty: empty result, correct schema
+    partials = partial_aggregate(empty, ["k"], {"x": "x"})
+    assert partials.count() == 0
+    assert merge_partials(partials, ["k"], ["x"]).count() == 0
+    assert salted_aggregate(empty, ["k"], {"x": "x"}, F.col("k")).count() == 0
+
+    # PSI with an empty side: no shared bins, no rows, no division error
+    some = bin_counts(spark.range(10).selectExpr("CAST(id AS DOUBLE) AS x"), F.col("x").cast("int"))
+    none = bin_counts(empty, F.col("x").cast("int"))
+    assert psi_by_bin(some, none).count() == 0
+
+    # fuzzy matcher on empty: empty
+    assert fuzzy_name_pairs(empty.select(F.col("et").alias("name")), "name").count() == 0
+
+
+def test_incremental_rollup_empty_batch_commits_nothing_wrong(spark, tmp_path):
+    """An empty microbatch must still commit (advancing the batch-id ledger)
+    without corrupting the stored partials."""
+    from emdatapipelines_spark.operators.reaggregate import merge_partials
+    from emdatapipelines_spark.streaming.incremental import apply_rollup_batch
+    from emdatapipelines_spark.versioned import read_versioned
+
+    table = str(tmp_path / "tbl")
+    data = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 1.0)], "k INT, x DOUBLE")
+    empty = spark.createDataFrame([], "k INT, x DOUBLE")
+    assert apply_rollup_batch(data, 0, table, ["k"], {"x": "x"})
+    assert apply_rollup_batch(empty, 1, table, ["k"], {"x": "x"})
+    served = {
+        r["k"]: (r["x_sum"], r["x_n"])
+        for r in merge_partials(read_versioned(spark, table), ["k"], ["x"]).collect()
+    }
+    assert served == {1: (6.0, 2), 2: (1.0, 1)}

@@ -116,3 +116,25 @@ def test_stream_static_dim_join_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_streaming_drift_bins_equal_batch(spark, events_dir):
+    """Drift monitoring in-stream: per-bin counts aggregated over microbatches
+    (complete mode) must equal the batch bin_counts — so a PSI against a
+    static reference window can run on live data with the same machinery."""
+    from emdatapipelines_spark.quality.drift import bin_counts
+
+    batch = spark.read.parquet(events_dir)
+    stream = stream_source(spark, "file", schema=batch.schema, path=events_dir).drop(
+        "proc_time"
+    )
+    binned = bin_counts(stream, F.floor(F.col("value") / 50).cast("int"))
+    q = start_to_memory(binned, "drift_bins", output_mode="complete")
+    q.awaitTermination(120)
+
+    got = {r["bin"]: r["n"] for r in spark.table("drift_bins").collect()}
+    want = {
+        r["bin"]: r["n"]
+        for r in bin_counts(batch, F.floor(F.col("value") / 50).cast("int")).collect()
+    }
+    assert got == want and len(got) > 3

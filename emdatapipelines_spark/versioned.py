@@ -44,6 +44,21 @@ def _latest_version(path: str) -> int | None:
         return None
 
 
+def _count_parquet_rows(data_dir: str) -> int:
+    """Exact row count of the files this commit just wrote, from parquet
+    footer metadata — O(#new files) driver-side reads instead of a Spark
+    job scanning the data back (the same accounting cost a Delta/Iceberg
+    commit pays to record its file list)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(os.path.join(data_dir, "**", "part-*.parquet"), recursive=True):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def _manifest(path: str, version: int) -> dict:
     with open(os.path.join(path, f"v={version}", _MANIFEST), "r", encoding="utf-8") as fh:
         return json.load(fh)
@@ -79,7 +94,7 @@ def write_versioned(
     writer.parquet(data_dir)
 
     dirs = [os.path.join(f"v={version}", "data")]
-    rows = df.sparkSession.read.parquet(data_dir).count()
+    rows = _count_parquet_rows(data_dir)
     if mode == "append" and prev is not None:
         prev_m = _manifest(path, prev)
         dirs = prev_m["data_dirs"] + dirs

@@ -78,3 +78,41 @@ def incremental_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_upsert(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming keyed upsert into a VERSIONED table — the serving-table twin
+    of the reference's StarRocks primary-key ingestion
+    (`resources/database.py:111-117`), with what StarRocks gives implicitly
+    made explicit: each microbatch commits one snapshot (readers get atomic
+    last-wins state + time travel), and `meta.batch_id` makes post-crash
+    batch replays a detected no-op instead of a double-merge.
+    """
+    from ..operators.upsert import upsert_last_wins
+    from ..versioned import history, read_versioned, write_versioned
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        applied = {h["meta"].get("batch_id") for h in history(table_path)}
+        if batch_id in applied:
+            return
+        spark = batch_df.sparkSession
+        try:
+            current = read_versioned(spark, table_path)
+        except FileNotFoundError:
+            current = None
+        merged = upsert_last_wins(current, batch_df, keys, version_col)
+        write_versioned(merged, table_path, meta={"batch_id": batch_id})
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

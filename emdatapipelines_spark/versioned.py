@@ -64,6 +64,16 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+class AuditFailed(RuntimeError):
+    """Raised by write_versioned when the pre-publish audit reports
+    violations; the staged snapshot is discarded and readers keep seeing
+    the previous version."""
+
+    def __init__(self, violations: list[str]):
+        super().__init__("; ".join(violations))
+        self.violations = violations
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
@@ -71,6 +81,7 @@ def write_versioned(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     meta: dict | None = None,
+    audit=None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the table at ``path``.
 
@@ -79,6 +90,14 @@ def write_versioned(
     REFERENCING the previous snapshot's data directories in the new
     manifest, so append never rewrites history (constant metadata cost, no
     data copy). Returns the committed version number.
+
+    ``audit`` enables write-audit-publish: a callable receiving the STAGED
+    snapshot DataFrame (read back from the files just written — what readers
+    would actually see) and returning a list of violation strings. The
+    pointer flips only on an empty list; otherwise the staged directory is
+    deleted and :class:`AuditFailed` raises, so a bad batch can never become
+    visible — the quality layer's checks (`quality/dbt_tests.py`,
+    `quality/schema.py`) plug in directly.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -86,6 +105,12 @@ def write_versioned(
     prev = _latest_version(path)
     version = 0 if prev is None else prev + 1
     vdir = os.path.join(path, f"v={version}")
+    if os.path.isdir(vdir):
+        # the pointer never reached this version, so the directory is an
+        # orphan from a crashed stage/audit — readers can't have seen it
+        import shutil
+
+        shutil.rmtree(vdir)
     data_dir = os.path.join(vdir, "data")
 
     writer = df.write.mode("errorifexists")
@@ -111,6 +136,18 @@ def write_versioned(
     }
     with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)
+
+    if audit is not None:
+        import shutil
+
+        spark = df.sparkSession
+        staged = spark.read.parquet(
+            *[os.path.join(path, d) for d in dirs]
+        )
+        violations = list(audit(staged))
+        if violations:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise AuditFailed(violations)
 
     # atomic pointer flip = the commit point
     tmp = os.path.join(path, f"{_LATEST}.tmp.{version}")
@@ -222,3 +259,21 @@ def diff_versions(
         .filter(F.col("change_type").isNotNull())
         .select("change_type", *keys)
     )
+
+
+def compact(spark: SparkSession, path: str, num_files: int | None = None) -> int:
+    """Rewrite the CURRENT snapshot as a fresh overwrite commit with a
+    controlled file count — the small-file maintenance op for tables grown
+    by many append-by-reference commits (each append adds a directory; read
+    fan-out grows with commit count until compaction folds them back to
+    one). History is preserved: prior versions stay readable until
+    ``vacuum`` drops them, and the compaction commit records its source
+    version in ``meta``. Returns the new version number.
+    """
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    cur = read_versioned(spark, path, latest)
+    if num_files is not None:
+        cur = cur.coalesce(num_files)
+    return write_versioned(cur, path, meta={"compaction_of": latest})

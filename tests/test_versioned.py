@@ -91,3 +91,84 @@ def test_diff_versions_schema_mismatch_raises(spark, tmp_path):
     write_versioned(spark.createDataFrame([(1, "a", 2)], "k INT, v STRING, w INT"), p)
     with _pytest.raises(ValueError, match="schemas differ"):
         diff_versions(spark, p, 0, 1, keys=["k"])
+
+
+def test_write_audit_publish_blocks_bad_snapshot(spark, tmp_path):
+    from emdatapipelines_spark.versioned import (
+        AuditFailed,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    p = str(tmp_path / "tbl")
+
+    def no_nulls(staged):
+        n = staged.filter("val IS NULL").count()
+        return [f"{n} null vals"] if n else []
+
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, val STRING")
+    bad = spark.createDataFrame([(3, None)], "id INT, val STRING")
+
+    assert write_versioned(good, p, audit=no_nulls) == 0
+    try:
+        write_versioned(bad, p, audit=no_nulls)
+        raise AssertionError("audit should have failed")
+    except AuditFailed as e:
+        assert "1 null vals" in e.violations[0]
+    # readers still see v0; no orphan version is visible
+    assert read_versioned(spark, p).count() == 2
+    assert [h["version"] for h in history(p)] == [0]
+    # a later good commit reuses the orphaned slot cleanly
+    assert write_versioned(good, p, audit=no_nulls) == 1
+
+
+def test_compact_folds_append_chain(spark, tmp_path):
+    import glob
+
+    from emdatapipelines_spark.versioned import (
+        compact,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    p = str(tmp_path / "tbl")
+    write_versioned(spark.range(0, 10).coalesce(2), p)
+    write_versioned(spark.range(10, 20).coalesce(2), p, mode="append")
+    write_versioned(spark.range(20, 30).coalesce(2), p, mode="append")
+
+    v = compact(spark, p, num_files=1)
+    assert v == 3
+    latest = read_versioned(spark, p)
+    assert latest.count() == 30
+    assert {r["id"] for r in latest.collect()} == set(range(30))
+    # compacted snapshot is one directory, one file
+    files = glob.glob(f"{p}/v=3/data/part-*.parquet")
+    assert len(files) == 1
+    # provenance + history preserved (v2 still readable pre-vacuum)
+    assert history(p)[-1]["meta"] == {"compaction_of": 2}
+    assert read_versioned(spark, p, version=2).count() == 30
+
+
+def test_streaming_incremental_upsert_last_wins(spark, tmp_path):
+    from emdatapipelines_spark.streaming.incremental import incremental_upsert
+    from emdatapipelines_spark.streaming.sources import stream_source
+    from emdatapipelines_spark.versioned import read_versioned
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [(1, 1, "old"), (2, 1, "keep"), (1, 2, "new")], "k INT, ver INT, val STRING"
+    )
+    rows.write.mode("overwrite").parquet(src)
+    table = str(tmp_path / "tbl")
+    q = incremental_upsert(
+        stream_source(spark, "file", schema=rows.schema, path=src).drop("proc_time"),
+        table,
+        keys=["k"],
+        version_col="ver",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: (r["ver"], r["val"]) for r in read_versioned(spark, table).collect()}
+    assert got == {1: (2, "new"), 2: (1, "keep")}

@@ -473,3 +473,122 @@ def s18_version_diff(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "u4_intersect_except",
+    """
+    WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'intersect' AS set_op,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM clicks INTERSECT SELECT * FROM buyers)) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'except',
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM clicks EXCEPT SELECT * FROM buyers)) AS BIGINT)
+    ORDER BY set_op
+    """,
+)
+def u4_intersect_except(spark, sf_dir):
+    """U-family completion: INTERSECT (clickers who purchased) and EXCEPT
+    (clickers who never purchased). Both plan as a single left-semi/anti
+    shuffle join over the deduped key sets — no materialized temp tables,
+    unlike the reference's staged dbt models.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    inter = clicks.intersect(buyers).agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+        "set_op", F.lit("intersect")
+    )
+    exc = clicks.exceptAll(buyers).agg(F.count(F.lit(1)).alias("n_users")).withColumn(
+        "set_op", F.lit("except")
+    )
+    return inter.unionByName(exc).select("set_op", "n_users").orderBy("set_op")
+
+
+@query(
+    "o6_keyset_pagination",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+       OR (ts = TIMESTAMP '2024-01-25 00:00:00' AND event_id > 500000)
+    ORDER BY ts DESC, event_id ASC
+    LIMIT 50
+    """,
+)
+def o6_keyset_pagination(spark, sf_dir):
+    """Keyset (seek-method) pagination — the scale-correct replacement for
+    the reference API's offset paging (`api/public_api.py` page/limit
+    params): the composite-key predicate pushes into the parquet scan, so
+    page N costs the same as page 1 instead of scanning N·page_size rows.
+    The tuple comparison is expanded to the (ts < T) OR (ts = T AND id > K)
+    form both engines plan as a range predicate + TopK.
+    """
+    ev = t(spark, sf_dir, "events")
+    boundary_ts = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    page = ev.filter(
+        (F.col("ts") < boundary_ts)
+        | ((F.col("ts") == boundary_ts) & (F.col("event_id") > 500000))
+    )
+    return (
+        page.select("event_id", "ts", "event_type", "value")
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+    )
+
+
+@query(
+    "w10_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT event_type, value, epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * (next_us - t_us)) AS DOUBLE)
+                 / SUM(next_us - t_us), 6) AS twa_value,
+           CAST(COUNT(next_us) AS BIGINT) AS n_intervals
+    FROM seq WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def w10_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per event type: each reading is weighted by how
+    long it was 'current' (until the next event of the same type) — the
+    correct aggregate for irregularly-sampled gauges, where a plain AVG
+    over-weights bursts (the reference's weather summaries average raw
+    samples, `ops/data_processing_ops.py`, which is only right for uniform
+    cadence).
+
+    Determinism: timestamps as integer microseconds on both engines; the
+    value×duration product runs in exact DECIMAL (2-dp value is exact in
+    DECIMAL(12,2), duration is integer); the final quotient is rounded to
+    6 dp because the exact decimal sum exceeds 2^53 and the two engines'
+    decimal→double casts differ by 1 ulp there (the `davg` pattern).
+    One window pass and the rollup share the event_type partitioning.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = (
+        t(spark, sf_dir, "events")
+        .select("event_type", "value", "ts", "event_id")
+        .withColumn("t_us", F.unix_micros("ts"))
+        .withColumn("next_us", F.lead(F.unix_micros("ts")).over(w))
+        .filter(F.col("next_us").isNotNull())
+    )
+    dur = F.col("next_us") - F.col("t_us")
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)") * dur).cast("double")
+                / F.sum(dur),
+                6,
+            ).alias("twa_value"),
+            F.count("next_us").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )

@@ -592,3 +592,74 @@ def w10_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s19_from_json_typed",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                           THEN 1 END) AS BIGINT) AS k_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def s19_from_json_typed(spark, sf_dir):
+    """Schema-on-read JSON: `from_json` with a declared struct schema (the
+    typed counterpart of s5's string-path extraction — this is what a 100 TB
+    pipeline should do, because the parsed struct is columnar downstream and
+    the parse happens once, not per extracted field). The BIGINT cast on the
+    sum mirrors the r1 HUGEINT lesson.
+    """
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("p.k").cast("bigint").alias("k_sum"),
+            F.max("p.k").alias("k_max"),
+            F.count(F.when(F.col("p.k") >= 50, F.lit(1))).alias("k_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "sql1_revenue_by_region",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def sql1_revenue_by_region(spark, sf_dir):
+    """The engine's SQL surface: the same 4-table star query a reference user
+    would type, executed verbatim via ``spark.sql`` over registered views —
+    proving DataFrame and SQL entries hit the same Catalyst plans (dim joins
+    broadcast, decimal-exact revenue). Views are registered per-call with
+    unique names to stay re-entrant.
+    """
+    for name in ("orders", "customer", "nation", "region"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"sql1_{name}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM sql1_orders o
+        JOIN sql1_customer c ON o.o_custkey = c.c_custkey
+        JOIN sql1_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN sql1_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )

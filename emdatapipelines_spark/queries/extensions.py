@@ -1097,3 +1097,48 @@ def j10_click_to_purchase(spark, sf_dir):
     return interval_join(
         purchases, clicks, "user_id", "purchase_ts", "click_ts", lower="2 hours"
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts", "purchase_value")
+
+
+@query(
+    "tx_vocab_freq",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks
+    GROUP BY term
+    ORDER BY cf DESC, term
+    LIMIT 50
+    """,
+)
+def tx_vocab_freq(spark, sf_dir):
+    """Corpus vocabulary profile: top-50 terms by collection frequency with
+    document frequency — the first statistic a tokenizer-training or
+    quality-filter pipeline computes over a crawl. Same normalization as
+    every other tx_* operator (lower/trim/whitespace-collapse), so the
+    numbers compose with the TF-IDF and dedup stages.
+
+    Scale shape: explode + one hash agg with map-side combine; df via a
+    two-level agg (distinct (term, doc) then count) so no COUNT DISTINCT
+    expand over the exploded fact. Top-50 is a TakeOrdered, not a full sort.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias(
+            "term"
+        ),
+    )
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").cast("bigint").alias("cf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("cf"), "term")
+        .limit(50)
+    )

@@ -524,6 +524,12 @@ def o6_keyset_pagination(spark, sf_dir):
     page N costs the same as page 1 instead of scanning N·page_size rows.
     The tuple comparison is expanded to the (ts < T) OR (ts = T AND id > K)
     form both engines plan as a range predicate + TopK.
+
+    Note: on THIS fixture the ts predicate cannot reach the scan because the
+    raw parquet stores nanosecond longs and ``t()`` reconstructs the
+    timestamp (a computed column blocks pushdown); on a properly-typed table
+    it pushes — proven by `tests/test_physical_plans.py:
+    test_keyset_pagination_pushes_on_native_timestamps`.
     """
     ev = t(spark, sf_dir, "events")
     boundary_ts = F.lit("2024-01-25 00:00:00").cast("timestamp")

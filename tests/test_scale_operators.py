@@ -152,3 +152,53 @@ def test_fuzzy_name_pairs_blocking_and_cap(spark):
     # plan must not contain a cartesian product
     plan = fuzzy_name_pairs(df, "name")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pq_recall_against_exact(spark):
+    """Two-stage PQ (ADC shortlist + exact re-rank) must recover nearly the
+    exact top-k; the raw ADC shortlist alone must still be far better than
+    chance (the compressed index does real ranking work)."""
+    from emdatapipelines_spark.llmdata.similarity import (
+        brute_force_cosine_topk,
+        pq_cosine_topk,
+    )
+    from emdatapipelines_spark.queries.registry import t
+
+    emb = t(spark, SF, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_cosine_topk(queries, emb, k=10).collect()
+    }
+    reranked = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_cosine_topk(
+            queries, emb, k=10, m=32, n_centroids=64, oversample=4
+        ).collect()
+    }
+    assert len(reranked & exact) / len(exact) >= 0.9
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_cosine_topk(
+            queries, emb, k=10, m=32, n_centroids=64, rerank=False
+        ).collect()
+    }
+    assert len(raw & exact) / len(exact) >= 0.4
+
+
+def test_pq_train_deterministic_and_bounded(spark):
+    """Codebooks must be identical across runs (hash-ordered sample + fixed
+    Lloyd iterations) and constant-size regardless of corpus size."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.similarity import pq_train
+    from emdatapipelines_spark.queries.registry import t
+
+    emb = t(spark, SF, "embeddings")
+    a = pq_train(emb, m=16, k=8, sample_cap=128)
+    b = pq_train(emb, m=16, k=8, sample_cap=128)
+    assert a.shape == (16, 8, 4)
+    assert np.array_equal(a, b)
+    # smaller sample than k: init cycles, shape still exact
+    c = pq_train(emb.filter("vec_id < 5"), m=16, k=8, sample_cap=128)
+    assert c.shape == (16, 8, 4)

@@ -55,12 +55,21 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     xb = _file_bounds(xpath, ["x", "y"])
     assert len(zb) == 16 and len(xb) == 16
 
-    # small box in both dimensions: x-sorted layout prunes on x only
+    # small box in both dimensions: Z stays local; never worse than x-sort
     box = {"x": (0, 31), "y": (0, 31)}
     z_hit = _files_overlapping(zb, box)
     x_hit = _files_overlapping(xb, box)
-    assert z_hit < x_hit  # multi-dim clustering must beat single-dim
+    assert z_hit <= x_hit
     assert z_hit <= 4     # 16 files over a 2-dim grid: a 1/8 x 1/8 box is local
+
+    # the discriminator: a filter on y ONLY. The x-sorted layout cannot prune
+    # it at all (every file spans all of y); Z-order must. This cannot be
+    # rescued by lucky range boundaries, unlike the 2-dim box above
+    # (repartitionByRange samples its boundaries, so exact per-file splits
+    # wobble between runs).
+    ybox = {"x": (0, 255), "y": (0, 31)}
+    assert _files_overlapping(xb, ybox) == 16
+    assert _files_overlapping(zb, ybox) <= 8
 
     # correctness: the layout is a permutation, nothing lost
     assert spark.read.parquet(zpath).count() == 65536

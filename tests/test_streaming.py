@@ -138,3 +138,36 @@ def test_streaming_drift_bins_equal_batch(spark, events_dir):
         for r in bin_counts(batch, F.floor(F.col("value") / 50).cast("int")).collect()
     }
     assert got == want and len(got) > 3
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, events_dir):
+    """Append output mode + watermark: a window row is emitted once the
+    watermark passes its end, and the still-open tail window is withheld —
+    the emission contract that makes append-mode sinks exactly-once-per
+    -window. (T3: the reference's Flink jobs fire early per element; our
+    documented divergence emits once, on close.)"""
+    batch = spark.read.parquet(events_dir)
+    schema = batch.schema
+    stream = stream_source(spark, "file", schema=schema, path=events_dir).drop("proc_time")
+    # tumbling_window_counts declares the 10-minute watermark itself
+    windowed = tumbling_window_counts(stream, "ts", "1 hour", ["event_type"])
+    q = start_to_memory(windowed, "t3_append", output_mode="append")
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in spark.table("t3_append").collect()
+    }
+
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+
+    final_wm = max_ts - dt.timedelta(minutes=10)
+    twin = tumbling_window_counts(batch, "ts", "1 hour", ["event_type"]).collect()
+    closed = {
+        (r["window_start"], r["event_type"]): r["event_count"]
+        for r in twin
+        if r["window_end"] <= final_wm
+    }
+    withheld = [r for r in twin if r["window_end"] > final_wm]
+    assert got == closed and len(got) > 0
+    assert withheld  # the open tail window exists and was NOT emitted

@@ -172,3 +172,28 @@ def test_streaming_incremental_upsert_last_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["k"]: (r["ver"], r["val"]) for r in read_versioned(spark, table).collect()}
     assert got == {1: (2, "new"), 2: (1, "keep")}
+
+
+def test_vacuum_after_compact_reclaims_append_chain(spark, tmp_path):
+    import glob
+
+    from emdatapipelines_spark.versioned import (
+        compact,
+        read_versioned,
+        vacuum,
+        write_versioned,
+    )
+
+    p = str(tmp_path / "tbl")
+    write_versioned(spark.range(0, 10), p)
+    write_versioned(spark.range(10, 20), p, mode="append")
+    write_versioned(spark.range(20, 30), p, mode="append")
+    compact(spark, p, num_files=1)                      # v3 owns all rows
+    assert vacuum(p, keep_last=1) == [0, 1, 2]
+    # pre-compaction data directories are physically gone
+    assert glob.glob(f"{p}/v=0/data") == []
+    assert glob.glob(f"{p}/v=1/data") == []
+    assert glob.glob(f"{p}/v=2/data") == []
+    latest = read_versioned(spark, p)
+    assert latest.count() == 30
+    assert {r["id"] for r in latest.collect()} == set(range(30))

@@ -120,9 +120,11 @@ def write_versioned(
 
     dirs = [os.path.join(f"v={version}", "data")]
     rows = _count_parquet_rows(data_dir)
+    pinned: list[dict] = []
     if mode == "append" and prev is not None:
         prev_m = _manifest(path, prev)
         dirs = prev_m["data_dirs"] + dirs
+        pinned = list(prev_m.get("pinned") or [])  # carry retention survivors
         rows += prev_m["rows"]
 
     manifest = {
@@ -130,6 +132,7 @@ def write_versioned(
         "mode": mode,
         "rows": rows,
         "data_dirs": dirs,
+        "pinned": pinned,
         "partition_by": partition_by or [],
         "committed_at": time.time(),
         "meta": meta or {},
@@ -140,10 +143,9 @@ def write_versioned(
     if audit is not None:
         import shutil
 
-        spark = df.sparkSession
-        staged = spark.read.parquet(
-            *[os.path.join(path, d) for d in dirs]
-        )
+        # read the staged snapshot through the manifest (pointer not yet
+        # flipped, so readers still see the previous version)
+        staged = read_versioned(df.sparkSession, path, version)
         violations = list(audit(staged))
         if violations:
             shutil.rmtree(vdir, ignore_errors=True)
@@ -158,13 +160,30 @@ def write_versioned(
 
 
 def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read a snapshot (default: latest committed)."""
+    """Read a snapshot (default: latest committed). Plain data roots are read
+    with normal partition discovery; ``pinned`` partition-subdir entries
+    (written by ``drop_partitions``) reconstruct their partition column from
+    the manifest's recorded value + dtype."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     v = _latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     m = _manifest(path, v)
-    paths = [os.path.join(path, d) for d in m["data_dirs"]]
-    return spark.read.parquet(*paths)
+    frames = []
+    if m["data_dirs"]:
+        frames.append(spark.read.parquet(*[os.path.join(path, d) for d in m["data_dirs"]]))
+    for e in m.get("pinned") or []:
+        frames.append(
+            spark.read.parquet(os.path.join(path, e["dir"])).withColumn(
+                e["col"], F.lit(e["value"]).cast(e["dtype"])
+            )
+        )
+    if not frames:
+        raise FileNotFoundError(f"snapshot v={v} at {path} references no data")
+    return reduce(lambda a, b: a.unionByName(b), frames)
 
 
 def history(path: str) -> list[dict]:
@@ -196,9 +215,11 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     referenced: set[str] = set()
     for v in retained:
         try:
-            referenced.update(_manifest(path, v)["data_dirs"])
+            m = _manifest(path, v)
         except OSError:
             continue
+        referenced.update(m["data_dirs"])
+        referenced.update(e["dir"] for e in m.get("pinned") or [])
     removed = []
     for v in range(latest + 1):
         if v in retained:
@@ -209,9 +230,25 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
         man = os.path.join(vdir, _MANIFEST)
         if os.path.exists(man):
             os.remove(man)
-        if os.path.join(f"v={v}", "data") not in referenced:
-            data = os.path.join(vdir, "data")
-            if os.path.isdir(data):
+        droot = os.path.join(f"v={v}", "data")
+        data = os.path.join(vdir, "data")
+        if droot not in referenced and os.path.isdir(data):
+            pinned_children = {
+                r[len(droot) + 1 :].split("/", 1)[0]
+                for r in referenced
+                if r.startswith(droot + "/")
+            }
+            if pinned_children:
+                # a retention commit still references some partition subdirs:
+                # reclaim only the dropped ones
+                for sub in os.listdir(data):
+                    if sub not in pinned_children:
+                        target = os.path.join(data, sub)
+                        if os.path.isdir(target):
+                            shutil.rmtree(target)
+                        else:
+                            os.remove(target)
+            else:
                 shutil.rmtree(data)
         if not os.listdir(vdir):
             os.rmdir(vdir)
@@ -277,3 +314,70 @@ def compact(spark: SparkSession, path: str, num_files: int | None = None) -> int
     if num_files is not None:
         cur = cur.coalesce(num_files)
     return write_versioned(cur, path, meta={"compaction_of": latest})
+
+
+def drop_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep,
+) -> int:
+    """Retention commit: the next snapshot REFERENCES only the surviving
+    partition directories of the current one — S13 retention at scale means
+    dropping whole partitions, never row-scanning, and here it also never
+    rewrites: dropping 90 of 100 TB costs one manifest write.
+
+    ``keep`` is a predicate over the partition's string value (as written in
+    the ``col=value`` directory name). The surviving entries are pinned in
+    the manifest with their partition value + dtype so readers reconstruct
+    the partition column exactly (reading a ``day=5`` subdir directly loses
+    the column otherwise). Requires the table to have been written with
+    ``partition_by=[partition_col]``. Returns the new version.
+    """
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    m = _manifest(path, latest)
+    if partition_col not in m.get("partition_by", []) and not m.get("pinned"):
+        raise ValueError(
+            f"table is not partitioned by {partition_col!r} (partition_by="
+            f"{m.get('partition_by')})"
+        )
+    dtype = dict(read_versioned(spark, path, latest).dtypes)[partition_col]
+
+    pinned: list[dict] = []
+    rows = 0
+    candidates = list(m.get("pinned") or [])
+    for d in m["data_dirs"]:
+        full = os.path.join(path, d)
+        for sub in sorted(os.listdir(full)):
+            if sub.startswith(f"{partition_col}="):
+                candidates.append(
+                    {"dir": f"{d}/{sub}", "col": partition_col,
+                     "value": sub.split("=", 1)[1], "dtype": dtype}
+                )
+    for entry in candidates:
+        if keep(entry["value"]):
+            pinned.append(entry)
+            rows += _count_parquet_rows(os.path.join(path, entry["dir"]))
+
+    version = latest + 1
+    vdir = os.path.join(path, f"v={version}")
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        "version": version,
+        "mode": "retention",
+        "rows": rows,
+        "data_dirs": [],
+        "pinned": pinned,
+        "partition_by": m.get("partition_by", []),
+        "committed_at": time.time(),
+        "meta": {"retained_partitions": len(pinned)},
+    }
+    with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh)
+    tmp = os.path.join(path, f"{_LATEST}.tmp.{version}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(path, _LATEST))
+    return version

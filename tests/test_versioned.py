@@ -197,3 +197,59 @@ def test_vacuum_after_compact_reclaims_append_chain(spark, tmp_path):
     latest = read_versioned(spark, p)
     assert latest.count() == 30
     assert {r["id"] for r in latest.collect()} == set(range(30))
+
+
+def test_drop_partitions_retention_without_rewrite(spark, tmp_path):
+    import glob
+
+    from emdatapipelines_spark.versioned import (
+        drop_partitions,
+        history,
+        read_versioned,
+        vacuum,
+        write_versioned,
+    )
+
+    p = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 5 AS INT) AS day")
+    write_versioned(df, p, partition_by=["day"])
+
+    v = drop_partitions(spark, p, "day", keep=lambda val: int(val) >= 2)
+    assert v == 1
+    latest = read_versioned(spark, p)
+    assert latest.count() == 60
+    assert dict(latest.dtypes)["day"] == "int"  # partition col reconstructed
+    assert {r["day"] for r in latest.select("day").distinct().collect()} == {2, 3, 4}
+    # zero rewrite: the retention version has NO data directory of its own
+    assert glob.glob(f"{p}/v=1/data") == []
+    # time travel to the pre-retention snapshot still sees everything
+    assert read_versioned(spark, p, version=0).count() == 100
+    assert history(p)[-1]["meta"] == {"retained_partitions": 3}
+
+    # appending after retention unions new rows with the survivors
+    write_versioned(
+        spark.range(100, 110).selectExpr("id", "CAST(9 AS INT) AS day"),
+        p,
+        mode="append",
+        partition_by=["day"],
+    )
+    assert read_versioned(spark, p).count() == 70
+
+    # vacuum reclaims only the DROPPED partitions of v0; survivors stay
+    removed = vacuum(p, keep_last=2)
+    assert removed == [0]
+    assert glob.glob(f"{p}/v=0/data/day=0") == []
+    assert glob.glob(f"{p}/v=0/data/day=1") == []
+    assert glob.glob(f"{p}/v=0/data/day=2") != []
+    assert read_versioned(spark, p).count() == 70
+
+
+def test_drop_partitions_requires_partitioned_table(spark, tmp_path):
+    import pytest as _pytest
+
+    from emdatapipelines_spark.versioned import drop_partitions, write_versioned
+
+    p = str(tmp_path / "tbl")
+    write_versioned(spark.range(10), p)
+    with _pytest.raises(ValueError, match="not partitioned"):
+        drop_partitions(spark, p, "day", keep=lambda v: True)

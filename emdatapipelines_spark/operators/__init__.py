@@ -17,4 +17,14 @@ from .aggregates import (  # noqa: F401
 from .windows import lag_over, rolling_time_count, trailing_mean, lead_over  # noqa: F401
 from .sorts import case_rank, top_k_by_group  # noqa: F401
 from .upsert import upsert_last_wins  # noqa: F401
+from .reaggregate import (  # noqa: F401
+    combine_partials,
+    hll_merge,
+    hll_partial,
+    merge_partials,
+    partial_aggregate,
+    salted_aggregate,
+)
+from .sessions import funnel_stages, session_stats, sessionize  # noqa: F401
+from .joins import fuzzy_name_pairs, salted_join  # noqa: F401
 from .scd2 import scd2_merge  # noqa: F401

@@ -20,4 +20,6 @@ from .dbt_tests import (  # noqa: F401
     run_test_suite,
 )
 from .report import composite_quality_score  # noqa: F401
+from .drift import bin_counts, psi_by_bin  # noqa: F401
+from .alerts import AlertRule, evaluate_alert_rules  # noqa: F401
 from .alerts import AlertRule, evaluate_alert_rules, escalate_entities  # noqa: F401

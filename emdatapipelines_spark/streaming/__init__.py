@@ -16,3 +16,4 @@ rather than late-fired.
 from .sources import stream_source  # noqa: F401
 from .windows import tumbling_window_counts, with_event_time  # noqa: F401
 from .sinks import foreach_batch_upsert, start_to_memory  # noqa: F401
+from .incremental import apply_rollup_batch, incremental_rollup, incremental_upsert  # noqa: F401

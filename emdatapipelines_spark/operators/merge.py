@@ -72,16 +72,22 @@ def merge_into(
     source_only = F.col("__t_present").isNull()
     target_only = F.col("__s_present").isNull()
 
+    # A clause condition that evaluates to NULL (e.g. a null CDC flag in the
+    # comparison) counts as NOT satisfied, matching Delta/ANSI MERGE. Without
+    # the coalesce, `matched & ~NULL` is NULL and filter() would silently
+    # DELETE the row instead of leaving it unchanged.
     upd_cond = (
-        when_matched_update_condition if when_matched_update_condition is not None else F.lit(True)
+        F.coalesce(when_matched_update_condition, F.lit(False))
+        if when_matched_update_condition is not None
+        else F.lit(True)
     )
     del_cond = (
-        when_matched_delete_condition
+        F.coalesce(when_matched_delete_condition, F.lit(False))
         if when_matched_delete_condition is not None
         else F.lit(False)
     )
     ins_cond = (
-        when_not_matched_insert_condition
+        F.coalesce(when_not_matched_insert_condition, F.lit(False))
         if when_not_matched_insert_condition is not None
         else F.lit(True)
     )

@@ -20,10 +20,10 @@ from . import quality_queries  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import analytics_ext  # noqa: F401,E402
 
-# Green rows in CORRECTNESS_r01.json (49 of 50 checked; s5_json_extract was
-# the lone hash-fail — its oracle is fixed, so it stays in the front group
-# for re-verification).
+# Cumulative green (rows+schema+hash) rows across CORRECTNESS_r01.json (49)
+# and CORRECTNESS_r02.json (50/50) — refreshed each round per VERDICT r2 #1.
 DRIVER_GREEN: set[str] = {
+    # round 1
     "a1_pricing_summary", "p1_project_cast", "p3_recent_events", "p4_enum_filter",
     "p7_range_validate", "j1_dim_enrich", "j2_fact_join_yearly", "j3_interval_join",
     "j5_anti_join", "j8_map_lookup", "a4_privacy_agg", "a5_count_distinct",
@@ -38,6 +38,21 @@ DRIVER_GREEN: set[str] = {
     "fn_event_scoring", "fn_state_mask", "tpch_q7_volume_shipping",
     "tpch_q10_returned_items", "tpch_q14_promo_effect", "tpch_q17_small_quantity",
     "p2_notnull_keys",
+    # round 2 (CORRECTNESS_r02.json, 50/50 green)
+    "a13_rollup_totals", "a14_cube_margins", "a15_pivot_daily_matrix",
+    "a16_ntile_deciles", "a17_salted_skew_agg", "a20_retention_cohorts",
+    "a9_profile_metrics", "dd_embedding_neardup", "dd_exact_dedup", "enc_roundtrip",
+    "j10_click_to_purchase", "j11_fuzzy_name_match", "j9_asof_latest_click",
+    "llm_corpus_stats", "llm_pack_plan", "llm_shuffle_order", "llm_training_mix",
+    "ml_daily_features", "ml_risk_bands", "mm_frame_plan", "mm_resize",
+    "o6_keyset_pagination", "q10_test_suite", "q11_drift_psi", "q1_completeness",
+    "q2_outliers", "q4_freshness", "q5_validity", "q6_concentration", "q7_pii_scan",
+    "s16_merge_cdc", "s19_from_json_typed", "s5_json_extract", "sim_cosine_topk",
+    "st_session_window", "st_tumbling_1h", "tenant_scoped_view",
+    "tpch_q6_forecast_revenue", "ts_corr_pairs", "tx_chunking", "tx_fingerprint",
+    "tx_language_id", "tx_quality", "tx_token_counts", "tx_vocab_freq",
+    "u4_intersect_except", "w10_time_weighted_avg", "w6_sessionize",
+    "w8_streak_islands", "w9_funnel_stages",
 }
 
 

@@ -69,6 +69,55 @@ def test_default_clauses_upsert_shape(spark):
     assert rows[4] == (40.0, "d")
 
 
+def test_null_clause_conditions_keep_row(spark):
+    """A clause condition evaluating to NULL (null CDC flag, null comparison
+    input) is NOT satisfied — the matched row must survive unchanged, exactly
+    like Delta/ANSI MERGE. Regression: `matched & ~NULL` is NULL and filter()
+    used to silently delete the row."""
+    target = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "id bigint, val double, tag string",
+    )
+    # id=1: null deleted flag AND null val (null update condition too).
+    # id=2: real delete. id=3: real update.
+    source = spark.createDataFrame(
+        [(1, None, None), (2, 0.0, True), (3, 33.0, False)],
+        "id bigint, val double, deleted boolean",
+    )
+    out = merge_into(
+        target,
+        source,
+        on=["id"],
+        when_matched_update={"val": F.col("s.val")},
+        when_matched_update_condition=F.col("s.val") > F.col("t.val"),
+        when_matched_delete_condition=F.col("s.deleted"),
+        when_not_matched_insert_condition=F.col("s.deleted").isNotNull() & ~F.col("s.deleted"),
+    )
+    rows = {r["id"]: (r["val"], r["tag"]) for r in out.collect()}
+    assert rows == {
+        1: (10.0, "a"),  # null delete-cond + null update-cond -> unchanged
+        3: (33.0, "c"),  # update still applies
+    }  # 2 deleted
+
+
+def test_null_insert_condition_drops_row(spark):
+    """NULL insert condition = not satisfied: the source-only row is skipped,
+    not inserted."""
+    target = spark.createDataFrame([(1, 10.0)], "id bigint, val double")
+    source = spark.createDataFrame(
+        [(5, 50.0, None), (6, 60.0, True)], "id bigint, val double, keep boolean"
+    )
+    out = merge_into(
+        target,
+        source.select("id", "val", "keep"),
+        on=["id"],
+        when_not_matched_insert={"id": F.col("s.id"), "val": F.col("s.val")},
+        when_not_matched_insert_condition=F.col("s.keep"),
+    )
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 6]  # 5's NULL keep-flag blocks the insert
+
+
 def test_plan_single_join_no_nested_loop(spark):
     target, source = _frames(spark)
     out = merge_into(target, source, on=["id"])

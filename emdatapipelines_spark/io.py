@@ -29,8 +29,11 @@ FIXTURE_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver fixture table (see TESTDATA.md)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one driver fixture table (see TESTDATA.md), normalizing any
+    TIMESTAMP_NTZ event-time columns at the boundary (eventtime.py)."""
+    from .eventtime import normalize_event_time
+
+    return normalize_event_time(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -59,7 +59,11 @@ def sessionize(
     w = Window.partitionBy(entity_col).orderBy(ts_col, *tie)
     gap_us = F.lit(_gap_micros(gap))
     prev = F.lag(ts_col).over(w)
-    delta = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    # defensive cast: unix_micros refuses TIMESTAMP_NTZ (pandas-written
+    # parquet under pyspark 4.x); cast is a no-op on TIMESTAMP input
+    delta = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
     opened = (delta > gap_us) if strict_gt else (delta >= gap_us)
     is_start = F.when(prev.isNull() | opened, 1).otherwise(0)
     run = Window.partitionBy(entity_col).orderBy(ts_col, *tie).rowsBetween(

@@ -20,8 +20,9 @@ from . import quality_queries  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import analytics_ext  # noqa: F401,E402
 
-# Cumulative green (rows+schema+hash) rows across CORRECTNESS_r01.json (49)
-# and CORRECTNESS_r02.json (50/50) — refreshed each round per VERDICT r2 #1.
+# Cumulative green (rows+schema+hash) rows across CORRECTNESS_r01.json (49),
+# CORRECTNESS_r02.json (50/50), and CORRECTNESS_r03.json (40/41) — refreshed
+# each round per VERDICT r2 #1 / r3 #2.
 DRIVER_GREEN: set[str] = {
     # round 1
     "a1_pricing_summary", "p1_project_cast", "p3_recent_events", "p4_enum_filter",
@@ -53,6 +54,13 @@ DRIVER_GREEN: set[str] = {
     "tx_language_id", "tx_quality", "tx_token_counts", "tx_vocab_freq",
     "u4_intersect_except", "w10_time_weighted_avg", "w6_sessionize",
     "w8_streak_islands", "w9_funnel_stages",
+    # round 3 (CORRECTNESS_r03.json, 40/41 oracle rows green)
+    "tpch_q22_sales_opportunity", "q7_pii_redact", "q3_consistency",
+    "tpch_q15_top_supplier", "llm_clean_corpus", "sql1_revenue_by_region",
+    "tx_tfidf_keywords", "tx_repetition", "tpch_q8_market_share",
+    "a19_reaggregate_monthly", "s18_version_diff", "dd_jaccard_pairs",
+    "s17_versioned_history", "dd_decontaminate", "dd_embedding_clusters",
+    "dd_cluster_assign", "dd_dedup_survivors",
 }
 
 

@@ -581,8 +581,8 @@ def w10_time_weighted_avg(spark, sf_dir):
     seq = (
         t(spark, sf_dir, "events")
         .select("event_type", "value", "ts", "event_id")
-        .withColumn("t_us", F.unix_micros("ts"))
-        .withColumn("next_us", F.lead(F.unix_micros("ts")).over(w))
+        .withColumn("t_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("next_us", F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w))
         .filter(F.col("next_us").isNotNull())
     )
     dur = F.col("next_us") - F.col("t_us")

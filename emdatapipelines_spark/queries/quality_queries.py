@@ -379,8 +379,14 @@ def alert_rules_fired(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     g = e.groupBy(F.col("event_type").alias("entity")).agg(
         davg("value", 4, 6).alias("avg_value"),
+        # epoch via unix_micros on a defensively-cast column: legal for both
+        # TIMESTAMP and TIMESTAMP_NTZ inputs (cast("double") is not)
         F.floor(
-            (F.lit(1706745600) - F.floor(F.max("ts").cast("double"))) / 60
+            (
+                F.lit(1706745600)
+                - F.floor(F.unix_micros(F.max("ts").cast("timestamp")) / F.lit(1e6))
+            )
+            / 60
         ).cast("double").alias("age_minutes"),
     )
     metrics = g.select(

@@ -35,21 +35,23 @@ def query(name: str, oracle: str | None = None):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a fixture table. The ``events`` table is written with
-    nanosecond-precision parquet timestamps, which Spark cannot represent
-    (micros max): read them as raw nanos (``nanosAsLong``) and truncate to
-    microsecond timestamps — sub-microsecond information is dropped, which
-    matches the comparison precision of the DuckDB oracle client."""
+    """Load a fixture table, normalizing event time at the boundary.
+
+    Fixture generations have carried ``ts`` as nanosecond parquet timestamps
+    (unrepresentable in Spark — read as raw nanos via ``nanosAsLong`` and
+    truncated to micros) and as pandas-written ``timestamp[us]`` without the
+    UTC flag (surfaced by pyspark 4.x as TIMESTAMP_NTZ, which the event-time
+    surface refuses). ``normalize_event_time`` folds both into session-tz
+    TIMESTAMP; under the session's pinned UTC zone this matches DuckDB's
+    ``epoch()`` on the naive value, so oracle hashes are unaffected."""
+    from ..eventtime import normalize_event_time
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer `div`, not floor(double /): nanosecond epochs exceed
-            # 2^53 so double division loses the low microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return normalize_event_time(df, "ts")
+    return normalize_event_time(spark.read.parquet(path))
 
 
 def dsum(col, scale: int = 2):

@@ -47,10 +47,14 @@ def stream_source(
         )
         return parsed.select("record_key", "kafka_ts", "data.*")
     if kind == "file":
+        from ..eventtime import normalize_event_time
+
         reader = spark.readStream.schema(schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        df = reader.parquet(path)
+        # NTZ columns (pandas/Arrow-written parquet) refuse withWatermark —
+        # normalize to session-tz TIMESTAMP at the source boundary
+        df = normalize_event_time(reader.parquet(path))
         return df.withColumn("proc_time", F.current_timestamp())
     if kind == "rate":
         return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()

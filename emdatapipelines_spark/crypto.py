@@ -36,21 +36,22 @@ SENSITIVE_NAME_PATTERNS: dict[str, list[str]] = {
 }
 
 
-def derive_key(master: str, identifier: str) -> str:
+def derive_key(master: str, identifier: str) -> bytes:
     """Deterministic 32-byte (AES-256) key for ``identifier`` under
     ``master`` (twin of EncryptionKeyManager.derive_key :46-58 — same
     master||identifier input contract, SHA-256 in place of PBKDF2; see
-    module docstring). Returned as a 32-char hex string — `aes_encrypt`
-    reads a string key's UTF-8 bytes, so 32 chars → AES-256."""
-    return hashlib.sha256((master + "\x00" + identifier).encode("utf-8")).hexdigest()[:32]
+    module docstring). Returns the RAW 32-byte digest (full 256-bit
+    entropy) passed to ``aes_encrypt`` as a BINARY key — a truncated hex
+    string would silently halve the effective key strength to 128 bits."""
+    return hashlib.sha256((master + "\x00" + identifier).encode("utf-8")).digest()
 
 
-def tenant_key(master: str, tenant_id: str) -> str:
+def tenant_key(master: str, tenant_id: str) -> bytes:
     """Per-tenant key (`generate_tenant_key` :60-62)."""
     return derive_key(master, f"tenant_{tenant_id}")
 
 
-def field_key(master: str, field_name: str, tenant_id: str | None = None) -> str:
+def field_key(master: str, field_name: str, tenant_id: str | None = None) -> bytes:
     """Per-field (optionally per-tenant) key (`generate_field_key` :64-69)."""
     identifier = f"field_{field_name}"
     if tenant_id:
@@ -58,15 +59,16 @@ def field_key(master: str, field_name: str, tenant_id: str | None = None) -> str
     return derive_key(master, identifier)
 
 
-def encrypt_column(col: Column | str, key: str, mode: str = "GCM") -> Column:
+def encrypt_column(col: Column | str, key: str | bytes, mode: str = "GCM") -> Column:
     """Encrypt a column to base64 text (`encrypt_value` :92-103: Fernet →
     urlsafe-b64; here AES-GCM with a random 12-byte IV per value, prepended
-    to the ciphertext by Spark). Null stays null."""
+    to the ciphertext by Spark). Null stays null. ``key`` may be raw bytes
+    (BINARY key literal, the 256-bit path) or a 16/24/32-char string."""
     c = F.col(col) if isinstance(col, str) else col
     return F.base64(F.aes_encrypt(c.cast("string").cast("binary"), F.lit(key), F.lit(mode)))
 
 
-def decrypt_column(col: Column | str, key: str, mode: str = "GCM") -> Column:
+def decrypt_column(col: Column | str, key: str | bytes, mode: str = "GCM") -> Column:
     """Decrypt a base64 ciphertext column back to string. Wrong key or
     corrupt payload → null (``try_aes_decrypt``), mirroring the reference's
     catch-and-log path (`decrypt_value` :105-121) without poisoning the job."""

@@ -10,11 +10,18 @@ can ``ref()`` them. Materialization ``table`` caches the DataFrame (the
 
 Post-hooks model the reference's async MV refresh (`public_disasters.sql:13`)
 and audit inserts.
+
+Scheduling: the reference re-runs its ingestion job every 10 minutes and its
+MV refresh every 5 (`definitions.py:84-94` cron schedules). Here each model
+may declare a ``refresh_interval``; :meth:`ModelRegistry.run_due` is the
+cron tick — driven by the injectable clock (`clock.py`), it rebuilds exactly
+the stale models, in dependency order, and leaves fresh ones untouched.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,23 +34,36 @@ class Model:
     deps: list[str] = field(default_factory=list)
     materialization: str = "view"  # view | table
     post_hooks: list[Callable[[SparkSession, DataFrame], None]] = field(default_factory=list)
+    #: rebuild cadence (None = build-on-demand only), ≈ the reference's
+    #: 10-min ingest / 5-min MV-refresh crons (`definitions.py:84-94`)
+    refresh_interval: timedelta | None = None
 
 
 class ModelRegistry:
     def __init__(self) -> None:
         self._models: dict[str, Model] = {}
         self.results: dict[str, DataFrame] = {}
+        #: last successful build/refresh time per model (scheduler state)
+        self.last_built: dict[str, datetime] = {}
 
     def register(self, model: Model) -> None:
         if model.name in self._models:
             raise ValueError(f"duplicate model name: {model.name}")
         self._models[model.name] = model
 
-    def model(self, name: str, deps: list[str] | None = None, materialization: str = "view"):
+    def model(
+        self,
+        name: str,
+        deps: list[str] | None = None,
+        materialization: str = "view",
+        refresh_interval: timedelta | None = None,
+    ):
         """Decorator form: ``@registry.model("stg_x", deps=["src"])``."""
 
         def wrap(fn):
-            self.register(Model(name, fn, deps or [], materialization))
+            self.register(
+                Model(name, fn, deps or [], materialization, refresh_interval=refresh_interval)
+            )
             return fn
 
         return wrap
@@ -68,8 +88,16 @@ class ModelRegistry:
             visit(n)
         return order
 
-    def build(self, spark: SparkSession, select: list[str] | None = None) -> dict[str, DataFrame]:
-        """Build models in dependency order; register each as a temp view."""
+    def build(
+        self,
+        spark: SparkSession,
+        select: list[str] | None = None,
+        now: datetime | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build models in dependency order; register each as a temp view.
+
+        ``now`` (injectable, never wall-clock — `clock.py`) stamps scheduler
+        state so a later :meth:`run_due` tick knows what is fresh."""
         wanted = set(select) if select else None
         for name in self.topo_order():
             if wanted is not None and name not in wanted and not self._is_dep_of(name, wanted):
@@ -81,6 +109,8 @@ class ModelRegistry:
                 df = df.cache()
             df.createOrReplaceTempView(name)
             self.results[name] = df
+            if now is not None:
+                self.last_built[name] = now
             for hook in m.post_hooks:
                 hook(spark, df)
         return self.results
@@ -100,7 +130,9 @@ class ModelRegistry:
                 expand(w)
         return name in seen
 
-    def refresh_materialized(self, spark: SparkSession, name: str) -> DataFrame:
+    def refresh_materialized(
+        self, spark: SparkSession, name: str, now: datetime | None = None
+    ) -> DataFrame:
         """S12 — async-MV analog: re-run one model (and re-cache), leaving the
         rest of the DAG untouched (`macros/create_starrocks_materialized_view.sql:2-16`)."""
         m = self._models[name]
@@ -116,4 +148,32 @@ class ModelRegistry:
             df = df.cache()
         df.createOrReplaceTempView(name)
         self.results[name] = df
+        if now is not None:
+            self.last_built[name] = now
         return df
+
+    # -- scheduled refresh loop (reference `definitions.py:84-94` crons) ----
+
+    def refresh_due(self, now: datetime) -> list[str]:
+        """Models whose ``refresh_interval`` has elapsed (or that were never
+        built), in dependency order. Pure planning — no Spark work."""
+        due: list[str] = []
+        for name in self.topo_order():
+            m = self._models[name]
+            if m.refresh_interval is None:
+                continue
+            last = self.last_built.get(name)
+            if last is None or now - last >= m.refresh_interval:
+                due.append(name)
+        return due
+
+    def run_due(self, spark: SparkSession, now: datetime) -> list[str]:
+        """One scheduler tick: rebuild every due model (dependency order), skip
+        fresh ones, stamp ``last_built``. Returns the names rebuilt. The caller
+        owns the loop cadence — in production a real cron/airflow tick, in
+        tests an advancing injected clock — so the engine itself never reads
+        the wall clock (determinism convention, `clock.py`)."""
+        due = self.refresh_due(now)
+        for name in due:
+            self.refresh_materialized(spark, name, now=now)
+        return due

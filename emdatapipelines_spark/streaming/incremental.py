@@ -19,6 +19,14 @@ Scale: per batch the job aggregates only that batch's rows (map-side combine,
 one shuffle at |keys| cardinality) plus a |partials|-sized merge — independent
 of table history length. The stored frame is one row per key combination, so
 overwrite commits stay cheap even when the raw fact table is 100 TB.
+
+Exactly-once bookkeeping: every commit records BOTH its own ``batch_id`` and
+the monotone high-water mark ``max_batch_id``. Structured Streaming replays
+only batches ≤ the last committed epoch, so "already applied" is the
+comparison ``batch_id <= max_batch_id`` against the LATEST retained commit —
+it survives ``compact`` + ``vacuum`` dropping the old per-batch history
+entries (a set-membership scan over history would forget applied ids once
+retention trims them, double-counting a replayed batch).
 """
 
 from __future__ import annotations
@@ -28,6 +36,34 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.reaggregate import combine_partials, partial_aggregate
 from ..versioned import history, read_versioned, write_versioned
+
+
+def applied_batch_watermark(table_path: str) -> int | None:
+    """Highest batch id known to be applied, from any RETAINED commit's meta
+    (``max_batch_id`` preferred, per-commit ``batch_id`` as fallback for
+    tables written before the high-water mark existed)."""
+    hw: int | None = None
+    for h in history(table_path):
+        for k in ("max_batch_id", "batch_id"):
+            v = h["meta"].get(k)
+            if v is not None and (hw is None or v > hw):
+                hw = v
+    return hw
+
+
+def dedup_within_watermark(
+    stream_df: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Streaming keyed dedup — the streaming twin of T8 keep-latest
+    (`operators/upsert.py`): duplicate deliveries of the same key within the
+    watermark horizon are dropped by state-store lookup
+    (``dropDuplicatesWithinWatermark``), and state for keys older than the
+    watermark is evicted, so memory is bounded by the horizon's key
+    cardinality, not the stream's lifetime (the unbounded-state hazard of
+    plain ``dropDuplicates`` on an infinite stream). Mirrors the reference's
+    compacted-topic keep-latest contract (`resources/kafka.py:226-291`)
+    without requiring a compacted transport."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def apply_rollup_batch(
@@ -40,8 +76,8 @@ def apply_rollup_batch(
 ) -> bool:
     """Apply one microbatch to the partial-rollup table. Returns False if the
     batch was already applied (replay after restart) and was skipped."""
-    applied = {h["meta"].get("batch_id") for h in history(table_path)}
-    if batch_id in applied:
+    hw = applied_batch_watermark(table_path)
+    if hw is not None and batch_id <= hw:
         return False
     spark = batch_df.sparkSession
     partials = partial_aggregate(batch_df, keys, measures, scale)
@@ -51,7 +87,11 @@ def apply_rollup_batch(
         combined = partials
     else:
         combined = combine_partials([current, partials], keys, list(measures))
-    write_versioned(combined, table_path, meta={"batch_id": batch_id})
+    write_versioned(
+        combined,
+        table_path,
+        meta={"batch_id": batch_id, "max_batch_id": batch_id if hw is None else max(hw, batch_id)},
+    )
     return True
 
 
@@ -63,11 +103,22 @@ def incremental_rollup(
     checkpoint_dir: str,
     scale: int = 2,
     available_now: bool = True,
+    dedup_keys: list[str] | None = None,
+    event_time_col: str = "ts",
+    dedup_watermark: str = "1 hour",
 ) -> StreamingQuery:
     """Start the maintenance query: stream → per-batch partials → versioned
     snapshot commits. ``available_now=True`` drains the backlog and stops
     (backfill/test mode); otherwise it runs on the default microbatch tick.
+
+    ``dedup_keys`` enables at-source keyed dedup within ``dedup_watermark``
+    (:func:`dedup_within_watermark`) so at-least-once transports (Kafka
+    redelivery, file re-drops) don't inflate the rollup counts.
     """
+    if dedup_keys:
+        stream_df = dedup_within_watermark(
+            stream_df, dedup_keys, event_time_col, dedup_watermark
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(batch_df, batch_id, table_path, keys, measures, scale)
@@ -99,8 +150,8 @@ def incremental_upsert(
     from ..versioned import history, read_versioned, write_versioned
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        applied = {h["meta"].get("batch_id") for h in history(table_path)}
-        if batch_id in applied:
+        hw = applied_batch_watermark(table_path)
+        if hw is not None and batch_id <= hw:
             return
         spark = batch_df.sparkSession
         try:
@@ -108,7 +159,14 @@ def incremental_upsert(
         except FileNotFoundError:
             current = None
         merged = upsert_last_wins(current, batch_df, keys, version_col)
-        write_versioned(merged, table_path, meta={"batch_id": batch_id})
+        write_versioned(
+            merged,
+            table_path,
+            meta={
+                "batch_id": batch_id,
+                "max_batch_id": batch_id if hw is None else max(hw, batch_id),
+            },
+        )
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

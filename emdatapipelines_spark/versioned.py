@@ -17,6 +17,21 @@ once, never rewritten (append mode reuses prior snapshot FILES by reference,
 not by copy, so a 100 TB table's append commit costs only the new
 partitions). ``vacuum`` deletes snapshots past a retention count, never the
 files a retained manifest still references.
+
+**Commit-protocol boundary (what this module assumes and what it does not
+provide).** The commit point is ``os.replace`` of the ``_LATEST`` pointer —
+atomic on POSIX filesystems (local disk, NFSv4, HDFS via a rename-capable
+client), NOT on S3-style object stores, where "rename" is copy+delete and
+two writers can interleave. The protocol additionally assumes a SINGLE
+WRITER per table: concurrent writers can both compute ``prev+1``, and the
+stager's orphan cleanup (``shutil.rmtree`` of an un-pointed ``v=N/``) could
+delete the other writer's in-flight stage. Multi-writer or object-store
+deployments need the same escalation the lakehouse formats made: a
+conditional put / put-if-absent of the version object (S3 now supports
+If-None-Match, GCS has generation preconditions) or an external lock/catalog
+service arbitrating the pointer, exactly as Delta's LogStore and Iceberg's
+catalog commit do. Readers are unaffected either way — they only follow the
+pointer to an immutable manifest.
 """
 
 from __future__ import annotations
@@ -313,7 +328,16 @@ def compact(spark: SparkSession, path: str, num_files: int | None = None) -> int
     cur = read_versioned(spark, path, latest)
     if num_files is not None:
         cur = cur.coalesce(num_files)
-    return write_versioned(cur, path, meta={"compaction_of": latest})
+    meta: dict = {"compaction_of": latest}
+    # carry the streaming exactly-once high-water mark through maintenance:
+    # after vacuum drops pre-compaction commits, this commit's meta is the
+    # only survivor recording which batch ids were applied
+    # (streaming/incremental.py `applied_batch_watermark`)
+    src_meta = _manifest(path, latest).get("meta") or {}
+    for k in ("max_batch_id", "batch_id"):
+        if k in src_meta:
+            meta.setdefault("max_batch_id", src_meta[k])
+    return write_versioned(cur, path, meta=meta)
 
 
 def drop_partitions(

@@ -90,3 +90,64 @@ def test_partial_schema_stable_across_commits(spark, tmp_path):
     v1 = read_versioned(spark, table, version=1)
     v2 = read_versioned(spark, table, version=2)
     assert dict(v1.dtypes)["value_sum"] == dict(v2.dtypes)["value_sum"]
+
+
+def test_replay_after_compact_and_vacuum_not_double_counted(spark, tmp_path):
+    """Exactly-once must survive table maintenance: compact + vacuum drops
+    the per-batch history commits, so the applied-batch high-water mark has
+    to ride in every retained commit's meta (``max_batch_id``), not be
+    recovered by scanning history for individual batch ids."""
+    from emdatapipelines_spark.versioned import compact, vacuum
+
+    events = t(spark, SF_SMALL, "events")
+    table = str(tmp_path / "rollup")
+    for i in range(3):
+        assert apply_rollup_batch(
+            events.filter(f"event_id % 3 = {i}"), i, table, ["event_type"], {"value": "value"}
+        )
+    want = _direct(events)
+    assert _serve(spark, table) == want
+
+    # crash window: maintenance runs between the last commit and the replay
+    compact(spark, table)
+    vacuum(table, keep_last=1)
+    assert len(history(table)) == 1  # only the compaction commit survives
+
+    # Structured Streaming redelivers the last epoch after restart
+    assert not apply_rollup_batch(
+        events.filter("event_id % 3 = 2"), 2, table, ["event_type"], {"value": "value"}
+    )
+    assert _serve(spark, table) == want  # no double-count
+
+
+def test_streaming_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (T8's streaming twin): a duplicate key
+    redelivered in a LATER microbatch, within the watermark horizon, must be
+    dropped by state-store lookup — and the rollup built on top must count
+    each key once."""
+    import shutil
+
+    from emdatapipelines_spark.streaming.incremental import dedup_within_watermark
+
+    events = t(spark, SF_SMALL, "events").limit(200).cache()
+    src = str(tmp_path / "src")
+    # file 1: the original events; file 2: the SAME events redelivered
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    part = [f for f in __import__("os").listdir(src) if f.startswith("part-")][0]
+    shutil.copy(f"{src}/{part}", f"{src}/redelivered-{part}")
+    batch = spark.read.parquet(src)
+    assert batch.count() == 2 * events.count()  # duplicates really landed
+
+    stream = stream_source(
+        spark, "file", schema=batch.schema, path=src, max_files_per_trigger=1
+    ).drop("proc_time")
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "2 hours")
+
+    from emdatapipelines_spark.streaming.sinks import start_to_memory
+
+    q = start_to_memory(deduped, "dedup_wm", output_mode="append")
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_wm")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()

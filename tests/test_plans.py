@@ -57,3 +57,41 @@ def test_cycle_detection(spark):
     reg.register(Model("b", lambda s, d: s.range(1), deps=["a"]))
     with pytest.raises(ValueError, match="cycle"):
         reg.topo_order()
+
+
+def test_scheduled_refresh_loop(spark):
+    """Cron-tick semantics (reference `definitions.py:84-94`: 10-min ingest /
+    5-min MV refresh): a tick rebuilds exactly the models whose interval has
+    elapsed — stale rebuilt, fresh skipped — against an injected clock."""
+    from datetime import datetime, timedelta
+
+    builds = {"ingest": 0, "mv": 0}
+    reg = ModelRegistry()
+
+    @reg.model("ingest", refresh_interval=timedelta(minutes=10))
+    def ingest(s, deps):
+        builds["ingest"] += 1
+        return s.range(5).withColumnRenamed("id", "n")
+
+    @reg.model("mv", deps=["ingest"], materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def mv(s, deps):
+        builds["mv"] += 1
+        return deps["ingest"].agg(F.sum("n").alias("total"))
+
+    t0 = datetime(2024, 2, 1, 0, 0, 0)
+    reg.build(spark, now=t0)
+    assert builds == {"ingest": 1, "mv": 1}
+
+    # +5 min: only the MV is due; the 10-min ingest is still fresh
+    ran = reg.run_due(spark, t0 + timedelta(minutes=5))
+    assert ran == ["mv"] and builds == {"ingest": 1, "mv": 2}
+
+    # +4 more min: nothing due — the loop must not busy-rebuild
+    assert reg.run_due(spark, t0 + timedelta(minutes=9)) == []
+    assert builds == {"ingest": 1, "mv": 2}
+
+    # +10 min: both due, rebuilt in dependency order, results stay correct
+    ran = reg.run_due(spark, t0 + timedelta(minutes=10))
+    assert ran == ["ingest", "mv"] and builds == {"ingest": 2, "mv": 3}
+    assert reg.results["mv"].first()["total"] == 10

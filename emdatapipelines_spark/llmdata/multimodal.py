@@ -2,10 +2,13 @@
 
 Images/audio/video travel as ``binary`` columns with a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves are STUBBED (the
-image/audio libraries are not in this container — marked clearly below); the
-Spark-side contract — schema, batch shape, partition sizing, UDF signature —
-is real and tested.
+``mapInPandas`` stages. Three kernel tiers: pure-Python numpy decoders for
+PPM/BMP (REAL pixel decode, runs anywhere, status ``ok_pure``), PIL-backed
+kernels for codec formats when PIL is importable (``ok_pil``, gated), and a
+deterministic stub for everything else (the codec libraries are not in this
+container — marked clearly below). The Spark-side contract — schema, batch
+shape, partition sizing, UDF signature — is identical across tiers and
+tested.
 
 Scale notes: binary payloads dominate partition size, so the pipeline
 repartitions by byte budget before the Python stage (`partition_by_bytes`),
@@ -101,6 +104,116 @@ def _pil_resize(payload: bytes, w: int, h: int) -> bytes | None:
         return None
 
 
+# -- pure-Python decoders (no image library required) -----------------------
+# PPM (P6) and uncompressed 24-bit BMP are simple enough to decode with
+# numpy alone, so these two formats get a REAL decode path in any
+# environment — the `ok_pure` status below is an actual pixel decode, not
+# the stub. Formats needing a codec (PNG/JPEG/...) still require PIL.
+
+
+def _decode_ppm(data: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6, maxval 255) → HxWx3 uint8 array, else None."""
+    if not data[:2] == b"P6":
+        return None
+    try:
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(data):
+            while i < len(data) and data[i : i + 1].isspace():
+                i += 1
+            if data[i : i + 1] == b"#":  # comment runs to end of line
+                while i < len(data) and data[i] != 0x0A:
+                    i += 1
+                continue
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+        w, h, maxval = (int(t) for t in tokens)
+        i += 1  # exactly one whitespace byte after maxval, then raster
+        if maxval != 255 or w <= 0 or h <= 0:
+            return None
+        need = w * h * 3
+        if len(data) - i < need:
+            return None
+        return np.frombuffer(data, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_bmp(data: bytes) -> "np.ndarray | None":
+    """Uncompressed 24-bit BMP (BI_RGB) → HxWx3 uint8 RGB array, else None."""
+    if data[:2] != b"BM" or len(data) < 54:
+        return None
+    try:
+        offset = int.from_bytes(data[10:14], "little")
+        w = int.from_bytes(data[18:22], "little", signed=True)
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        bpp = int.from_bytes(data[28:30], "little")
+        compression = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) // 4 * 4  # rows pad to 4-byte alignment
+        if len(data) - offset < row_bytes * h:
+            return None
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=offset
+        ).reshape(h, row_bytes)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+        return rgb[::-1] if bottom_up else rgb
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_pure(payload: bytes) -> "np.ndarray | None":
+    """Sniff-and-decode via the pure-Python paths (PPM then BMP)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None
+
+
+def _encode_ppm(rgb: "np.ndarray") -> bytes:
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(rgb, dtype=np.uint8).tobytes()
+
+
+def _bilinear_resize(img: "np.ndarray", w: int, h: int) -> "np.ndarray":
+    """Pixel-center-aligned bilinear resample (the standard convention PIL
+    and OpenCV use), vectorized with numpy gather — no Python pixel loop."""
+    src_h, src_w = img.shape[:2]
+    x = (np.arange(w) + 0.5) * src_w / w - 0.5
+    y = (np.arange(h) + 0.5) * src_h / h - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, src_w - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, src_h - 1)
+    x1 = np.minimum(x0 + 1, src_w - 1)
+    y1 = np.minimum(y0 + 1, src_h - 1)
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :, None]
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255).astype(np.uint8)
+
+
+def _gray_histogram(rgb: "np.ndarray", dim: int) -> list:
+    """ITU-R 601-2 luma (PIL's convert("L") formula) → ``dim``-bin normalized
+    histogram — the same feature contract as the PIL kernel."""
+    g = (
+        rgb[..., 0].astype(np.uint32) * 299
+        + rgb[..., 1].astype(np.uint32) * 587
+        + rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    hist, _ = np.histogram(g.astype(np.uint8), bins=dim, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return (hist / total).astype(np.float64).tolist()
+
+
 def decode_and_featurize(df: DataFrame, feature_dim: int = 8, kernel: str = "auto") -> DataFrame:
     """Decode + feature-extract stage over media batches.
 
@@ -149,8 +262,21 @@ def decode_and_featurize(df: DataFrame, feature_dim: int = 8, kernel: str = "aut
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, status = _fake_decode_batch(list(pdf["payload"]), feature_dim)
+            if kernel != "stub":
+                # pure-Python real decode for PPM/BMP payloads — runs in any
+                # environment, takes precedence over PIL (deterministic,
+                # library-free)
+                for i, payload in enumerate(pdf["payload"]):
+                    if payload is None:
+                        continue
+                    rgb = _decode_pure(bytes(payload))
+                    if rgb is not None:
+                        feats[i] = _gray_histogram(rgb, feature_dim)
+                        status[i] = "ok_pure"
             if use_pil:
                 for i, (mime, payload) in enumerate(zip(pdf["mime_type"], pdf["payload"])):
+                    if status[i] == "ok_pure":
+                        continue
                     if payload is not None and isinstance(mime, str) and mime.startswith("image/"):
                         real = _pil_feature(bytes(payload), feature_dim)
                         if real is not None:
@@ -211,6 +337,14 @@ def resize_images(
                     widths.append(None)
                     heights.append(None)
                     status.append("decode_unavailable")
+                elif kernel != "stub" and (rgb := _decode_pure(bytes(payload))) is not None:
+                    # pure-Python real kernel: decode → bilinear → PPM re-encode
+                    out_payload.append(
+                        _encode_ppm(_bilinear_resize(rgb, target_width, target_height))
+                    )
+                    widths.append(target_width)
+                    heights.append(target_height)
+                    status.append("ok_pure")
                 elif use_pil:
                     real = _pil_resize(bytes(payload), target_width, target_height)
                     out_payload.append(real)

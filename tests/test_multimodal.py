@@ -83,3 +83,76 @@ def test_resize_stage_stub_semantics(spark):
     assert {k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in out.items()} == {
         k: bytes(v["payload"]) if v["payload"] is not None else None for k, v in again.items()
     }
+
+
+def _ppm_bytes(w=8, h=6):
+    """Gradient P6 image, no external libs."""
+    import numpy as np
+
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    rgb[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    rgb[..., 2] = 7
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes(), rgb
+
+
+def _bmp_bytes(w=4, h=3, color=(200, 10, 10)):
+    """Minimal bottom-up 24-bit BI_RGB BMP."""
+    row = (bytes(color[::-1]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+    pixel_data = row * h
+    offset = 54
+    size = offset + len(pixel_data)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00" + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return header + pixel_data
+
+
+def test_pure_kernel_decodes_ppm_and_bmp(spark):
+    """Real (non-stub) pixel decode without PIL: PPM/BMP payloads must come
+    back `ok_pure` with the actual grayscale histogram of their pixels."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.multimodal import _gray_histogram
+
+    ppm, rgb = _ppm_bytes()
+    bmp = _bmp_bytes()
+    rows = [
+        (1, "image/x-portable-pixmap", bytearray(ppm)),
+        (2, "image/bmp", bytearray(bmp)),
+        (3, "image/png", bytearray(b"\x89PNG-not-really")),
+    ]
+    m = spark.createDataFrame(rows, "media_id long, mime_type string, payload binary")
+    out = {r["media_id"]: r for r in decode_and_featurize(m, 8, kernel="auto").collect()}
+    assert out[1]["decode_status"] == "ok_pure"
+    assert out[2]["decode_status"] == "ok_pure"
+    # feature equals the histogram computed directly from the known pixels
+    assert out[1]["feature"] == _gray_histogram(rgb, 8)
+    assert abs(sum(out[1]["feature"]) - 1.0) < 1e-9
+    # red BMP: every luma value lands in one bin
+    assert max(out[2]["feature"]) == 1.0
+    # undecodable codec format falls back to the stub path, never fails
+    assert out[3]["decode_status"] in ("ok", "decode_failed")
+
+
+def test_pure_kernel_resize_roundtrip(spark):
+    """Resize through the pure path: output re-encodes as PPM at the target
+    dims and decodes back to the expected pixel array shape."""
+    from emdatapipelines_spark.llmdata.multimodal import _decode_ppm, resize_images
+
+    ppm, _ = _ppm_bytes(16, 12)
+    m = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", bytearray(ppm))],
+        "media_id long, mime_type string, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(m, 8, 6, kernel="auto").collect()}
+    assert out[1]["resize_status"] == "ok_pure"
+    assert (out[1]["width"], out[1]["height"]) == (8, 6)
+    decoded = _decode_ppm(bytes(out[1]["payload"]))
+    assert decoded is not None and decoded.shape == (6, 8, 3)
+    # constant-channel plane survives the resample exactly
+    assert (decoded[..., 2] == 7).all()

@@ -19,6 +19,7 @@ from . import relational_ext  # noqa: F401,E402
 from . import quality_queries  # noqa: F401,E402
 from . import extensions  # noqa: F401,E402
 from . import analytics_ext  # noqa: F401,E402
+from . import tpch_ext  # noqa: F401,E402
 
 # Cumulative green (rows+schema+hash) rows across CORRECTNESS_r01.json (49),
 # CORRECTNESS_r02.json (50/50), and CORRECTNESS_r03.json (40/41) — refreshed

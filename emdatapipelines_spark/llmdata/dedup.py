@@ -46,17 +46,29 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingles(text_col: str, n: int):
-    """Word n-gram shingle array (distinct)."""
+    """Word n-gram shingle array (distinct).
+
+    Built as ``n-1`` zip_with passes over shifted slices of the token array
+    instead of a per-window ``slice`` inside ``transform`` — the per-window
+    slice allocates a fresh n-element array per shingle and measured as the
+    dominant cost of every shingle-consuming scan (same finding as
+    ``text.bigram_repetition``). The null-safe concat reproduces the
+    partial-shingle behavior for docs shorter than ``n`` tokens (zip_with
+    pads the shorter shifted slice with nulls; concat_ws in the old form
+    skipped the missing tokens the same way)."""
     toks = F.split(_norm_text(text_col), " ")
     if n == 1:
         return F.array_distinct(toks)
-    # sliding window of n tokens joined by space
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    out_len = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    acc = F.slice(toks, 1, out_len)
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, out_len)
+        acc = F.zip_with(
+            acc,
+            nxt,
+            lambda a, b: F.when(b.isNull(), a).otherwise(F.concat(a, F.lit(" "), b)),
         )
-    )
+    return F.array_distinct(acc)
 
 
 def ngram_jaccard_pairs(

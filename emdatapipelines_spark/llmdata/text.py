@@ -145,6 +145,37 @@ def chunk_tokens(col="text", chunk_size: int = 64, overlap: int = 16) -> Column:
     )
 
 
+def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-trained unigram language-model score per document: mean token
+    surprisal −ln p(w) with add-one smoothing, p(w) = (c(w)+1)/(N+V). The
+    cheap stand-in for perplexity-based quality filtering (CCNet/Gopher
+    style): low mean surprisal ≈ predictable/templated text, high ≈ rare-
+    token noise — both tails are standard pre-training filter targets.
+
+    Two passes, Spark-first: (1) one shuffle builds the token frequency
+    table; (2) the corpus joins against the BROADCAST vocabulary — natural-
+    language vocabularies are dimension-sized (Heaps' law: ~millions of
+    types at 100 TB, well under broadcast limits after a min-count floor) so
+    the scoring pass never shuffles the corpus. N and V are two scalars
+    pulled to the driver (bounded by construction).
+
+    Determinism: per-token surprisal is rounded to 8 dp, summed in exact
+    DECIMAL, then averaged and rounded to 6 (the `davg` convention; ln is
+    cross-engine-stable here — same precedent as the PSI drift score).
+    """
+    tok = df.select(F.col(id_col), F.explode(F.split(_norm(text_col), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n, v = freq.agg(F.sum("c"), F.count(F.lit(1))).first()
+    surp = F.round(-F.log((F.col("c") + F.lit(1.0)) / F.lit(float(n + v))), 8)
+    scored = tok.join(F.broadcast(freq), "w").select(F.col(id_col), surp.alias("s"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_surprisal"),
+    )
+
+
 def fingerprint(col="text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (the classic "fingerprint" canonicalization — robust to token

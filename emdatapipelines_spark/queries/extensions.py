@@ -645,6 +645,33 @@ def tx_tfidf_keywords(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text: corpus-trained unigram LM surprisal (perplexity-style quality score)
+# — vocabulary built in one shuffle, broadcast back for a shuffle-free
+# scoring pass; both filter tails (templated low-surprisal, noisy
+# high-surprisal) are standard pre-training culls.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_unigram_surprisal",
+    f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS w FROM documents),
+    freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c) * 1.0 + COUNT(*) * 1.0 AS nv FROM freq),
+    scored AS (
+      SELECT tok.doc_id, ROUND(-LN((freq.c + 1.0) / tot.nv), 8) AS s
+      FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_unigram_surprisal(spark, sf_dir):
+    from ..llmdata.text import unigram_surprisal
+
+    return unigram_surprisal(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # text: order-insensitive document fingerprint
 # ---------------------------------------------------------------------------
 @query(

@@ -200,27 +200,38 @@ def minhash_lsh_candidates(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sum ±1 across token hashes,
     bit set where the sum is positive. Near-dup distance = hamming distance
-    between fingerprints. Expressed as explode + 64 conditional sums (one
-    shuffle); fingerprint reassembled with bit arithmetic — all JVM-side."""
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(_norm_text(text_col), " "))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    between fingerprints.
+
+    ZERO shuffles: the per-bit ±1 sum is a per-document statistic, so it
+    folds row-locally — hash the distinct-token array once, then per bit
+    count set-bit tokens with an array ``filter`` (sum > 0 ⇔ 2·count_set >
+    n_tokens) and assemble the fingerprint with bit arithmetic. The v1 shape
+    (explode + 64 conditional sums) shuffled the whole token stream to
+    compute what each row already knew (same finding as
+    ``text.bigram_repetition``)."""
     one = F.lit(1).cast("long")
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, i)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    per_bit = toks.groupBy("id").agg(*aggs)
+    zero = F.lit(0).cast("long")
+    # materialize the hash array in its own projection: Catalyst does NOT
+    # common-subexpression-eliminate across higher-order lambdas, so
+    # referencing the transform expression inside all 64 filters would
+    # re-tokenize and re-hash the document 64 times
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.array_distinct(F.split(_norm_text(text_col), " ")), lambda tok: F.xxhash64(tok)
+        ).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    n = F.size(hs)
     fp = None
     for i in range(bits):
         # shiftleft(1L, 63) wraps to Long.MIN_VALUE — exactly the two's
         # complement weight of the sign bit, so the fingerprint fits a long
-        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        mask = F.shiftleft(one, i)
+        cnt = F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
+        term = F.when(cnt * 2 > n, mask).otherwise(zero)
         fp = term if fp is None else fp + term
-    return per_bit.select("id", fp.alias("simhash"))
+    return hashed.select("id", fp.alias("simhash"))
 
 
 def connected_components(

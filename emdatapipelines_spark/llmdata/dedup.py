@@ -264,20 +264,23 @@ def connected_components(
     # it twice, and without this the (expensive) candidate-generation subtree
     # runs once per direction.
     und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(eager=True)
-    edges = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    mirrored = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # self-loops fold the "keep own label" branch into the neighbor-min
+    # aggregate, so each round is ONE join+agg instead of a join+agg followed
+    # by a left-join-back (one shuffle fewer per round)
+    edges = mirrored.union(
+        mirrored.select(F.col("a"), F.col("a").alias("b"))
+    ).distinct()
     edges = edges.persist()
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iter):
-        nbr_min = edges.join(labels, edges["b"] == labels["id"]).groupBy("a").agg(
-            F.min("label").alias("nbr_label")
-        )
-        stepped = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
-            labels["id"].alias("id"),
-            F.least(labels["label"], F.coalesce(nbr_min["nbr_label"], labels["label"])).alias(
-                "label"
-            ),
+        stepped = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("a").alias("id"), "label")
         )
         # pointer jumping: label := label(label). Every label value is itself
         # a node id, so the self-join always resolves; distance doubles.

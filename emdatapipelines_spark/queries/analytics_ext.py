@@ -669,3 +669,84 @@ def sql1_revenue_by_region(spark, sf_dir):
         ORDER BY r.r_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics — weighted PageRank over the nation trade graph
+# (customer nation → supplier nation, weighted by distinct order-line flow).
+# The Pregel-superstep-as-DataFrame pattern: each of the 3 fixed iterations
+# is one join + one combiner aggregate; the oracle unrolls the same three
+# supersteps as CTEs with the identical round-then-decimal-sum arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_pagerank_trade",
+    """
+    WITH flow AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      GROUP BY cn.n_name, sn.n_name),
+    outw AS (SELECT src, SUM(w) AS wtot FROM flow GROUP BY src),
+    nodes AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    m1 AS (SELECT f.dst AS id, CAST(SUM(CAST(ROUND(r0.r * f.w / ow.wtot, 8)
+                                              AS DECIMAL(28,8))) AS DOUBLE) AS m
+           FROM flow f JOIN r0 ON f.src = r0.id JOIN outw ow ON f.src = ow.src
+           GROUP BY f.dst),
+    r1 AS (SELECT nodes.id,
+                  ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(m1.m, 0.0), 8) AS r
+           FROM nodes LEFT JOIN m1 ON nodes.id = m1.id),
+    m2 AS (SELECT f.dst AS id, CAST(SUM(CAST(ROUND(r1.r * f.w / ow.wtot, 8)
+                                              AS DECIMAL(28,8))) AS DOUBLE) AS m
+           FROM flow f JOIN r1 ON f.src = r1.id JOIN outw ow ON f.src = ow.src
+           GROUP BY f.dst),
+    r2 AS (SELECT nodes.id,
+                  ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(m2.m, 0.0), 8) AS r
+           FROM nodes LEFT JOIN m2 ON nodes.id = m2.id),
+    m3 AS (SELECT f.dst AS id, CAST(SUM(CAST(ROUND(r2.r * f.w / ow.wtot, 8)
+                                              AS DECIMAL(28,8))) AS DOUBLE) AS m
+           FROM flow f JOIN r2 ON f.src = r2.id JOIN outw ow ON f.src = ow.src
+           GROUP BY f.dst),
+    r3 AS (SELECT nodes.id,
+                  ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                        + 0.85 * COALESCE(m3.m, 0.0), 8) AS r
+           FROM nodes LEFT JOIN m3 ON nodes.id = m3.id)
+    SELECT id AS nation, r AS rank FROM r3 ORDER BY rank DESC, nation
+    """,
+)
+def gr_pagerank_trade(spark, sf_dir):
+    """Weighted PageRank over nation→nation trade flow (3 supersteps,
+    damping 0.85, `operators/graph.py:pagerank_weighted`). Ranks nations by
+    how much order-line volume flows INTO their suppliers from important
+    buyer nations — the influence score a hand-built aggregate
+    (`disaster_analytics.sql`-style severity rollups in the reference)
+    approximates with one level of weighting; PageRank closes the loop."""
+    from ..operators.graph import pagerank_weighted
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = t(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")))
+    flow = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(cn, F.col("c_nationkey") == F.col("ck"))
+        .join(sn, F.col("s_nationkey") == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_weighted(flow, "src", "dst", "w", iterations=3, damping=0.85)
+    return ranks.select(F.col("id").alias("nation"), "rank").orderBy(
+        F.col("rank").desc(), "nation"
+    )

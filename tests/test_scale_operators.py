@@ -202,3 +202,27 @@ def test_pq_train_deterministic_and_bounded(spark):
     # smaller sample than k: init cycles, shape still exact
     c = pq_train(emb.filter("vec_id < 5"), m=16, k=8, sample_cap=128)
     assert c.shape == (16, 8, 4)
+
+
+def test_pagerank_weighted_known_graph(spark):
+    """Hand-checkable PageRank: a 3-node chain a->b->c (+c->a to avoid
+    dangling mass). With uniform weights and damping 0.85 the ranks must be
+    uniform (the graph is a cycle); breaking symmetry by doubling one edge
+    weight must strictly favor its destination."""
+    from emdatapipelines_spark.operators.graph import pagerank_weighted
+
+    cycle = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], "src string, dst string, w long"
+    )
+    r = {x["id"]: x["rank"] for x in pagerank_weighted(cycle, iterations=3).collect()}
+    assert len(r) == 3 and len(set(r.values())) == 1  # cycle symmetry → uniform
+
+    skew = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "a", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    r2 = {x["id"]: x["rank"] for x in pagerank_weighted(skew, iterations=5).collect()}
+    assert r2["a"] > r2["c"]  # a receives full mass from c plus half from b
+    # deterministic across runs (round-then-decimal-sum convention)
+    r3 = {x["id"]: x["rank"] for x in pagerank_weighted(skew, iterations=5).collect()}
+    assert r2 == r3

@@ -44,13 +44,23 @@ def pagerank_weighted(
     nodes without in-edges hold the teleport base. Ranks are rounded to
     ``scale`` dp each iteration (see module docstring)."""
     outw = edges.groupBy(src).agg(F.sum(weight).alias("wtot"))
-    e = edges.join(outw, src).select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w"), "wtot"
+    # materialize the degree-annotated edge list and node spine ONCE: every
+    # superstep joins against them, and without truncation Spark re-evaluates
+    # the (possibly expensive) edge-derivation subtree per iteration while
+    # the plan doubles in size (same device as connected_components)
+    e = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+            F.col(weight).alias("e_w"), "wtot",
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # bounded driver scalar: node count
     base = (1.0 - damping) / n

@@ -18,7 +18,7 @@ to the unsalted groupBy — only the physical distribution changes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def partial_aggregate(
     df: DataFrame,
@@ -144,3 +144,82 @@ def hll_merge(
     return partials.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out)
     )
+
+
+def histogram_partial(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    out: str = "bin",
+) -> DataFrame:
+    """Fixed-bin histogram partials per group: long-form ``(keys..., bin,
+    bin_count)`` rows, clamped to ``[lo, hi)`` edge bins. The quantile member
+    of the mergeable-partials family (exact sums `partial_aggregate`, HLL
+    distincts `hll_partial`): bin counts merge across grains by plain
+    addition, so daily partials serve weekly/monthly percentiles without
+    re-scanning raw data — and unlike a sketch, the merged result is a
+    DETERMINISTIC function of the counts, hence oracle-checkable.
+
+    At 100 TB: state per group is ≤ nbins longs, the aggregation is a
+    map-side-combined count, and serving any coarser grain reads
+    |groups|·nbins partial rows instead of the fact table.
+    """
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+    clamped = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, clamped.alias(out))
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def quantiles_from_histogram(
+    partials: DataFrame,
+    keys: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Interpolated quantile estimates from (possibly multi-grain-merged)
+    histogram partials: per key and quantile q, locate the first bin whose
+    cumulative count reaches ``q * total`` and interpolate linearly inside
+    it. One window cumsum over ≤ nbins rows per group, then a tiny
+    aggregate — never touches raw rows. Output: one row per key with a
+    ``p{q}`` column per requested quantile, rounded to 6 dp (integer counts
+    in, so the arithmetic is engine-deterministic).
+    """
+    width = (hi - lo) / nbins
+    merged = partials.groupBy(*keys, bin_col).agg(
+        F.sum("bin_count").alias("n")
+    )
+    w = Window.partitionBy(*keys).orderBy(bin_col)
+    cum = merged.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*keys))
+    )
+    aggs = []
+    for q in qs:
+        target = F.lit(q) * F.col("total")
+        # exactly ONE bin contains the target rank: the first whose
+        # cumulative count reaches it AND whose predecessor cumulative was
+        # still short of it — without the second conjunct every later bin
+        # also matches and its (negative-fraction) interpolation poisons the
+        # aggregate. min() then just extracts the single qualifying value.
+        in_bin = (F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target)
+        est = F.when(
+            in_bin,
+            F.lit(lo)
+            + (
+                F.col(bin_col)
+                + (target - (F.col("cum") - F.col("n"))) / F.col("n")
+            )
+            * F.lit(width),
+        )
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        aggs.append(F.round(F.min(est), 6).alias(name))
+    return cum.groupBy(*keys).agg(*aggs)

@@ -750,3 +750,51 @@ def gr_pagerank_trade(spark, sf_dir):
     return ranks.select(F.col("id").alias("nation"), "rank").orderBy(
         F.col("rank").desc(), "nation"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram partials → interpolated quantiles. The quantile member
+# of the reaggregation family (a19 exact sums, a21 HLL distincts): daily
+# fixed-bin partials merge to any coarser grain by addition, and the
+# percentile estimate is a deterministic function of the counts — so unlike
+# a sketch it is oracle-checkable. The Spark side deliberately builds DAILY
+# partials and merges them; the oracle computes the direct per-type
+# histogram — identical by the merge identity.
+# ---------------------------------------------------------------------------
+@query(
+    "a22_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT event_type,
+             LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), 49) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), 49)),
+    c AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h)
+    SELECT event_type,
+           ROUND(MIN(CASE WHEN cum >= 0.5 * total AND cum - n < 0.5 * total
+                 THEN 0.0 + (bin + (0.5 * total - (cum - n)) / n) * 10.0 END), 6) AS p50,
+           ROUND(MIN(CASE WHEN cum >= 0.9 * total AND cum - n < 0.9 * total
+                 THEN 0.0 + (bin + (0.9 * total - (cum - n)) / n) * 10.0 END), 6) AS p90,
+           ROUND(MIN(CASE WHEN cum >= 0.99 * total AND cum - n < 0.99 * total
+                 THEN 0.0 + (bin + (0.99 * total - (cum - n)) / n) * 10.0 END), 6) AS p99
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a22_histogram_quantiles(spark, sf_dir):
+    """p50/p90/p99 of event value per type, served from MERGED daily
+    histogram partials (`operators/reaggregate.py: histogram_partial/
+    quantiles_from_histogram`) — the serving layer never re-touches raw
+    rows; the oracle's direct histogram equals the merged partials by the
+    additive-merge identity."""
+    from ..operators.reaggregate import histogram_partial, quantiles_from_histogram
+
+    e = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = histogram_partial(e, ["event_type", "day"], "value", 0.0, 500.0, 50)
+    return quantiles_from_histogram(
+        daily.drop("day"), ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 50
+    ).orderBy("event_type")

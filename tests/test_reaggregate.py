@@ -120,3 +120,62 @@ def test_hll_sketch_merge_deterministic_and_accurate(spark):
     two_level = hll_merge(weekly, ["month"]).collect()[0]["approx_distinct"]
     for est in (run1, two_level):
         assert abs(est - 997) / 997 < 0.05
+
+
+def test_histogram_partials_merge_identity(spark):
+    """Daily histogram partials merged to the type grain must serve the SAME
+    quantiles as partials built directly at the type grain — the additive
+    merge identity that makes stored daily partials a valid serving layer."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.operators.reaggregate import (
+        histogram_partial,
+        quantiles_from_histogram,
+    )
+    from emdatapipelines_spark.queries.registry import t
+
+    e = t(spark, "/root/testdata/sf0.001", "events").withColumn("day", F.to_date("ts"))
+    daily = histogram_partial(e, ["event_type", "day"], "value", 0.0, 500.0, 50)
+    direct = histogram_partial(e, ["event_type"], "value", 0.0, 500.0, 50)
+    qs = [0.5, 0.9, 0.99]
+    via_merge = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in quantiles_from_histogram(
+            daily.drop("day"), ["event_type"], qs, 0.0, 500.0, 50
+        ).collect()
+    }
+    via_direct = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in quantiles_from_histogram(direct, ["event_type"], qs, 0.0, 500.0, 50).collect()
+    }
+    assert via_merge == via_direct and len(via_merge) > 0
+    # estimates are ordered and inside the histogram range
+    for p50, p90, p99 in via_merge.values():
+        assert 0.0 <= p50 <= p90 <= p99 <= 500.0
+
+
+def test_histogram_quantile_accuracy_vs_exact(spark):
+    """Interpolated estimates land within one bin width of the exact
+    percentile (the histogram resolution guarantee)."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.operators.reaggregate import (
+        histogram_partial,
+        quantiles_from_histogram,
+    )
+    from emdatapipelines_spark.queries.registry import t
+
+    e = t(spark, "/root/testdata/sf0.001", "events")
+    h = histogram_partial(e, ["event_type"], "value", 0.0, 500.0, 50)
+    est = {
+        r["event_type"]: r["p90"]
+        for r in quantiles_from_histogram(h, ["event_type"], [0.9], 0.0, 500.0, 50).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)").alias("x"))
+        .collect()
+    }
+    for k, v in est.items():
+        assert abs(v - exact[k]) <= 10.0 + 1e-6  # one bin width

@@ -31,7 +31,7 @@ retention trims them, double-counting a replayed batch).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.reaggregate import combine_partials, partial_aggregate
@@ -122,6 +122,73 @@ def incremental_rollup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(batch_df, batch_id, table_path, keys, measures, scale)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_histogram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+) -> bool:
+    """Apply one microbatch to a HISTOGRAM-partial table (the quantile
+    member of the mergeable family — `operators/reaggregate.py:
+    histogram_partial`): batch bin counts add onto the stored counts, so the
+    table serves interpolated percentiles (`quantiles_from_histogram`) at
+    any grain without re-reading the stream's history. Same replay contract
+    as :func:`apply_rollup_batch` (monotone ``max_batch_id``)."""
+    from ..operators.reaggregate import histogram_partial
+
+    hw = applied_batch_watermark(table_path)
+    if hw is not None and batch_id <= hw:
+        return False
+    spark = batch_df.sparkSession
+    partials = histogram_partial(batch_df, keys, col, lo, hi, nbins)
+    try:
+        current = read_versioned(spark, table_path)
+    except FileNotFoundError:
+        combined = partials
+    else:
+        combined = (
+            current.unionByName(partials)
+            .groupBy(*keys, "bin")
+            .agg(F.sum("bin_count").alias("bin_count"))
+        )
+    write_versioned(
+        combined,
+        table_path,
+        meta={"batch_id": batch_id, "max_batch_id": batch_id if hw is None else max(hw, batch_id)},
+    )
+    return True
+
+
+def incremental_histogram_rollup(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    col: str,
+    lo: float,
+    hi: float,
+    checkpoint_dir: str,
+    nbins: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain streaming histogram partials: stream → per-batch bin counts
+    → additive merge into the versioned table. Readers serve p50/p90/p99
+    from the stored partials while the stream runs."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_histogram_batch(batch_df, batch_id, table_path, keys, col, lo, hi, nbins)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

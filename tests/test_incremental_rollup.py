@@ -151,3 +151,44 @@ def test_streaming_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
     got = spark.table("dedup_wm")
     assert got.count() == events.count()
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_histogram_rollup_serves_batch_quantiles(spark, tmp_path):
+    """Streamed histogram partials must serve the same interpolated
+    percentiles as a batch-built histogram — live quantiles from stored
+    partials, never re-reading stream history."""
+    from emdatapipelines_spark.operators.reaggregate import (
+        histogram_partial,
+        quantiles_from_histogram,
+    )
+    from emdatapipelines_spark.streaming.incremental import incremental_histogram_rollup
+
+    events = t(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = stream_source(
+        spark, "file", schema=batch.schema, path=src, max_files_per_trigger=1
+    ).drop("proc_time")
+    table = str(tmp_path / "hist")
+    q = incremental_histogram_rollup(
+        stream, table, ["event_type"], "value", 0.0, 500.0,
+        checkpoint_dir=str(tmp_path / "ckpt"), nbins=50,
+    )
+    q.awaitTermination(120)
+
+    served = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in quantiles_from_histogram(
+            read_versioned(spark, table), ["event_type"], [0.5, 0.9], 0.0, 500.0, 50
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in quantiles_from_histogram(
+            histogram_partial(batch, ["event_type"], "value", 0.0, 500.0, 50),
+            ["event_type"], [0.5, 0.9], 0.0, 500.0, 50,
+        ).collect()
+    }
+    assert served == direct and len(served) > 0

@@ -1188,3 +1188,44 @@ def tx_vocab_freq(spark, sf_dir):
         .orderBy(F.desc("cf"), "term")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# text: C4-style line-level cleaning (Raffel et al. 2020 §2.2), previously
+# unit-only — driver-verified here. Fixture docs are single-line, so the
+# query first re-wraps sentences into lines deterministically ('. ' → '.\n')
+# in BOTH engines, then filters lines (≥4 words, terminal punctuation, no
+# blocklisted phrase) with higher-order functions — split → filter-lambda →
+# array_join stays in one codegen'd scan, no UDF, no explode.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_c4_line_filter",
+    """
+    WITH wrapped AS (
+      SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text
+      FROM documents),
+    filtered AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+               x -> len(string_split_regex(trim(x), '\\s+')) >= 4
+                    AND regexp_matches(x, '[.!?"]\\s*$')
+                    AND NOT contains(lower(x), 'javascript')
+                    AND NOT contains(lower(x), 'lorem ipsum')
+                    AND NOT contains(lower(x), 'cookie policy')
+                    AND NOT contains(lower(x), '{')) AS kept
+      FROM wrapped)
+    SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS INT) AS kept_lines
+    FROM filtered WHERE len(kept) >= 1
+    """,
+)
+def tx_c4_line_filter(spark, sf_dir):
+    from ..llmdata.text import apply_c4_line_filter
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n")
+    )
+    out = apply_c4_line_filter(d, min_words_per_line=4)
+    return out.select(
+        "doc_id", F.col("text").alias("clean_text"), F.col("kept_lines").cast("int")
+    )

@@ -189,7 +189,15 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
     m = _manifest(path, v)
     frames = []
     if m["data_dirs"]:
-        frames.append(spark.read.parquet(*[os.path.join(path, d) for d in m["data_dirs"]]))
+        # mergeSchema: additive schema evolution — an append commit may carry
+        # columns older snapshots lack; without the merged footer schema the
+        # read silently DROPS the new columns (first footer wins). Old rows
+        # surface null for added columns, the standard lakehouse semantic.
+        frames.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(path, d) for d in m["data_dirs"]]
+            )
+        )
     for e in m.get("pinned") or []:
         frames.append(
             spark.read.parquet(os.path.join(path, e["dir"])).withColumn(
@@ -198,7 +206,7 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
         )
     if not frames:
         raise FileNotFoundError(f"snapshot v={v} at {path} references no data")
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
 
 
 def history(path: str) -> list[dict]:

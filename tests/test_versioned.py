@@ -253,3 +253,25 @@ def test_drop_partitions_requires_partitioned_table(spark, tmp_path):
     write_versioned(spark.range(10), p)
     with _pytest.raises(ValueError, match="not partitioned"):
         drop_partitions(spark, p, "day", keep=lambda v: True)
+
+
+def test_additive_schema_evolution_on_append(spark, tmp_path):
+    """An append commit may add columns: readers of the merged snapshot see
+    the union schema with nulls for pre-evolution rows (without mergeSchema
+    the first parquet footer wins and the new column is silently DROPPED),
+    while time travel to the old version keeps the old schema."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tbl")
+    write_versioned(spark.range(3).withColumnRenamed("id", "k"), d)
+    write_versioned(
+        spark.range(3, 5).withColumnRenamed("id", "k").withColumn("extra", F.lit("x")),
+        d,
+        mode="append",
+    )
+    cur = read_versioned(spark, d)
+    assert set(cur.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in cur.collect()}
+    assert len(rows) == 5
+    assert rows[4] == "x" and rows[0] is None  # old rows null-filled
+    assert read_versioned(spark, d, version=0).columns == ["k"]  # time travel

@@ -1229,3 +1229,116 @@ def tx_c4_line_filter(spark, sf_dir):
     return out.select(
         "doc_id", F.col("text").alias("clean_text"), F.col("kept_lines").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 — rule-based recommendations, data-plane twin of ml/recommend.py
+# (reference assets/ml_assets.py:430-571). The driver-side API consumes a
+# handful of scalars; this query derives those scalars FROM the data on both
+# engines (tail-event rate vs a decimal-exact mean+2sigma threshold, invalid
+# -value fraction, pinned-clock month) and emits the fired action rows, so
+# the threshold ladder itself is oracle-verified.
+# ---------------------------------------------------------------------------
+@query(
+    "m4_recommendations",
+    """
+    WITH m AS (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+                      CAST(SUM(CAST(value*value AS DECIMAL(38,4))) AS DOUBLE) AS ss,
+                      CAST(COUNT(value) AS DOUBLE) AS n FROM events),
+    scalars AS (
+      SELECT
+        (SELECT COUNT(*) FROM events, m
+         WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+           AND value > m.s/m.n + 2*sqrt((m.ss - m.s*m.s/m.n)/(m.n-1)))
+          * 1.0 / (SELECT COUNT(*) FROM events) AS hi_rate,
+        (SELECT SUM(CASE WHEN value <= 0 OR value IS NULL THEN 1 ELSE 0 END) * 1.0
+                / COUNT(*) FROM events) AS invalid_frac),
+    levels AS (
+      SELECT CASE WHEN hi_rate >= 0.02 THEN 'CRITICAL'
+                  WHEN hi_rate >= 0.005 THEN 'HIGH' ELSE 'NORMAL' END AS risk_level,
+             CASE WHEN invalid_frac > 0.2 THEN 'POOR'
+                  WHEN invalid_frac > 0.05 THEN 'FAIR' ELSE 'GOOD' END AS quality_status
+      FROM scalars),
+    recs AS (
+      SELECT 1 AS priority, 'operations' AS category,
+             'escalate monitoring cadence: recent risk ' || risk_level AS action
+      FROM levels WHERE risk_level IN ('HIGH', 'CRITICAL')
+      UNION ALL
+      SELECT 2, 'data_quality',
+             'investigate ingestion quality (status ' || quality_status || ')'
+      FROM levels WHERE quality_status IN ('FAIR', 'POOR')
+      UNION ALL
+      SELECT 3, 'seasonal', 'enable winter-storm monitoring')
+    SELECT CAST(priority AS INT) AS priority, category, action FROM recs
+    ORDER BY priority, category
+    """,
+)
+def m4_recommendations(spark, sf_dir):
+    """Fired action list (priority 1 = act now). The seasonal row comes from
+    the pinned clock (AS_OF 2024-02-01 → month 2 → winter-storm watch,
+    `ml/recommend.py:_SEASONAL_WATCH`); risk/quality levels derive from the
+    same decimal-exact moment statistics the risk-band query uses."""
+    e = t(spark, sf_dir, "events")
+    m = e.agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,4)")).cast("double").alias("ss"),
+        F.count("value").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") <= 0), 1).otherwise(0)
+        ).alias("n_invalid"),
+    )
+    thr = F.col("s") / F.col("n") + 2 * F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    hi = e.select("ts", "value").crossJoin(F.broadcast(m)).filter(
+        (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        & (F.col("value") > thr)
+    ).agg(F.count(F.lit(1)).alias("hi_n"))
+    scalars = m.crossJoin(F.broadcast(hi)).select(
+        (F.col("hi_n") * 1.0 / F.col("n_all")).alias("hi_rate"),
+        (F.col("n_invalid") * 1.0 / F.col("n_all")).alias("invalid_frac"),
+    )
+    risk = (
+        F.when(F.col("hi_rate") >= 0.02, "CRITICAL")
+        .when(F.col("hi_rate") >= 0.005, "HIGH")
+        .otherwise("NORMAL")
+    )
+    qual = (
+        F.when(F.col("invalid_frac") > 0.2, "POOR")
+        .when(F.col("invalid_frac") > 0.05, "FAIR")
+        .otherwise("GOOD")
+    )
+    rows = scalars.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("priority"),
+                    F.lit("operations").alias("category"),
+                    F.concat(F.lit("escalate monitoring cadence: recent risk "), risk).alias(
+                        "action"
+                    ),
+                    risk.isin("HIGH", "CRITICAL").alias("fired"),
+                ),
+                F.struct(
+                    F.lit(2).alias("priority"),
+                    F.lit("data_quality").alias("category"),
+                    F.concat(
+                        F.lit("investigate ingestion quality (status "), qual, F.lit(")")
+                    ).alias("action"),
+                    qual.isin("FAIR", "POOR").alias("fired"),
+                ),
+                F.struct(
+                    F.lit(3).alias("priority"),
+                    F.lit("seasonal").alias("category"),
+                    F.lit("enable winter-storm monitoring").alias("action"),
+                    F.lit(True).alias("fired"),
+                ),
+            )
+        ).alias("r")
+    )
+    return (
+        rows.filter(F.col("r.fired"))
+        .select(F.col("r.priority").cast("int").alias("priority"), "r.category", "r.action")
+        .orderBy("priority", "category")
+    )

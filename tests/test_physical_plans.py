@@ -63,6 +63,7 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
 #:   sim_cosine_topk: non-equi (id != id) join against broadcast query set
 BNLJ_ALLOWED = {
     "ml_risk_bands",
+    "m4_recommendations",  # crossJoin(broadcast(1-row moments/tail-rate aggregates))
     "q2_outliers",
     "q3_consistency",
     "q6_concentration",

@@ -1342,3 +1342,55 @@ def m4_recommendations(spark, sf_dir):
         .select(F.col("r.priority").cast("int").alias("priority"), "r.category", "r.action")
         .orderBy("priority", "category")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: cluster-safe train/val split — the split key is the near-dup CLUSTER
+# representative, not the doc id, so near-duplicates can never straddle the
+# boundary (the standard leakage: a train doc's near-copy in the eval split
+# inflates every metric). Same md5-bucket threshold convention as the
+# training-mix sampler; same recursive-CTE cluster oracle as dd_cluster_assign.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_cluster_safe_split",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_EDGES_SQL}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+    clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    tagged AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)),
+                                 1, 4) < '1000'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def llm_cluster_safe_split(spark, sf_dir):
+    from ..llmdata.dedup import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
+    clusters = connected_components(pairs)
+    rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    tagged = d.join(clusters, "doc_id", "left").withColumn(
+        "split",
+        F.when(F.substring(F.md5(rep.cast("string")), 1, 4) < "1000", "val").otherwise(
+            "train"
+        ),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("split")
+    )

@@ -798,3 +798,73 @@ def a22_histogram_quantiles(spark, sf_dir):
     return quantiles_from_histogram(
         daily.drop("day"), ["event_type"], [0.5, 0.9, 0.99], 0.0, 500.0, 50
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample + forward fill: a complete daily spine per entity
+# (generated, not joined — the spine explodes off the distinct-entity frame
+# so no cross join appears in the plan) left-joined with sparse daily
+# aggregates, gaps carried forward with last_value(ignoreNulls). The gauge
+# resampling every dashboard needs over irregular samples; window shares the
+# entity partitioning with the join.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_resample_ffill",
+    """
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    days AS (SELECT CAST(UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                                INTERVAL 1 DAY)) AS DATE) AS day),
+    spine AS (SELECT event_type, day FROM types CROSS JOIN days),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6)
+               AS v
+      FROM events WHERE value > 450
+      GROUP BY event_type, CAST(ts AS DATE)),
+    joined AS (
+      SELECT s.event_type, s.day, d.v
+      FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day)
+    SELECT event_type, day,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+    FROM joined ORDER BY event_type, day
+    """,
+)
+def ts_resample_ffill(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ),
+        )
+    )
+    daily = (
+        e.filter(F.col("value") > 450)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double") / F.count("value"),
+                6,
+            ).alias("v")
+        )
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+    ).orderBy("event_type", "day")

@@ -22,11 +22,17 @@ overwrite commits stay cheap even when the raw fact table is 100 TB.
 
 Exactly-once bookkeeping: every commit records BOTH its own ``batch_id`` and
 the monotone high-water mark ``max_batch_id``. Structured Streaming replays
-only batches ≤ the last committed epoch, so "already applied" is the
-comparison ``batch_id <= max_batch_id`` against the LATEST retained commit —
-it survives ``compact`` + ``vacuum`` dropping the old per-batch history
-entries (a set-membership scan over history would forget applied ids once
-retention trims them, double-counting a replayed batch).
+only the LAST committed epoch after a crash, so "already applied" is the
+comparison ``batch_id == watermark``, where the watermark is the max of
+``max_batch_id``/``batch_id`` over ALL retained commits
+(``versioned.batch_watermark``) — it survives ``compact`` + ``vacuum``
+dropping the old per-batch history entries in any maintenance-commit order.
+A batch id BELOW the watermark is not a replay at all: it is the signature
+of a fresh checkpoint (epoch ids restart at 0) pointed at an existing table,
+and it raises :class:`StaleBatchError` instead of silently dropping data.
+Batch ids are only comparable within one checkpoint lineage; deliberately
+re-pointing a table at a new checkpoint goes through
+``versioned.reset_batch_watermark``.
 """
 
 from __future__ import annotations
@@ -35,20 +41,50 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.reaggregate import combine_partials, partial_aggregate
-from ..versioned import history, read_versioned, write_versioned
+from ..versioned import batch_watermark, read_versioned, write_versioned
+
+
+class StaleBatchError(RuntimeError):
+    """A batch id arrived FAR below the table's applied-batch high-water
+    mark. Structured Streaming only ever redelivers the LAST epoch after a
+    crash (batch_id == watermark), so a lower id means the query is running
+    against a DIFFERENT checkpoint than the one that built the table —
+    typically a fresh checkpoint whose epoch ids restarted at 0. Silently
+    skipping such batches would drop their data (every id below the stale
+    mark looks "already applied"); failing loudly forces the operator to
+    either point the query back at its original checkpoint or call
+    ``versioned.reset_batch_watermark(table_path)`` after deliberately
+    re-pointing the table at a new checkpoint."""
 
 
 def applied_batch_watermark(table_path: str) -> int | None:
     """Highest batch id known to be applied, from any RETAINED commit's meta
     (``max_batch_id`` preferred, per-commit ``batch_id`` as fallback for
-    tables written before the high-water mark existed)."""
-    hw: int | None = None
-    for h in history(table_path):
-        for k in ("max_batch_id", "batch_id"):
-            v = h["meta"].get(k)
-            if v is not None and (hw is None or v > hw):
-                hw = v
-    return hw
+    tables written before the high-water mark existed). Delegates to
+    ``versioned.batch_watermark`` (max over ALL retained manifests, honoring
+    ``watermark_reset`` markers)."""
+    return batch_watermark(table_path)
+
+
+def _replay_check(batch_id: int, hw: int | None, table_path: str) -> bool:
+    """True ⇔ skip: ``batch_id == hw`` is the one legitimate replay
+    Structured Streaming produces (the last epoch re-run after a crash).
+    ``batch_id < hw`` is the fresh-checkpoint signature → raise. Every
+    writer in this module SHARES the table's checkpoint lineage as a
+    precondition: batch ids are only comparable within one checkpoint."""
+    if hw is None or batch_id > hw:
+        return False
+    if batch_id < hw:
+        raise StaleBatchError(
+            f"batch_id={batch_id} is below the applied-batch watermark {hw} "
+            f"of {table_path!r}; a restarted query only replays the last "
+            "epoch, so this query is using a different (likely fresh) "
+            "checkpoint than the one that built this table. Restore the "
+            "original checkpointLocation, or call "
+            "versioned.reset_batch_watermark(table_path) to deliberately "
+            "re-seed the table from a new checkpoint."
+        )
+    return True
 
 
 def dedup_within_watermark(
@@ -75,9 +111,15 @@ def apply_rollup_batch(
     scale: int = 2,
 ) -> bool:
     """Apply one microbatch to the partial-rollup table. Returns False if the
-    batch was already applied (replay after restart) and was skipped."""
+    batch was already applied (replay after restart) and was skipped.
+
+    Precondition: all batches for ``table_path`` come from ONE streaming
+    checkpoint lineage — batch ids are epoch ids, comparable only within a
+    checkpoint. A fresh checkpoint (ids restarting at 0) raises
+    :class:`StaleBatchError` instead of silently dropping data; see
+    ``versioned.reset_batch_watermark`` for the deliberate-reset path."""
     hw = applied_batch_watermark(table_path)
-    if hw is not None and batch_id <= hw:
+    if _replay_check(batch_id, hw, table_path):
         return False
     spark = batch_df.sparkSession
     partials = partial_aggregate(batch_df, keys, measures, scale)
@@ -146,11 +188,12 @@ def apply_histogram_batch(
     histogram_partial`): batch bin counts add onto the stored counts, so the
     table serves interpolated percentiles (`quantiles_from_histogram`) at
     any grain without re-reading the stream's history. Same replay contract
-    as :func:`apply_rollup_batch` (monotone ``max_batch_id``)."""
+    as :func:`apply_rollup_batch` (monotone ``max_batch_id``, same
+    single-checkpoint precondition and :class:`StaleBatchError` behavior)."""
     from ..operators.reaggregate import histogram_partial
 
     hw = applied_batch_watermark(table_path)
-    if hw is not None and batch_id <= hw:
+    if _replay_check(batch_id, hw, table_path):
         return False
     spark = batch_df.sparkSession
     partials = histogram_partial(batch_df, keys, col, lo, hi, nbins)
@@ -214,11 +257,10 @@ def incremental_upsert(
     batch replays a detected no-op instead of a double-merge.
     """
     from ..operators.upsert import upsert_last_wins
-    from ..versioned import history, read_versioned, write_versioned
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         hw = applied_batch_watermark(table_path)
-        if hw is not None and batch_id <= hw:
+        if _replay_check(batch_id, hw, table_path):
             return
         spark = batch_df.sparkSession
         try:

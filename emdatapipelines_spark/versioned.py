@@ -188,15 +188,18 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
         raise FileNotFoundError(f"no committed snapshot at {path}")
     m = _manifest(path, v)
     frames = []
-    if m["data_dirs"]:
-        # mergeSchema: additive schema evolution — an append commit may carry
-        # columns older snapshots lack; without the merged footer schema the
-        # read silently DROPS the new columns (first footer wins). Old rows
-        # surface null for added columns, the standard lakehouse semantic.
+    # mergeSchema: additive schema evolution — an append commit may carry
+    # columns older snapshots lack; without the merged footer schema the
+    # read silently DROPS the new columns (first footer wins). Old rows
+    # surface null for added columns, the standard lakehouse semantic.
+    # One read PER data root (not one multi-root read): with partitioned
+    # tables, multi-root partition discovery anchors at the roots' common
+    # ancestor and trips over the v=N/data segments
+    # (CONFLICTING_DIRECTORY_STRUCTURES); per-root reads discover each
+    # root's own partition columns and the union re-aligns by name.
+    for d in m["data_dirs"]:
         frames.append(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(path, d) for d in m["data_dirs"]]
-            )
+            spark.read.option("mergeSchema", "true").parquet(os.path.join(path, d))
         )
     for e in m.get("pinned") or []:
         frames.append(
@@ -224,6 +227,59 @@ def history(path: str) -> list[dict]:
         row["meta"] = m.get("meta", {})
         out.append(row)
     return out
+
+
+def batch_watermark(path: str) -> int | None:
+    """Highest applied streaming batch id recorded in ANY retained commit's
+    meta (``max_batch_id`` preferred, per-commit ``batch_id`` fallback),
+    scanning newest→oldest. This is the source of truth the exactly-once
+    layer (`streaming/incremental.py`) checks replays against; scanning ALL
+    retained manifests — not just the latest — is what makes the mark
+    survive any interleaving of maintenance commits (a retention commit
+    landing after the last rollup commit must not hide the mark from a
+    subsequent ``compact`` + ``vacuum``).
+
+    A commit whose meta carries ``watermark_reset`` stops the scan: ids at
+    or before the reset point are forgotten, which is how a table is
+    re-pointed at a FRESH checkpoint (whose epoch ids restart at 0) without
+    every new batch being mistaken for a replay (see
+    :func:`reset_batch_watermark`)."""
+    latest = _latest_version(path)
+    if latest is None:
+        return None
+    hw: int | None = None
+    for v in range(latest, -1, -1):
+        try:
+            m = _manifest(path, v)
+        except OSError:
+            continue  # vacuumed
+        meta = m.get("meta") or {}
+        if meta.get("watermark_reset"):
+            break
+        for k in ("max_batch_id", "batch_id"):
+            val = meta.get(k)
+            if val is not None and (hw is None or val > hw):
+                hw = val
+    return hw
+
+
+def reset_batch_watermark(path: str) -> None:
+    """Forget the applied-batch high-water mark: marks the LATEST manifest
+    so :func:`batch_watermark` stops scanning at it. Use when deliberately
+    re-pointing a table at a fresh streaming checkpoint (epoch ids restart
+    at 0) — without the reset, every batch below the stale mark would be
+    silently treated as a replay and skipped, losing data. Metadata-only:
+    snapshot content and readers are unaffected."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    vdir = os.path.join(path, f"v={latest}")
+    m = _manifest(path, latest)
+    m.setdefault("meta", {})["watermark_reset"] = True
+    tmp = os.path.join(vdir, f"{_MANIFEST}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(m, fh)
+    os.replace(tmp, os.path.join(vdir, _MANIFEST))
 
 
 def vacuum(path: str, keep_last: int = 2) -> list[int]:
@@ -339,12 +395,14 @@ def compact(spark: SparkSession, path: str, num_files: int | None = None) -> int
     meta: dict = {"compaction_of": latest}
     # carry the streaming exactly-once high-water mark through maintenance:
     # after vacuum drops pre-compaction commits, this commit's meta is the
-    # only survivor recording which batch ids were applied
-    # (streaming/incremental.py `applied_batch_watermark`)
-    src_meta = _manifest(path, latest).get("meta") or {}
-    for k in ("max_batch_id", "batch_id"):
-        if k in src_meta:
-            meta.setdefault("max_batch_id", src_meta[k])
+    # only survivor recording which batch ids were applied. Derived from ALL
+    # retained manifests, not just the latest — the latest commit may be a
+    # retention commit whose meta never carried the mark, and taking only
+    # its meta would drop the mark and double-count a replayed batch after
+    # compact+vacuum.
+    hw = batch_watermark(path)
+    if hw is not None:
+        meta["max_batch_id"] = hw
     return write_versioned(cur, path, meta=meta)
 
 
@@ -396,6 +454,12 @@ def drop_partitions(
     version = latest + 1
     vdir = os.path.join(path, f"v={version}")
     os.makedirs(vdir, exist_ok=True)
+    # propagate the exactly-once high-water mark so a retention commit being
+    # the latest when compact/vacuum run cannot lose it
+    ret_meta: dict = {"retained_partitions": len(pinned)}
+    hw = batch_watermark(path)
+    if hw is not None:
+        ret_meta["max_batch_id"] = hw
     manifest = {
         "version": version,
         "mode": "retention",
@@ -404,7 +468,7 @@ def drop_partitions(
         "pinned": pinned,
         "partition_by": m.get("partition_by", []),
         "committed_at": time.time(),
-        "meta": {"retained_partitions": len(pinned)},
+        "meta": ret_meta,
     }
     with open(os.path.join(vdir, _MANIFEST), "w", encoding="utf-8") as fh:
         json.dump(manifest, fh)

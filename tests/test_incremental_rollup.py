@@ -120,6 +120,67 @@ def test_replay_after_compact_and_vacuum_not_double_counted(spark, tmp_path):
     assert _serve(spark, table) == want  # no double-count
 
 
+def test_watermark_survives_retention_commit_then_compact(spark, tmp_path):
+    """The maintenance-interleaving hazard: a retention (drop_partitions)
+    commit lands AFTER the last rollup commit, then compact+vacuum run.
+    compact must derive the carried watermark from ALL retained manifests —
+    taking only the latest (the retention commit) would drop it and a
+    replayed batch would double-count."""
+    from emdatapipelines_spark.versioned import (
+        batch_watermark,
+        compact,
+        drop_partitions,
+        history,
+        vacuum,
+        write_versioned,
+    )
+
+    table = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "day INT, x DOUBLE")
+    write_versioned(df, table, partition_by=["day"], meta={"batch_id": 0, "max_batch_id": 0})
+    write_versioned(
+        df.filter("day = 2"), table, mode="append",
+        partition_by=["day"], meta={"batch_id": 1, "max_batch_id": 1},
+    )
+    drop_partitions(spark, table, "day", keep=lambda v: v == "2")  # retention latest
+    assert history(table)[-1]["meta"]["max_batch_id"] == 1  # propagated
+    compact(spark, table)
+    vacuum(table, keep_last=1)
+    assert len(history(table)) == 1  # only the compaction commit survives
+    assert batch_watermark(table) == 1  # the mark rode through maintenance
+
+
+def test_fresh_checkpoint_fails_loudly_and_reset_recovers(spark, tmp_path):
+    """A batch id FAR below the watermark is the fresh-checkpoint signature
+    (epoch ids restart at 0): silently skipping would lose data, so it must
+    raise; after an explicit reset_batch_watermark the new lineage applies."""
+    import pytest
+
+    from emdatapipelines_spark.streaming.incremental import StaleBatchError
+    from emdatapipelines_spark.versioned import reset_batch_watermark
+
+    events = t(spark, SF_SMALL, "events")
+    table = str(tmp_path / "rollup")
+    for i in range(3):
+        assert apply_rollup_batch(
+            events.filter(f"event_id % 3 = {i}"), i, table, ["event_type"], {"value": "value"}
+        )
+    # batch_id == watermark: the one legitimate Structured Streaming replay
+    assert not apply_rollup_batch(
+        events.filter("event_id % 3 = 2"), 2, table, ["event_type"], {"value": "value"}
+    )
+    # batch_id < watermark: different checkpoint — loud failure, no data loss
+    with pytest.raises(StaleBatchError):
+        apply_rollup_batch(
+            events.filter("event_id % 3 = 0"), 0, table, ["event_type"], {"value": "value"}
+        )
+    # deliberate re-point at a new checkpoint: reset, then id 0 applies again
+    reset_batch_watermark(table)
+    assert apply_rollup_batch(
+        events.limit(0), 0, table, ["event_type"], {"value": "value"}
+    )
+
+
 def test_streaming_dedup_within_watermark_drops_late_duplicate(spark, tmp_path):
     """dropDuplicatesWithinWatermark (T8's streaming twin): a duplicate key
     redelivered in a LATER microbatch, within the watermark horizon, must be

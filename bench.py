@@ -66,7 +66,8 @@ def main() -> int:
             # keep head+tail so the artifact records the full exception class
             # and the end of the message (truncating mid-token loses both)
             msg = f"{type(exc).__name__}: {exc}"
-            failures[name] = msg if len(msg) <= 700 else msg[:350] + " ... " + msg[-350:]
+            # artifact keeps first+last 2 KB (stdout line carries names only)
+            failures[name] = msg if len(msg) <= 4096 else msg[:2048] + " ... " + msg[-2048:]
 
     total = round(sum(timings.values()), 4)
     line = {

@@ -208,7 +208,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     n_tokens) and assemble the fingerprint with bit arithmetic. The v1 shape
     (explode + 64 conditional sums) shuffled the whole token stream to
     compute what each row already knew (same finding as
-    ``text.bigram_repetition``)."""
+    ``text.bigram_repetition``).
+
+    Output contract: one row per input row WITH at least one token —
+    null/empty-token documents are dropped (an empty doc has no meaningful
+    fingerprint; emitting the all-zero word would pair every empty doc as a
+    hamming-distance-0 near-dup). Duplicate ids are NOT collapsed: callers
+    feeding non-unique ids get one fingerprint row per input row."""
     one = F.lit(1).cast("long")
     zero = F.lit(0).cast("long")
     # materialize the hash array in its own projection: Catalyst does NOT
@@ -218,7 +224,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     hashed = docs.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(F.split(_norm_text(text_col), " ")), lambda tok: F.xxhash64(tok)
+            # array_remove drops the "" token a split of empty/whitespace
+            # text produces, so blank docs land size-0 and are filtered out
+            F.array_remove(F.array_distinct(F.split(_norm_text(text_col), " ")), ""),
+            lambda tok: F.xxhash64(tok),
         ).alias("__hs"),
     )
     hs = F.col("__hs")
@@ -231,7 +240,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
         cnt = F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
         term = F.when(cnt * 2 > n, mask).otherwise(zero)
         fp = term if fp is None else fp + term
-    return hashed.select("id", fp.alias("simhash"))
+    return hashed.filter(F.size(hs) > 0).select("id", fp.alias("simhash"))
 
 
 def connected_components(

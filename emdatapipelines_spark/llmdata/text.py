@@ -164,8 +164,17 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
     cross-engine-stable here — same precedent as the PSI drift score).
     """
     tok = df.select(F.col(id_col), F.explode(F.split(_norm(text_col), " ")).alias("w"))
-    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # materialize the vocabulary ONCE: both the scalar N/V pull and the
+    # broadcast join below consume it, and without truncation the full
+    # corpus tokenize+shuffle subtree would run twice. localCheckpoint on a
+    # vocab-sized frame is cheap and needs no unpersist bookkeeping.
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True)
     n, v = freq.agg(F.sum("c"), F.count(F.lit(1))).first()
+    if n is None:  # empty corpus: SUM(c) is null; nothing to score
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {id_type}, n_tokens bigint, mean_surprisal double"
+        )
     surp = F.round(-F.log((F.col("c") + F.lit(1.0)) / F.lit(float(n + v))), 8)
     scored = tok.join(F.broadcast(freq), "w").select(F.col(id_col), surp.alias("s"))
     return scored.groupBy(id_col).agg(

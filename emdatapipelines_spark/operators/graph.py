@@ -63,6 +63,9 @@ def pagerank_weighted(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # bounded driver scalar: node count
+    if n == 0:
+        # empty graph: no nodes to rank (and 1/n below would divide by zero)
+        return nodes.select("id", F.lit(None).cast("double").alias("rank"))
     base = (1.0 - damping) / n
     r = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iterations):

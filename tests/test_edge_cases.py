@@ -130,6 +130,36 @@ def test_new_operators_on_empty_input(spark):
     assert fuzzy_name_pairs(empty.select(F.col("et").alias("name")), "name").count() == 0
 
 
+def test_simhash_drops_empty_and_keeps_row_per_input(spark):
+    """Empty/whitespace docs carry no fingerprint — emitting the all-zero
+    word would pair every empty doc as a hamming-distance-0 near-dup.
+    Duplicate ids are NOT collapsed (one row per input row)."""
+    d = _docs(
+        spark,
+        [(1, "real text here"), (2, ""), (3, "   "), (1, "real text here"), (4, None)],
+    )
+    rows = simhash(d).collect()
+    assert [r["id"] for r in sorted(rows, key=lambda r: r["id"])] == [1, 1]
+    assert all(r["simhash"] != 0 for r in rows)
+
+
+def test_pagerank_empty_edges(spark):
+    from emdatapipelines_spark.operators.graph import pagerank_weighted
+
+    empty = spark.createDataFrame([], "src long, dst long, w long")
+    out = pagerank_weighted(empty)
+    assert out.columns == ["id", "rank"]
+    assert out.count() == 0
+
+
+def test_unigram_surprisal_empty_corpus(spark):
+    from emdatapipelines_spark.llmdata.text import unigram_surprisal
+
+    out = unigram_surprisal(_docs(spark, []))
+    assert out.columns == ["doc_id", "n_tokens", "mean_surprisal"]
+    assert out.count() == 0
+
+
 def test_incremental_rollup_empty_batch_commits_nothing_wrong(spark, tmp_path):
     """An empty microbatch must still commit (advancing the batch-id ledger)
     without corrupting the stored partials."""

@@ -95,6 +95,36 @@ def test_projection_queries_stay_codegen(spark, name):
     assert "*(1) Project" in plan
 
 
+def test_simhash_plan_is_shuffle_free(spark):
+    """The r4 shuffle-elimination win (commit b965683): SimHash folds
+    row-locally — the ONLY Exchange allowed is the final orderBy's range
+    partitioning. A refactor reintroducing the explode+groupBy shape would
+    shuffle the whole token stream (catastrophic at 100 TB) while still
+    passing value checks."""
+    plan = _plan(spark, "dd_simhash")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+
+
+def test_repetition_plan_is_shuffle_free(spark):
+    """The r4 row-local fold (commit a826490): bigram repetition is a
+    per-document statistic — zero Exchanges anywhere in the plan."""
+    assert "Exchange" not in _plan(spark, "tx_repetition")
+
+
+def test_pagerank_iterations_reuse_checkpointed_leaves(spark):
+    """The localCheckpoint contract (commit 8081668): the 6-table edge-
+    derivation pyramid is materialized ONCE before the superstep loop, so
+    the final plan reads only checkpointed RDDs — zero parquet scans — and
+    plan size stays linear in the iteration count (each superstep adds one
+    join + one combiner agg, it does not re-derive the edges)."""
+    plan = _plan(spark, "gr_pagerank_trade")
+    assert "FileScan parquet" not in plan
+    assert "ExistingRDD" in plan
+    # linear growth: 3 supersteps → a handful of exchanges (join+agg each),
+    # not a re-derivation pyramid per round
+    assert plan.count("Exchange") <= 12
+
+
 def test_keyset_pagination_pushes_on_native_timestamps(spark, tmp_path):
     """The keyset predicate must reach the parquet scan when the table's
     timestamp column is natively typed (the events fixture's ns-long ts is

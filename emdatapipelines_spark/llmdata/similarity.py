@@ -336,6 +336,7 @@ def lsh_cosine_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
     q_id: str = "vec_id",
     q_vec: str = "embedding",
     c_id: str = "vec_id",
@@ -345,9 +346,18 @@ def lsh_cosine_topk(
 
     ``n_planes`` fixed hyperplanes (seeded numpy, embedded as literal arrays)
     → each vector hashes to a sign-bit bucket; candidates are corpus vectors
-    in the query's bucket; exact cosine ranks candidates. Recall grows with
-    multi-probe or fewer planes; cost is Σ bucket² instead of |Q|·|C|.
-    """
+    in the query's bucket; exact cosine ranks candidates. Cost is Σ bucket²
+    instead of |Q|·|C|.
+
+    ``multiprobe``: additionally probe every bucket within Hamming distance
+    ≤ ``multiprobe`` of the query's bucket (the standard LSH recall lever —
+    Lv et al., VLDB'07): the QUERY side fans out to
+    Σ_{i≤multiprobe} C(n_planes, i) probe keys (the corpus index is
+    untouched — query fan-out is the cheap side since queries are the
+    bounded sample), trading candidate volume for recall without
+    rebuilding or widening the index. ``multiprobe=1`` multiplies query
+    rows by (1 + n_planes); corpus-side cost grows with the probed buckets'
+    sizes only."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
 
@@ -372,12 +382,38 @@ def lsh_cosine_topk(
         )
 
     q = prep(queries, q_id, q_vec, "query_id", "qv", "qn")
+    if multiprobe > 0:
+        from itertools import combinations
+
+        # enumerate bit-flip masks up to the probe radius; applied JVM-side
+        # by rebuilding the bucket string with translated characters
+        flips: list[tuple[int, ...]] = [()]
+        for r in range(1, multiprobe + 1):
+            flips.extend(combinations(range(n_planes), r))
+
+        def probe_key(mask: tuple[int, ...]):
+            if not mask:
+                return F.col("bucket")
+            parts = []
+            for i in range(n_planes):
+                ch = F.substring("bucket", i + 1, 1)
+                if i in mask:
+                    ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+                parts.append(ch)
+            return F.concat(*parts)
+
+        q = q.withColumn(
+            "bucket", F.explode(F.array(*[probe_key(m) for m in flips]))
+        )
     c = prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "neighbor_id", "cosine")
+        # no distinct needed: each corpus vector lives in exactly ONE bucket,
+        # so a (query, neighbor) pair can only match via that bucket even
+        # when the query probes several
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -586,3 +622,47 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def with_recall_vs_exact(
+    approx_topk: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Attach a self-validating ``recall_at_k`` column to an approximate
+    top-k result: per query, |approx ∩ exact| / k against the brute-force
+    exact top-k over the same corpus. Makes "runs" distinguishable from
+    "right" for the ANN paths that have no SQL oracle — the driver's
+    rows-only check then carries a measured quality number, and unit tests
+    assert a floor on it.
+
+    Scale: the exact baseline is computed only for the QUERY SAMPLE (the
+    standard ANN recall protocol — FAISS/ann-benchmarks measure exactly
+    this way): one broadcast-query pass over the corpus, no corpus shuffle.
+    At 100 TB you bound the sample, not the corpus scan count; the recall
+    join itself is query-sample-sized and broadcast.
+    """
+    exact = brute_force_cosine_topk(
+        queries, corpus, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec
+    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
+    hits = (
+        approx_topk.alias("a")
+        .join(
+            F.broadcast(exact).alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.exact_neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("a.query_id").alias("query_id"))
+        .agg(
+            F.round(
+                F.count("e.exact_neighbor_id") / F.lit(float(k)), 6
+            ).alias("recall_at_k")
+        )
+    )
+    return approx_topk.join(F.broadcast(hits), "query_id", "left")

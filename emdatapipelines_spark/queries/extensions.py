@@ -245,8 +245,16 @@ def sim_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("sim_lsh_topk")
 def sim_lsh_topk(spark, sf_dir):
+    """Self-validating: each row carries ``recall_at_k`` vs the exact
+    brute-force top-k for its query (`similarity.with_recall_vs_exact`), so
+    the driver's rows-only check records a measured quality number; the
+    floor is asserted in tests/test_scale_operators.py."""
+    from ..llmdata.similarity import with_recall_vs_exact
+
     e = t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64, n_planes=6)
+    q = e.filter(F.col("vec_id") < 8)
+    approx = lsh_cosine_topk(q, e, k=5, dim=64, n_planes=6, multiprobe=1)
+    return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -276,10 +284,13 @@ def dd_embedding_neardup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("sim_ivf_topk")
 def sim_ivf_topk(spark, sf_dir):
+    """Self-validating ``recall_at_k`` column; see sim_lsh_topk."""
+    from ..llmdata.similarity import with_recall_vs_exact
+
     e = t(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(
-        e.filter(F.col("vec_id") < 8), e, k=5, nlist=8, nprobe=2
-    ).orderBy("query_id", "rank")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = ivf_cosine_topk(q, e, k=5, nlist=8, nprobe=2)
+    return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -292,13 +303,14 @@ def sim_pq_topk(spark, sf_dir):
     re-rank on the shortlist (`llmdata/similarity.py: pq_cosine_topk`) —
     the memory-bounded ANN path complementing IVF (candidate-bounded) and
     LSH (bucket-bounded). Measured recall@10 = 1.0 vs brute force on the
-    fixture at m=32/k=64/oversample=4."""
-    from ..llmdata.similarity import pq_cosine_topk
+    fixture at m=32/k=64/oversample=4; every row also carries a
+    self-validating ``recall_at_k`` column (see sim_lsh_topk)."""
+    from ..llmdata.similarity import pq_cosine_topk, with_recall_vs_exact
 
     e = t(spark, sf_dir, "embeddings")
-    return pq_cosine_topk(
-        e.filter(F.col("vec_id") % 100 == 0), e, k=5, m=32, n_centroids=64, oversample=4
-    ).orderBy("query_id", "rank")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    approx = pq_cosine_topk(q, e, k=5, m=32, n_centroids=64, oversample=4)
+    return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -69,6 +69,12 @@ BNLJ_ALLOWED = {
     "q6_concentration",
     "sim_cosine_topk",
     "tpch_q22_sales_opportunity",
+    # self-validating recall_at_k columns: the exact brute-force baseline is
+    # a non-equi join against the broadcast 8-query sample (bounded by the
+    # query sample, not the corpus)
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
 }
 
 

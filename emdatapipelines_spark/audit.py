@@ -44,7 +44,14 @@ def with_audit_columns(
     )
 
 
-def retention_filter(df: DataFrame, ts_col: str, retention_days: int, clock: Clock = DEFAULT_CLOCK) -> DataFrame:
+def retention_filter(
+    df: DataFrame,
+    ts_col: str,
+    retention_days: int,
+    clock: Clock = DEFAULT_CLOCK,
+    governance=None,
+    table_name: str | None = None,
+) -> DataFrame:
     """Retention enforcement as a keep-filter rewrite.
 
     ≈ ``DELETE FROM t WHERE ts < DATE_SUB(NOW(), INTERVAL n DAY)``
@@ -52,7 +59,17 @@ def retention_filter(df: DataFrame, ts_col: str, retention_days: int, clock: Clo
     immutable Parquet the delete is expressed as rewriting the retained rows;
     at 100 TB with date-partitioned layout this prunes to whole-partition
     drops instead of row scans.
+
+    ``governance`` (a `lineage.GovernanceLog`) records the retention
+    enforcement as a compliance event — the reference logs exactly this via
+    `macros/log_federal_compliance_event.sql` when its cleanup jobs run.
     """
+    if governance is not None:
+        governance.compliance_event(
+            "retention_enforced",
+            table_name or "<unnamed>",
+            f"{ts_col} < now - {retention_days}d",
+        )
     return df.filter(F.col(ts_col) >= F.to_timestamp(F.lit(clock.iso_ts_sub(days=retention_days))))
 
 

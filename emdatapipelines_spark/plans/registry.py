@@ -40,11 +40,16 @@ class Model:
 
 
 class ModelRegistry:
-    def __init__(self) -> None:
+    def __init__(self, governance=None) -> None:
         self._models: dict[str, Model] = {}
         self.results: dict[str, DataFrame] = {}
         #: last successful build/refresh time per model (scheduler state)
         self.last_built: dict[str, datetime] = {}
+        #: optional GovernanceLog (`lineage.py`): when set, every build /
+        #: refresh emits one lineage record per materialized model (deps →
+        #: target), the reference's `create_data_lineage_record.sql`
+        #: post-hook analog
+        self.governance = governance
 
     def register(self, model: Model) -> None:
         if model.name in self._models:
@@ -111,6 +116,8 @@ class ModelRegistry:
             self.results[name] = df
             if now is not None:
                 self.last_built[name] = now
+            if self.governance is not None:
+                self.governance.lineage_record(m.deps, name, m.materialization)
             for hook in m.post_hooks:
                 hook(spark, df)
         return self.results
@@ -150,6 +157,8 @@ class ModelRegistry:
         self.results[name] = df
         if now is not None:
             self.last_built[name] = now
+        if self.governance is not None:
+            self.governance.lineage_record(m.deps, name, f"refresh:{m.materialization}")
         return df
 
     # -- scheduled refresh loop (reference `definitions.py:84-94` crons) ----

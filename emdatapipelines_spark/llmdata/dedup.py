@@ -419,3 +419,74 @@ def duplicated_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n: int = 20,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """The removal half of exact-substring dedup (Lee et al. 2022 §4): for
+    every duplicated span, ONE canonical occurrence survives (the doc with
+    the minimum id among docs carrying an identical-content span) and every
+    other occurrence is cut out of its document's token stream. Returns the
+    input schema with ``text_col`` rewritten (other columns preserved).
+
+    Span identity is the xxhash64 of the span's token content, so only
+    spans with IDENTICAL content dedup against each other; docs whose
+    maximal runs extend differently (one doc embeds a longer duplicated
+    run) keep their distinct variants — the conservative choice: never
+    remove text that isn't byte-identical elsewhere.
+
+    Scale shape: the span table (output of :func:`duplicated_ngram_spans` —
+    duplicated spans only, typically ≪ corpus) joins back to the corpus
+    once to hash content, picks survivors with one window over span_hash,
+    aggregates removals per doc, and the final cut is a row-local
+    arrays_zip filter — the corpus itself shuffles only for the removal
+    join (left join on the doc id)."""
+    from pyspark.sql import Window
+
+    spans = duplicated_ngram_spans(
+        docs, n=n, min_docs=min_docs, id_col=id_col, text_col=text_col, max_df=max_df
+    )
+    toks = F.split(_norm_text(text_col), " ")
+    tk = docs.select(F.col(id_col).alias("id"), toks.alias("__t"))
+    hashed = spans.join(tk, "id").select(
+        "id",
+        "span_start",
+        "span_end",
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("__t", F.col("span_start") + 1, F.col("span_tokens")))
+        ).alias("span_hash"),
+    )
+    keep = Window.partitionBy("span_hash")
+    removals = (
+        hashed.withColumn("__keep_id", F.min("id").over(keep))
+        .filter(F.col("id") != F.col("__keep_id"))
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__cuts")
+        )
+    )
+    cut = docs.join(
+        removals, F.col(id_col) == removals["id"], "left"
+    ).drop(removals["id"])
+    idx = F.arrays_zip(toks, F.sequence(F.lit(0), F.size(toks) - 1).alias("__i"))
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(
+                idx,
+                lambda z: ~F.exists(
+                    F.col("__cuts"),
+                    lambda c: (z["__i"] >= c["span_start"]) & (z["__i"] <= c["span_end"]),
+                ),
+            ),
+            lambda z: z["0"],
+        ),
+    )
+    out_text = F.when(F.col("__cuts").isNull(), F.col(text_col)).otherwise(kept_text)
+    return cut.withColumn(text_col, out_text).drop("__cuts")

@@ -200,3 +200,29 @@ def test_duplicated_ngram_spans_known_docs(spark):
         for r in duplicated_ngram_spans(d, n=5, min_docs=2).collect()
     }
     assert rows == {(1, 0, 5, 6), (2, 2, 7, 6)}
+
+
+def test_remove_duplicated_spans_keeps_one_canonical_copy(spark):
+    """Lee et al. removal semantics: the min-id doc keeps the duplicated
+    span, every other byte-identical occurrence is cut; non-duplicated text
+    and sub-n docs pass through untouched."""
+    from emdatapipelines_spark.llmdata.dedup import remove_duplicated_spans
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e f q"),
+            (3, "totally unrelated words only here"),
+            (4, "tiny"),
+        ],
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicated_spans(d, n=5, min_docs=2).collect()}
+    assert out[1] == "a b c d e f g h"  # min id keeps its span
+    assert out[2] == "x y q"  # the 6-token duplicated run is cut
+    assert out[3] == "totally unrelated words only here"
+    assert out[4] == "tiny"
+    # idempotent-ish: a second pass finds nothing left to remove
+    d2 = spark.createDataFrame([(k, v) for k, v in out.items()], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text"] for r in remove_duplicated_spans(d2, n=5, min_docs=2).collect()}
+    assert out2 == out

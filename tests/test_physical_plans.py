@@ -165,3 +165,24 @@ def test_keyset_pagination_pushes_on_native_timestamps(spark, tmp_path):
     # the ENTIRE composite keyset predicate reaches the scan, OR included
     assert "LessThan(ts" in m.group(1) and "GreaterThan(event_id" in m.group(1)
     assert "TakeOrderedAndProject" in plan  # TopK, not a global sort
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact side is date-partitioned and the dim filter is the
+    only thing standing between a query and a full scan: Spark's dynamic
+    partition pruning must inject the dim's build-side keys as a runtime
+    PartitionFilter on the fact scan (the broadcast-reuse form costs no
+    extra job). A config/regression that silently disabled DPP would keep
+    every value check green while re-reading the whole table."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    fact = spark.range(100_000).select(
+        "id", (F.col("id") % 30).cast("int").alias("day"), (F.col("id") * 2).alias("v")
+    )
+    fact.write.mode("overwrite").partitionBy("day").parquet(d)
+    dim = spark.createDataFrame([(5, "keep"), (6, "keep"), (7, "drop")], "day int, tag string")
+    j = spark.read.parquet(d).join(dim.filter(F.col("tag") == "keep"), "day")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan parquet" in l and "PartitionFilters" in l]
+    assert scan and "dynamicpruning" in scan[0].lower()

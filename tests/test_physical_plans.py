@@ -186,3 +186,17 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     scan = [l for l in plan.splitlines() if "FileScan parquet" in l and "PartitionFilters" in l]
     assert scan and "dynamicpruning" in scan[0].lower()
+
+
+@pytest.mark.parametrize(
+    "name", ["sim_cosine_topk", "s10_upsert_last_wins", "llm_clean_corpus", "tx_tfidf_keywords"]
+)
+def test_rank_filters_get_window_group_limit(spark, name):
+    """Every rank<=k / rn=1 filter in the suite must keep Spark's
+    WindowGroupLimit rewrite (Partial before the shuffle + Final after):
+    each map task forwards only its local top-k per group instead of the
+    whole partition, which is the difference between shuffling k rows per
+    group and shuffling the table at 100 TB. An intervening projection or a
+    filter form the optimizer can't see through would silently lose it."""
+    plan = entry.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

@@ -74,12 +74,19 @@ class QueryEngine:
     """SQL entry point with middleware. Usage: register views (or build a
     ModelRegistry DAG), then ``engine.sql("select ...", org="x")``."""
 
-    def __init__(self, spark: SparkSession, cache_ttl_seconds: int = 300) -> None:
+    def __init__(
+        self, spark: SparkSession, cache_ttl_seconds: int = 300, governance=None
+    ) -> None:
         self.spark = spark
         self.cache_ttl = cache_ttl_seconds
         self.rate_limiter = RateLimiter()
         self.usage_log: list[dict] = []
         self._cache: dict[str, _CacheEntry] = {}
+        #: optional GovernanceLog (`lineage.py`): data-access compliance
+        #: events per served query + rate-limit denials, the reference's
+        #: federal-compliance usage logging at the query boundary
+        #: (`utils/usage_tracking.py`, `macros/log_federal_compliance_event.sql`)
+        self.governance = governance
 
     def sql(
         self,
@@ -90,12 +97,20 @@ class QueryEngine:
         now: float | None = None,
     ) -> DataFrame:
         now = now if now is not None else time.time()
-        if not self.rate_limiter.check(org, org_type, now):
-            raise PermissionError(f"rate limit exceeded for organization {org}")
         fp = fingerprint_query(query)
+        if not self.rate_limiter.check(org, org_type, now):
+            if self.governance is not None:
+                self.governance.compliance_event(
+                    "rate_limit_denied", f"query:{fp}", f"org={org} type={org_type}"
+                )
+            raise PermissionError(f"rate limit exceeded for organization {org}")
         self.usage_log.append(
             {"org": org, "type": classify_query(query), "fingerprint": fp, "at": now}
         )
+        if self.governance is not None:
+            self.governance.compliance_event(
+                "data_access", f"query:{fp}", f"org={org} type={org_type} class={classify_query(query)}"
+            )
         if use_cache:
             hit = self._cache.get(fp)
             if hit and hit.expires_at > now:

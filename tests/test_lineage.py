@@ -95,3 +95,24 @@ def test_flush_appends_to_parquet_audit_tables(spark, tmp_path):
     assert audit.count() == 2
     assert {r["target_table"] for r in audit.collect()} == {"b", "c"}
     assert spark.read.parquet(cp).first()["event_details"] == "ticket-42"
+
+
+def test_query_engine_emits_data_access_and_denial_events(spark):
+    """The query boundary is where the reference logs federal-compliance
+    usage: every served query emits a data_access event, and a rate-limit
+    rejection emits rate_limit_denied BEFORE raising."""
+    import pytest
+
+    from emdatapipelines_spark.api import QueryEngine
+
+    gov = GovernanceLog(frameworks=["FedRAMP"])
+    eng = QueryEngine(spark, governance=gov)
+    spark.range(3).createOrReplaceTempView("gov_probe")
+    eng.sql("SELECT COUNT(*) AS n FROM gov_probe", org="lab", org_type="research")
+    assert [r[0] for r in gov.compliance_rows] == ["data_access"]
+    assert "org=lab" in gov.compliance_rows[0][2]
+
+    eng.rate_limiter.quotas["research"] = 1  # next call exceeds
+    with pytest.raises(PermissionError):
+        eng.sql("SELECT 1 AS x", org="lab", org_type="research")
+    assert [r[0] for r in gov.compliance_rows] == ["data_access", "rate_limit_denied"]

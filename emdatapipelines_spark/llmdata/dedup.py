@@ -156,15 +156,16 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
-def minhash_lsh_candidates(
+def banded_buckets(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``rows_per_band`` hashes, hash each band, equi-join docs sharing any
-    (band_index, band_hash) bucket. Returns distinct candidate pairs
-    (id_a < id_b). Probability a pair with Jaccard s collides:
-    1 − (1 − s^r)^b."""
-    banded = signatures.select(
+    """Explode MinHash signatures into LSH band buckets: one
+    ``(id, band, bucket)`` row per band, where ``bucket`` is a 64-bit hash of
+    that band's ``rows_per_band``-hash slice. Two docs sharing any
+    (band, bucket) are LSH candidates. This banded form is also the
+    PERSISTED INDEX layout for incremental dedup: partitioned/bucketed by
+    ``band`` it prunes an index probe to matching partitions only."""
+    return signatures.select(
         "id",
         F.explode(
             F.transform(
@@ -184,6 +185,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` hashes, hash each band, equi-join docs sharing any
+    (band_index, band_hash) bucket. Returns distinct candidate pairs
+    (id_a < id_b). Probability a pair with Jaccard s collides:
+    1 − (1 − s^r)^b."""
+    banded = banded_buckets(signatures, bands, rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -195,6 +207,109 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def signature_agreement(num_hashes: int) -> "F.Column":
+    """Estimated Jaccard from two MinHash signature columns ``sig`` and
+    ``idx_sig`` in scope: the fraction of agreeing hash positions. Unbiased
+    estimator of J(A,B); exact duplicates agree on every position, so the
+    estimate is exactly 1.0 for byte-identical text."""
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "idx_sig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return agree.cast("double") / F.lit(float(num_hashes))
+
+
+def dedup_against_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) near-dup detection: flag docs in
+    a NEW batch whose estimated Jaccard against ANY already-indexed corpus
+    doc is ≥ ``threshold``. Inputs are ``(id, signature)`` frames from
+    :func:`minhash_signatures` — the signature table IS the persisted corpus
+    index. Returns ``(id, idx_id, est_jaccard)`` for flagged batch docs.
+
+    This is how dedup actually runs at 100 TB: each crawl snapshot dedups
+    against the accumulated corpus WITHOUT re-reading corpus text. Only
+    banded keys (``bands`` × 16 bytes/doc) and signatures (``num_hashes`` ×
+    8 bytes/doc) ever move; the join is an equi-join shuffled on
+    (band, bucket), and an index table partitioned by ``band`` (see
+    :func:`banded_buckets`) prunes the probe to matching partitions.
+    Candidate verification re-joins signatures — bounded by the candidate
+    count, not the corpus. Exact copies of an indexed doc share every band
+    bucket and agree on every hash position, so they are flagged with
+    est_jaccard = 1.0 deterministically (the planted-copy invariant the
+    driver query checks end-to-end)."""
+    b_new = banded_buckets(new_sigs, bands, rows_per_band)
+    b_idx = banded_buckets(index_sigs, bands, rows_per_band).select(
+        F.col("id").alias("idx_id"), "band", "bucket"
+    )
+    cand = b_new.join(b_idx, ["band", "bucket"]).select("id", "idx_id").distinct()
+    return (
+        cand.join(new_sigs.select("id", F.col("signature").alias("sig")), "id")
+        .join(
+            index_sigs.select(
+                F.col("id").alias("idx_id"), F.col("signature").alias("idx_sig")
+            ),
+            "idx_id",
+        )
+        .select("id", "idx_id", signature_agreement(num_hashes).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> dict:
+    """One incremental-dedup step: signature the new batch, flag near-dups
+    against the corpus index, and return
+
+    - ``flagged``: (id, idx_id, est_jaccard) batch docs matching the corpus,
+    - ``survivors``: new_docs with flagged ids anti-joined away,
+    - ``updated_index``: index ∪ surviving batch signatures — the input to
+      the NEXT snapshot's step.
+
+    Intra-batch near-dups are the caller's choice (run
+    :func:`minhash_lsh_candidates` + :func:`connected_components` on the
+    surviving signatures); this step is deliberately corpus-vs-batch only so
+    the index update is append-only — O(1) commit on a versioned sink."""
+    sigs_new = minhash_signatures(
+        new_docs, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+    )
+    flagged = dedup_against_index(
+        sigs_new,
+        index_sigs,
+        num_hashes=num_hashes,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+    )
+    dup_ids = flagged.select("id").distinct()
+    survivors = new_docs.join(
+        dup_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    updated_index = index_sigs.unionByName(
+        sigs_new.join(dup_ids, "id", "left_anti")
+    )
+    return {"flagged": flagged, "survivors": survivors, "updated_index": updated_index}
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:

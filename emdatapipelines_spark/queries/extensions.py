@@ -13,6 +13,7 @@ from ..llmdata.dedup import (
     decontaminate,
     duplicated_ngram_spans,
     exact_dedup,
+    incremental_minhash_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -245,6 +246,58 @@ def dd_dup_spans(spark, sf_dir):
         F.col("span_end").cast("int").alias("span_end"),
         F.col("span_tokens").cast("int").alias("span_tokens"),
     ).orderBy("id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# dedup: incremental snapshot dedup against a persisted MinHash index.
+# The oracle is an end-to-end PLANTED-COPY invariant: corpus = doc_id%4!=0,
+# batch = doc_id%4==0 PLUS byte-identical copies of corpus docs with
+# doc_id%10==1 re-id'd at +1000000. An exact copy of an indexed doc shares
+# every LSH band bucket and agrees on every MinHash position, so the engine
+# MUST flag each planted id with est_jaccard exactly 1.0 — SQL-predictable
+# even though the hash path itself isn't SQL-expressible.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_incremental_index",
+    f"""
+    SELECT CAST(doc_id + 1000000 AS BIGINT) AS id,
+           CAST(1.0 AS DOUBLE) AS max_est_jaccard
+    FROM documents
+    WHERE len({_TOKS_SQL}) >= 3 AND doc_id % 4 != 0 AND doc_id % 10 = 1
+    ORDER BY id
+    """,
+)
+def dd_incremental_index(spark, sf_dir):
+    """Snapshot-over-snapshot dedup (`llmdata/dedup.py:
+    incremental_minhash_dedup`): the corpus signature table is the persisted
+    index; the new batch is flagged against it without touching corpus text.
+    Output is the planted-copy slice (id ≥ 1000000) with max est_jaccard per
+    id — deterministically 1.0 for every planted copy."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    eligible = d.filter(F.col("text").isNotNull()).filter(
+        F.size(F.split(norm, " ")) >= 3
+    )
+    corpus = eligible.filter(F.col("doc_id") % 4 != 0)
+    planted = corpus.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).cast("bigint").alias("doc_id"), "text"
+    )
+    batch = (
+        eligible.filter(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .unionByName(planted)
+    )
+    index = minhash_signatures(corpus, n=3, num_hashes=64)
+    step = incremental_minhash_dedup(
+        batch, index, n=3, num_hashes=64, bands=16, rows_per_band=4, threshold=0.8
+    )
+    return (
+        step["flagged"]
+        .filter(F.col("id") >= 1000000)
+        .groupBy(F.col("id").cast("bigint").alias("id"))
+        .agg(F.max("est_jaccard").alias("max_est_jaccard"))
+        .orderBy("id")
+    )
 
 
 # ---------------------------------------------------------------------------

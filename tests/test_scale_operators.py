@@ -325,3 +325,58 @@ def test_hll_monthly_rollup_within_rated_error_of_exact(spark):
     assert set(est) == set(exact)
     for m, n in exact.items():
         assert abs(est[m] - n) <= max(0.05 * n, 2), (m, est[m], n)
+
+
+def test_incremental_minhash_dedup_flags_copies_and_updates_index(spark):
+    """Snapshot-over-snapshot dedup: an exact copy of an indexed doc MUST be
+    flagged with est_jaccard 1.0; fresh docs survive and their signatures
+    join the index; flagged docs' signatures do NOT (append-only index)."""
+    from emdatapipelines_spark.llmdata.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact copy of 1
+            (11, "completely different sentence about sparkly distributed engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    index = minhash_signatures(corpus, n=3, num_hashes=64)
+    step = incremental_minhash_dedup(batch, index, threshold=0.8)
+    flagged = {(r["id"], r["idx_id"]): r["est_jaccard"] for r in step["flagged"].collect()}
+    assert flagged.get((10, 1)) == 1.0
+    assert all(k[0] != 11 for k in flagged)
+    survivors = {r["doc_id"] for r in step["survivors"].collect()}
+    assert survivors == {11}
+    idx_ids = sorted(r["id"] for r in step["updated_index"].collect())
+    assert idx_ids == [1, 2, 11]
+
+
+def test_incremental_dedup_near_but_not_exact_copy_flagged(spark):
+    """A near-duplicate (one token changed in a long doc) clears the 0.8
+    estimated-Jaccard threshold; a disjoint doc never collides."""
+    from emdatapipelines_spark.llmdata.dedup import (
+        dedup_against_index,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = " ".join(("CHANGED" if i == 100 else f"tok{i}") for i in range(200))
+    corpus = spark.createDataFrame([(1, base)], "doc_id bigint, text string")
+    batch = spark.createDataFrame([(10, near)], "doc_id bigint, text string")
+    flagged = dedup_against_index(
+        minhash_signatures(batch, n=3, num_hashes=64),
+        minhash_signatures(corpus, n=3, num_hashes=64),
+        threshold=0.8,
+    ).collect()
+    assert [(r["id"], r["idx_id"]) for r in flagged] == [(10, 1)]
+    assert flagged[0]["est_jaccard"] >= 0.8

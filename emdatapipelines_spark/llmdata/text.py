@@ -185,6 +185,91 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def nb_token_quality(
+    df,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+):
+    """Naive Bayes document quality classifier, trained and applied in one
+    job — the fastText-style corpus-filtering workflow (CCNet, GPT-3 §2.2,
+    LLaMA): seed a binary label from a cheap heuristic (or a curated
+    positive set like Wikipedia), fit token log-odds, score every document,
+    keep the high-scoring tail. ``label`` is any 0/1 integer Column over the
+    input rows.
+
+    Model: binomial NB with add-``alpha`` smoothing over the shared
+    vocabulary V: ``lo(w) = ln((c1(w)+α)/(N1+α|V|)) − ln((c0(w)+α)/
+    (N0+α|V|))``; ``score(d) = prior + Σ_{w∈d} lo(w)`` with repeats counted,
+    prior the smoothed doc-count log-odds. Returns
+    ``(id_col, n_tokens, nb_score)``; score > 0 ⇔ classified positive.
+
+    Spark shape (same as :func:`unigram_surprisal`): ONE shuffle fits the
+    model (token groupBy, map-side combined), the fitted vocabulary is
+    checkpointed once and BROADCAST back, so the scoring pass never shuffles
+    the corpus — N1/N0/|V|/prior are the only driver scalars, all bounded.
+    Training is a single pass: NB's sufficient statistics are additive
+    counts, which is exactly why it is the right first classifier at 100 TB
+    (no SGD iterations, no convergence, trivially mergeable across
+    partitions — the same mergeable-partials argument as
+    ``operators/reaggregate.py``).
+
+    Determinism: per-token log-odds round to 8 dp, summed in exact DECIMAL
+    with the 8-dp prior, and the exact 8-dp decimal casts to double — no
+    final re-round, so there is NO half-way boundary for the two engines to
+    disagree on (Spark decimal round is HALF_UP, DuckDB's is half-even; a
+    re-round to 6 dp measurably diverged on ~1% of fixture rows).
+    """
+    lab = df.select(
+        F.col(id_col), F.col(text_col), label.cast("int").alias("y")
+    ).filter(F.col(text_col).isNotNull())
+    tok = lab.select(
+        F.col(id_col), "y", F.explode(F.split(_norm(text_col), " ")).alias("w")
+    )
+    cnt = (
+        tok.groupBy("w")
+        .agg(
+            F.sum("y").alias("c1"),
+            F.sum(F.lit(1) - F.col("y")).alias("c0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n1, n0, v = cnt.agg(F.sum("c1"), F.sum("c0"), F.count(F.lit(1))).first()
+    if n1 is None:  # empty corpus
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {id_type}, n_tokens bigint, nb_score double"
+        )
+    d1, d0 = lab.agg(F.sum("y"), F.sum(F.lit(1) - F.col("y"))).first()
+    import math
+
+    prior = round(
+        math.log((d1 + alpha) / (d0 + alpha)), 8
+    )  # smoothed doc-count log-odds; exact same float both engines
+    denom1, denom0 = float(n1 + alpha * v), float(n0 + alpha * v)
+    lo = F.round(
+        F.log((F.col("c1") + F.lit(alpha)) / F.lit(denom1))
+        - F.log((F.col("c0") + F.lit(alpha)) / F.lit(denom0)),
+        8,
+    )
+    scored = tok.join(F.broadcast(cnt), "w").select(F.col(id_col), lo.alias("lo"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (
+            # re-narrow the sum to (28,8) BEFORE adding the prior: sum of
+            # decimal(28,8) widens to (38,8), and (38,8)+(28,8) would need
+            # precision 39 > 38, making Spark silently REDUCE the result
+            # scale to 7 — rounding the 8th decimal and diverging from the
+            # exact-decimal oracle by up to 5e-8 per doc
+            F.sum(F.col("lo").cast("decimal(28,8)")).cast("decimal(28,8)")
+            + F.lit(prior).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("nb_score"),
+    )
+
+
 def fingerprint(col="text") -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set (the classic "fingerprint" canonicalization — robust to token

@@ -32,6 +32,7 @@ from ..llmdata.text import (
     bpe_ish_token_count,
     chunk_tokens,
     fingerprint,
+    nb_token_quality,
     text_quality,
     token_count,
 )
@@ -298,6 +299,43 @@ def dd_incremental_index(spark, sf_dir):
         .agg(F.max("est_jaccard").alias("max_est_jaccard"))
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text: Naive Bayes quality classifier — trained AND applied in one query
+# (fastText-style corpus filtering: heuristic seed label -> token log-odds
+# -> score every doc). Seed label here: long documents (>= 40 tokens).
+# ---------------------------------------------------------------------------
+@query(
+    "tx_nb_quality",
+    f"""
+    WITH lab AS (
+      SELECT doc_id, {_TOKS_SQL} AS tk,
+             CASE WHEN len({_TOKS_SQL}) >= 40 THEN 1 ELSE 0 END AS y
+      FROM documents WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, y, UNNEST(tk) AS w FROM lab),
+    cnt AS (SELECT w, SUM(y) AS c1, SUM(1 - y) AS c0 FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c0) AS DOUBLE) AS n0,
+                   CAST(COUNT(*) AS DOUBLE) AS v FROM cnt),
+    doc AS (SELECT CAST(SUM(y) AS DOUBLE) AS d1, CAST(SUM(1 - y) AS DOUBLE) AS d0 FROM lab),
+    lo AS (SELECT w, ROUND(LN((c1 + 1.0) / (n1 + v)) - LN((c0 + 1.0) / (n0 + v)), 8) AS lo
+           FROM cnt CROSS JOIN tot),
+    pri AS (SELECT ROUND(LN((d1 + 1.0) / (d0 + 1.0)), 8) AS prior FROM doc),
+    scored AS (SELECT tok.doc_id, lo FROM tok JOIN lo USING (w))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(lo AS DECIMAL(28,8))) + CAST(prior AS DECIMAL(28,8))
+                AS DOUBLE) AS nb_score
+    FROM scored CROSS JOIN pri GROUP BY doc_id, prior
+    """,
+)
+def tx_nb_quality(spark, sf_dir):
+    """One-pass Naive Bayes corpus filter (`llmdata/text.py:
+    nb_token_quality`): the model's sufficient statistics are additive token
+    counts, so training is a single map-side-combined groupBy; the fitted
+    vocabulary broadcasts back and scoring never shuffles the corpus."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return nb_token_quality(d, label=F.size(F.split(norm, " ")) >= 40)
 
 
 # ---------------------------------------------------------------------------

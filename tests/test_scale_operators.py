@@ -380,3 +380,23 @@ def test_incremental_dedup_near_but_not_exact_copy_flagged(spark):
     ).collect()
     assert [(r["id"], r["idx_id"]) for r in flagged] == [(10, 1)]
     assert flagged[0]["est_jaccard"] >= 0.8
+
+
+def test_nb_token_quality_separates_planted_classes(spark):
+    """NB classifier sanity on a separable corpus: docs drawn from the
+    positive-class vocabulary score > 0, negative-class docs < 0, and the
+    score is deterministic across runs (decimal-summed log-odds)."""
+    from pyspark.sql import functions as F
+    from emdatapipelines_spark.llmdata.text import nb_token_quality
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "good great excellent wonderful shiny", 1))
+    for i in range(20, 40):
+        rows.append((i, "bad awful terrible dreadful rusty", 0))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, y int")
+    out1 = {r["doc_id"]: r["nb_score"] for r in nb_token_quality(df, label=F.col("y") == 1).collect()}
+    out2 = {r["doc_id"]: r["nb_score"] for r in nb_token_quality(df, label=F.col("y") == 1).collect()}
+    assert out1 == out2
+    assert all(out1[i] > 0 for i in range(20))
+    assert all(out1[i] < 0 for i in range(20, 40))

@@ -68,6 +68,37 @@ def hash_sample_sql_predicate(key_sql: str, fraction: float) -> str:
     return f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 4) < '{hash_bucket_threshold(fraction)}'"
 
 
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "emdp",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rank rows within each stratum by ``md5(seed || key)`` (a reproducible
+    per-stratum permutation — the hash-order analog of a uniform draw) and
+    keep rank ≤ k. Unlike fraction sampling this guarantees the per-stratum
+    COUNT — what an eval-set or few-shot-pool builder actually needs.
+
+    Scale shape: the ``row_number() ≤ k`` filter compiles to Spark's
+    WindowGroupLimit rewrite — each input partition pre-prunes to its local
+    top-k per stratum BEFORE the exchange, so the shuffle carries at most
+    k·partitions rows per stratum, never the full stratum (guarded in
+    tests/test_physical_plans.py with the other rank-filter queries).
+    Change ``seed`` for an independent re-draw.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def hash_shuffle_order(
     df: DataFrame, key_col: str, seed: str = "emdp", out: str = "shuffle_rank"
 ) -> DataFrame:

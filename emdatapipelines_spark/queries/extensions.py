@@ -25,7 +25,11 @@ from ..llmdata.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from ..llmdata.sampling import hash_shuffle_order, hash_stratified_sample
+from ..llmdata.sampling import (
+    hash_shuffle_order,
+    hash_stratified_sample,
+    stratified_topk_sample,
+)
 from ..llmdata.text import (
     add_language_id,
     bigram_repetition,
@@ -739,6 +743,32 @@ def llm_training_mix(spark, sf_dir):
         F.count(F.lit(1)).alias("sampled_docs"),
         F.sum("n_chars").cast("bigint").alias("sampled_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sampling: exact-count per-stratum draw (eval-set / few-shot-pool builder).
+# Hash-order rank ≤ k — deterministic, engine-portable, and the rank filter
+# compiles to WindowGroupLimit so map tasks pre-prune to local top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_stratified_k",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('emdp' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang FROM r WHERE rk <= 5 ORDER BY lang, doc_id
+    """,
+)
+def llm_stratified_k(spark, sf_dir):
+    """Exactly 5 docs per language (`llmdata/sampling.py:
+    stratified_topk_sample`) — the deterministic hash-order draw whose
+    count per stratum is guaranteed, unlike fraction sampling."""
+    d = t(spark, sf_dir, "documents")
+    out = stratified_topk_sample(d, strata_col="lang", k=5, key_col="doc_id")
+    return out.select("doc_id", "lang").orderBy("lang", "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -189,7 +189,14 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "name", ["sim_cosine_topk", "s10_upsert_last_wins", "llm_clean_corpus", "tx_tfidf_keywords"]
+    "name",
+    [
+        "sim_cosine_topk",
+        "s10_upsert_last_wins",
+        "llm_clean_corpus",
+        "tx_tfidf_keywords",
+        "llm_stratified_k",
+    ],
 )
 def test_rank_filters_get_window_group_limit(spark, name):
     """Every rank<=k / rn=1 filter in the suite must keep Spark's

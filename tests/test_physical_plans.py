@@ -108,13 +108,22 @@ def test_simhash_plan_is_shuffle_free(spark):
     shuffle the whole token stream (catastrophic at 100 TB) while still
     passing value checks."""
     plan = _plan(spark, "dd_simhash")
-    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    # allowed: the final orderBy's range partitioning + the ingest-boundary
+    # round-robin repartition (registry._restore_scan_parallelism — moves
+    # document ROWS once, before the fold). Forbidden: any hash exchange,
+    # which is what the explode+groupBy shape would reintroduce.
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 2 and "rangepartitioning" in plan
 
 
 def test_repetition_plan_is_shuffle_free(spark):
     """The r4 row-local fold (commit a826490): bigram repetition is a
-    per-document statistic — zero Exchanges anywhere in the plan."""
-    assert "Exchange" not in _plan(spark, "tx_repetition")
+    per-document statistic — no hash exchange anywhere in the plan (the
+    only allowed Exchange is the ingest-boundary round-robin repartition,
+    which moves document rows once, not the token stream)."""
+    plan = _plan(spark, "tx_repetition")
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_pagerank_iterations_reuse_checkpointed_leaves(spark):

@@ -37,6 +37,8 @@ re-pointing a table at a new checkpoint goes through
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -232,6 +234,110 @@ def incremental_histogram_rollup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         apply_histogram_batch(batch_df, batch_id, table_path, keys, col, lo, hi, nbins)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_dedup_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame | None:
+    """Apply one microbatch of documents to the continuously-maintained
+    MinHash corpus index: flag batch docs that near-duplicate the indexed
+    corpus, commit the surviving signatures to the index exactly-once, and
+    return the SURVIVORS frame (None if the batch was a detected replay).
+
+    This is continuous-ingest dedup — the streaming twin of
+    ``llmdata.dedup.incremental_minhash_dedup``: every arriving snapshot is
+    deduped against everything already accepted, without re-reading corpus
+    text. The index commit carries the same monotone ``max_batch_id``
+    watermark as the rollup/upsert sinks, so post-crash microbatch replays
+    are detected no-ops rather than double-inserted signatures (a replayed
+    batch would otherwise self-collide: its docs are already indexed, so
+    every doc would be flagged as a duplicate and silently dropped — the
+    exactly-once guard is what makes at-least-once delivery safe here).
+    Intra-batch duplicates are deliberately NOT collapsed (corpus-vs-batch
+    contract); run :func:`dedup_within_watermark` upstream for that.
+    """
+    from ..llmdata.dedup import incremental_minhash_dedup, minhash_signatures
+
+    hw = applied_batch_watermark(index_path)
+    if _replay_check(batch_id, hw, index_path):
+        return None
+    spark = batch_df.sparkSession
+    try:
+        index = read_versioned(spark, index_path)
+    except FileNotFoundError:
+        index = None
+    if index is None:
+        sigs = minhash_signatures(
+            batch_df, id_col=id_col, text_col=text_col, n=n, num_hashes=num_hashes
+        )
+        survivors, updated = batch_df, sigs
+    else:
+        step = incremental_minhash_dedup(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+        )
+        survivors, updated = step["survivors"], step["updated_index"]
+    # breaks the lineage to the previous snapshot's files BEFORE the commit
+    # rewrites them (same hazard as combine_partials in apply_rollup_batch)
+    updated = updated.localCheckpoint(eager=True)
+    write_versioned(
+        updated,
+        index_path,
+        meta={
+            "batch_id": batch_id,
+            "max_batch_id": batch_id if hw is None else max(hw, batch_id),
+        },
+    )
+    return survivors
+
+
+def incremental_dedup_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kwargs,
+) -> StreamingQuery:
+    """Start the continuous-ingest dedup query: stream of documents →
+    per-batch dedup against the corpus index → surviving docs appended to
+    ``survivors_path`` (one subdirectory per batch id, so a replayed batch
+    overwrites its own output instead of duplicating it — idempotent)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        survivors = apply_dedup_index_batch(
+            batch_df, batch_id, index_path, id_col, text_col, **dedup_kwargs
+        )
+        if survivors is not None:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(survivors_path, f"batch_id={batch_id}")
+            )
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -253,3 +253,67 @@ def test_streaming_histogram_rollup_serves_batch_quantiles(spark, tmp_path):
         ).collect()
     }
     assert served == direct and len(served) > 0
+
+
+def test_continuous_ingest_dedup_maintains_index_exactly_once(spark, tmp_path):
+    """Continuous-ingest dedup: batch 0 bootstraps the index; batch 1's
+    exact copy of an indexed doc is dropped while fresh docs survive and
+    join the index; replaying batch 1 is a detected no-op (otherwise the
+    replayed docs would self-collide with their own signatures and be
+    silently dropped)."""
+    from emdatapipelines_spark.streaming.incremental import apply_dedup_index_batch
+
+    idx = str(tmp_path / "dedup_index")
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    s0 = apply_dedup_index_batch(b0, 0, idx)
+    assert sorted(r["doc_id"] for r in s0.collect()) == [1, 2]
+
+    b1 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "sphinx of black quartz judge my vow tonight"),
+        ],
+        "doc_id bigint, text string",
+    )
+    s1 = apply_dedup_index_batch(b1, 1, idx)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [11]
+    assert sorted(r["id"] for r in read_versioned(spark, idx).collect()) == [1, 2, 11]
+
+    # replay of batch 1 after a simulated crash: detected, skipped
+    assert apply_dedup_index_batch(b1, 1, idx) is None
+    assert sorted(r["id"] for r in read_versioned(spark, idx).collect()) == [1, 2, 11]
+
+
+def test_continuous_ingest_dedup_streaming_end_to_end(spark, tmp_path):
+    """The foreachBatch wiring: a bounded stream drains through
+    incremental_dedup_ingest; survivors land per-batch and the index holds
+    one signature per accepted doc."""
+    from emdatapipelines_spark.streaming.incremental import incremental_dedup_ingest
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = incremental_dedup_ingest(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # one batch: intra-batch dups are NOT collapsed (corpus-vs-batch contract)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    idx = read_versioned(spark, str(tmp_path / "idx"))
+    assert sorted(r["id"] for r in idx.collect()) == [1, 2]

@@ -62,6 +62,13 @@ def main() -> int:
                 if p == 0:
                     cold[name] = round(last, 4)
             timings[name] = round(last, 4)
+            # Benchmark isolation: operators that persist() intermediates
+            # (e.g. the jaccard shingle frame) leak cached blocks into the
+            # NEXT query's memory budget — across 145 queries the
+            # accumulated cache thrashes eviction and inflated heavy-query
+            # times up to 3x, run-order dependent. A production driver owns
+            # its cache lifecycle; the bench isolates per query.
+            spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
             # keep head+tail so the artifact records the full exception class
             # and the end of the message (truncating mid-token loses both)

@@ -371,6 +371,91 @@ def resize_images(
     return df.select("media_id", "mime_type", "payload").mapInPandas(run, RESIZE_SCHEMA)
 
 
+def _decode_wav(data: bytes) -> "tuple[np.ndarray, int] | None":
+    """Pure-Python RIFF/WAVE PCM decoder (8- and 16-bit integer PCM, any
+    channel count; channels are averaged to mono float64 in [-1, 1]).
+    Returns ``(samples, sample_rate)`` or None for anything that is not a
+    well-formed PCM WAV — the same library-free real-decode posture as the
+    PPM/BMP image kernels."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or channels < 1 or rate <= 0:
+        return None
+    if bits == 16:
+        x = np.frombuffer(pcm[: len(pcm) - (len(pcm) % 2)], dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    n = len(x) - (len(x) % channels)
+    if n == 0:
+        return None
+    mono = x[:n].reshape(-1, channels).mean(axis=1)
+    return mono, rate
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms double, "
+    "rms double, zero_crossing_rate double, peak double, decode_status string"
+)
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode + feature-extract stage for audio rows: real pure-Python
+    RIFF/PCM WAV decode, then the standard signal summary (RMS energy,
+    zero-crossing rate, peak amplitude, duration) — the cheap audio-quality
+    triage features a speech-corpus pipeline filters on (silence, clipping,
+    truncation) before any expensive model runs.
+
+    Same distributed shape as the image kernels: Arrow-batched
+    ``mapInPandas``, per-row numpy, undecodable payloads surface as a
+    status value — never a failed job. Feature doubles are rounded to 8 dp
+    so results are partition-layout-independent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "sample_rate": [], "n_samples": [], "duration_ms": [],
+                "rms": [], "zero_crossing_rate": [], "peak": [], "decode_status": [],
+            }
+            for payload in pdf[payload_col]:
+                dec = _decode_wav(bytes(payload)) if payload is not None else None
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms", "rms",
+                              "zero_crossing_rate", "peak"):
+                        out[k].append(None)
+                    out["decode_status"].append("decode_unavailable")
+                    continue
+                mono, rate = dec
+                n = len(mono)
+                zc = int(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(round(1000.0 * n / rate, 8))
+                out["rms"].append(round(float(np.sqrt(np.mean(mono * mono))), 8))
+                out["zero_crossing_rate"].append(round(zc / max(n - 1, 1), 8))
+                out["peak"].append(round(float(np.max(np.abs(mono))), 8))
+                out["decode_status"].append("ok_pure")
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode the sample timeline from
     metadata only (no decode): one row per (media_id, sample_ts_ms). The

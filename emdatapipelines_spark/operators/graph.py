@@ -1,4 +1,4 @@
-"""Iterative graph analytics: weighted PageRank.
+"""Iterative graph analytics: weighted PageRank, triangle counting.
 
 The second iterative-algorithm pattern in the engine (the first is
 connected components, `llmdata/dedup.py:connected_components`): a
@@ -83,3 +83,66 @@ def pagerank_weighted(
             ).alias("r"),
         )
     return r.select("id", F.col("r").alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count over an UNDIRECTED graph given as an edge
+    list (either orientation, duplicates/self-loops tolerated). Returns a
+    single row ``(n_triangles bigint)``.
+
+    Algorithm: degree-ordered orientation (the classic O(m^1.5) bound —
+    Schank & Wagner 2005; the same trick GraphX's TriangleCount and every
+    production system use). Each undirected edge is oriented from its
+    lower-(degree, id) endpoint to its higher one, so every node's
+    out-degree is O(sqrt(m)); wedges are then a self-join of the oriented
+    list on the source node, and a triangle is a wedge whose far pair is
+    itself an oriented edge. Without orientation the wedge count is
+    sum(deg^2) — a hub with degree 10^6 alone generates 10^12 wedges; with
+    it, the wedge join is bounded by m^1.5 no matter how skewed the degree
+    distribution. Three shuffles total (degree agg, wedge self-join,
+    closing equi-join); the count is orientation-invariant, so a plain
+    ``u < v`` SQL twin is an exact oracle."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id) total order; carry the head's rank key so the
+    # wedge join below can order the two far endpoints without re-joining deg
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ranked = (
+        und.join(du, F.col("u") == F.col("du.id"))
+        .join(dv, F.col("v") == F.col("dv.id"))
+        .select(
+            "u", "v",
+            F.col("du.d").alias("d_u"), F.col("dv.d").alias("d_v"),
+        )
+    )
+    u_first = (F.col("d_u") < F.col("d_v")) | (
+        (F.col("d_u") == F.col("d_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # wedge (a; b1, b2) with b1 before b2 in the same (degree, id) order —
+    # counts each wedge once; the closing edge must then be b1 -> b2
+    wedge = e1.join(e2, F.col("e1.a") == F.col("e2.a")).filter(
+        (F.col("e1.d_b") < F.col("e2.d_b"))
+        | ((F.col("e1.d_b") == F.col("e2.d_b")) & (F.col("e1.b") < F.col("e2.b")))
+    ).select(F.col("e1.b").alias("x"), F.col("e2.b").alias("y"))
+    closed = wedge.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
+    )
+    return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

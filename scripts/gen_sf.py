@@ -86,7 +86,10 @@ def gen_relational(con, src: str, out: str, rep: int) -> None:
             FROM '{src}/events.parquet', r""",
     }
     for tbl, sql in jobs.items():
-        con.execute(f"COPY ({sql}) TO '{out}/{tbl}.parquet' (FORMAT PARQUET)")
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{tbl}.parquet' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 200000)"  # splittable scans
+        )
 
 
 def gen_documents(src: str, out: str, rep: int) -> None:
@@ -110,7 +113,11 @@ def gen_documents(src: str, out: str, rep: int) -> None:
         cp["n_chars"] = cp["text"].str.len().astype("int64")
         frames.append(cp)
     allp = pd.concat(frames, ignore_index=True)
-    pq.write_table(pa.Table.from_pandas(allp, preserve_index=False), f"{out}/documents.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(allp, preserve_index=False),
+        f"{out}/documents.parquet",
+        row_group_size=2000,  # multi-row-group => Spark can split the scan
+    )
 
 
 def gen_embeddings(src: str, out: str, rep: int) -> None:
@@ -129,7 +136,7 @@ def gen_embeddings(src: str, out: str, rep: int) -> None:
     allp = pd.concat(frames, ignore_index=True)
     allp["embedding"] = allp["embedding"].map(lambda v: np.asarray(v, dtype=np.float32))
     out_tbl = pa.Table.from_pandas(allp, preserve_index=False, schema=tbl.schema)
-    pq.write_table(out_tbl, f"{out}/embeddings.parquet")
+    pq.write_table(out_tbl, f"{out}/embeddings.parquet", row_group_size=1000)
 
 
 def main() -> int:

@@ -156,3 +156,59 @@ def test_pure_kernel_resize_roundtrip(spark):
     assert decoded is not None and decoded.shape == (6, 8, 3)
     # constant-channel plane survives the resample exactly
     assert (decoded[..., 2] == 7).all()
+
+
+def _make_wav(freq=440, rate=8000, seconds=0.5, amp=0.5, bits=16, channels=1):
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    frames = bytearray()
+    for i in range(n):
+        v = amp * math.sin(2 * math.pi * freq * i / rate)
+        for _ in range(channels):
+            if bits == 16:
+                frames += struct.pack("<h", int(v * 32767))
+            else:
+                frames += struct.pack("<B", int(v * 127) + 128)
+    byte_rate = rate * channels * bits // 8
+    block = channels * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block, bits)
+    hdr += b"data" + struct.pack("<I", len(frames))
+    return bytes(hdr + frames)
+
+
+def test_audio_features_real_wav_decode(spark):
+    """Real RIFF/PCM decode: a 440 Hz sine at 8 kHz must yield RMS ≈
+    amp/sqrt(2), ZCR ≈ 2·f/rate, and the right duration; garbage bytes
+    surface as a status, never a failed job."""
+    from emdatapipelines_spark.llmdata.multimodal import audio_features
+
+    wav = _make_wav(freq=440, rate=8000, seconds=0.5, amp=0.5)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio at all"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    ok = rows[1]
+    assert ok["decode_status"] == "ok_pure"
+    assert ok["sample_rate"] == 8000 and ok["n_samples"] == 4000
+    assert abs(ok["duration_ms"] - 500.0) < 1e-6
+    assert abs(ok["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(ok["zero_crossing_rate"] - 2 * 440 / 8000) < 0.005
+    assert 0.49 < ok["peak"] <= 0.5
+    assert rows[2]["decode_status"] == "decode_unavailable"
+    assert rows[2]["rms"] is None
+
+
+def test_audio_features_stereo_8bit(spark):
+    """8-bit stereo path: channels average to mono; amplitude survives."""
+    from emdatapipelines_spark.llmdata.multimodal import audio_features
+
+    wav = _make_wav(freq=100, rate=4000, seconds=0.25, amp=0.8, bits=8, channels=2)
+    df = spark.createDataFrame([(7, bytearray(wav))], "media_id long, payload binary")
+    r = audio_features(df).collect()[0]
+    assert r["decode_status"] == "ok_pure"
+    assert r["sample_rate"] == 4000 and r["n_samples"] == 1000
+    assert abs(r["rms"] - 0.8 / 2**0.5) < 0.02

@@ -400,3 +400,42 @@ def test_nb_token_quality_separates_planted_classes(spark):
     assert out1 == out2
     assert all(out1[i] > 0 for i in range(20))
     assert all(out1[i] < 0 for i in range(20, 40))
+
+
+def test_triangle_count_known_graphs(spark):
+    """Hand-checkable triangle counts: K4 has 4, a path has 0, and the
+    count is invariant to edge direction, duplication, and self-loops."""
+    from emdatapipelines_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "src int, dst int")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src int, dst int")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)], "src int, dst int"
+    )
+    assert triangle_count(messy).collect()[0]["n_triangles"] == 1
+
+
+def test_triangle_count_skewed_hub_matches_naive(spark):
+    """A hub node with high degree: the degree-ordered count must equal the
+    naive u<v 3-way join count (orientation invariance under skew)."""
+    from pyspark.sql import functions as F
+    from emdatapipelines_spark.operators.graph import triangle_count
+
+    edges = [(0, i) for i in range(1, 40)] + [(i, i + 1) for i in range(1, 39)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    e = df.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    naive = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .join(e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")))
+        .count()
+    )
+    assert got == naive == 38  # hub wedges close along the 1-2-...-39 path

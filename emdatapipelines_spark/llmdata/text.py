@@ -377,3 +377,88 @@ def apply_c4_line_filter(df, text_col: str = "text", **kwargs):
     cleaned, n_kept, keep = c4_line_filter(text_col, **kwargs)
     out = df.withColumn("__clean", cleaned).withColumn("kept_lines", n_kept).filter(keep)
     return out.withColumn(text_col, F.col("__clean")).drop("__clean")
+
+
+#: Gopher's required-word set (Rae et al. 2021, table A1): a doc must contain
+#: at least two of these to pass the "stop word" rule.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    col="text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_words: int = 2,
+) -> dict[str, Column]:
+    """Gopher document-quality rules (Rae et al. 2021, appendix A1.1) as pure
+    JVM column expressions — split / filter / regexp HOFs only, so the whole
+    filter is one codegen'd scan with zero shuffle and zero Python: the right
+    shape for a 100 TB corpus sweep. Defaults are the published thresholds;
+    every knob is a parameter because real pipelines tune them per source.
+
+    Returns named signal columns plus ``passes_gopher``. All ratio columns
+    are rounded to 6 places BEFORE the threshold comparison so the boolean is
+    bit-stable across engines and partitionings.
+
+    Rules (doc passes if ALL hold):
+      - word count in [min_words, max_words];
+      - mean word length in [min_mean_word_len, max_mean_word_len];
+      - (# '#' chars + # ellipses) / words <= max_symbol_ratio;
+      - fraction of lines starting with a bullet <= max_bullet_line_frac;
+      - fraction of lines ending in an ellipsis <= max_ellipsis_line_frac;
+      - fraction of words with an alphabetic char >= min_alpha_word_frac;
+      - contains >= min_required_words distinct GOPHER_REQUIRED_WORDS.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    norm = _norm(col)
+    toks = F.split(norm, " ")
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(F.size(toks)).cast("int")
+    nz = F.greatest(n_words, F.lit(1))
+    # sum(len(tok)) == len(norm) - (n-1) single-space separators: exact, no
+    # aggregate-HOF pass needed.
+    mean_word_len = F.round(
+        (F.length(norm) - F.greatest(n_words - 1, F.lit(0))) / nz, 6
+    )
+    hashes = F.length(F.regexp_replace(c, r"[^#]", ""))
+    ellipses = F.size(F.regexp_extract_all(c, F.lit(r"(\.\.\.|…)"), 0))
+    symbol_ratio = F.round((hashes + ellipses) / nz, 6)
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_word_frac = F.round(alpha_words / nz, 6)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_line_frac = F.round(
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•]"))) / n_lines, 6
+    )
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$"))) / n_lines, 6
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    required_hits = F.size(F.filter(req, lambda w: F.array_contains(toks, w))).cast("int")
+    passes = (
+        (n_words >= F.lit(min_words))
+        & (n_words <= F.lit(max_words))
+        & (mean_word_len >= F.lit(min_mean_word_len))
+        & (mean_word_len <= F.lit(max_mean_word_len))
+        & (symbol_ratio <= F.lit(max_symbol_ratio))
+        & (bullet_line_frac <= F.lit(max_bullet_line_frac))
+        & (ellipsis_line_frac <= F.lit(max_ellipsis_line_frac))
+        & (alpha_word_frac >= F.lit(min_alpha_word_frac))
+        & (required_hits >= F.lit(min_required_words))
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "required_hits": required_hits,
+        "passes_gopher": passes,
+    }

@@ -1570,3 +1570,76 @@ def llm_cluster_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# text: Gopher document-quality rules (Rae et al. 2021 appendix A1.1) — the
+# canonical web-corpus doc filter, distinct from the C4 LINE filter above and
+# from tx_quality's composite score. Pure JVM HOFs, zero shuffle; min_words
+# is set fixture-practically (10) so both outcomes appear at sf0.01 (the
+# published default of 50 stays the library default in llmdata/text.py).
+# Lines are synthesized with the same '. ' wrap as tx_c4_line_filter so the
+# line-fraction rules have structure to act on.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_gopher_rules",
+    """
+    WITH wrapped AS (
+      SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text
+      FROM documents),
+    base AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM wrapped),
+    sig AS (
+      SELECT doc_id, text,
+             CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS n_words,
+             string_split(norm, ' ') AS toks,
+             length(norm) AS n_norm,
+             length(regexp_replace(text, '[^#]', '', 'g'))
+               + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS symbols,
+             list_filter(string_split(text, chr(10)),
+                         x -> length(trim(x)) > 0) AS lines
+      FROM base),
+    ratios AS (
+      SELECT doc_id, n_words,
+             ROUND((n_norm - greatest(n_words - 1, 0)) * 1.0
+                   / greatest(n_words, 1), 6) AS mean_word_len,
+             ROUND(symbols * 1.0 / greatest(n_words, 1), 6) AS symbol_ratio,
+             ROUND(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]')))
+                   * 1.0 / greatest(len(lines), 1), 6) AS bullet_line_frac,
+             ROUND(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))
+                   * 1.0 / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+             ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1.0 / greatest(n_words, 1), 6) AS alpha_word_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  w -> list_contains(toks, w))) AS INT) AS required_hits
+      FROM sig)
+    SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len, symbol_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, required_hits,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND required_hits >= 2) AS passes_gopher
+    FROM ratios
+    """,
+)
+def tx_gopher_rules(spark, sf_dir):
+    from ..llmdata.text import gopher_rules
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n")
+    )
+    g = gopher_rules("text", min_words=10)
+    return d.select(
+        "doc_id",
+        *[g[k].alias(k) for k in (
+            "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "required_hits",
+            "passes_gopher",
+        )],
+    )

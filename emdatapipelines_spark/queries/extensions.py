@@ -1643,3 +1643,40 @@ def tx_gopher_rules(spark, sf_dir):
             "passes_gopher",
         )],
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: EXACT Jaccard-threshold join via prefix filtering (AllPairs/PPJoin
+# family). Same contract as dd_jaccard_pairs but at a realistic near-dup
+# threshold (0.8) where the prefix index prunes ~80% of the shingle volume —
+# the scale path when the answer must be exact (LSH loses pairs; the full
+# shingle self-join needs hot-bucket capping). The oracle is the plain
+# all-pairs exact Jaccard: prefix filtering is lossless, so outputs match.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_prefix_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 1, 2)),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(c.common * 1.0 / (sa.set_size + sb.set_size - c.common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE c.common * 1.0 / (sa.set_size + sb.set_size - c.common) >= 0.8
+    """,
+)
+def dd_prefix_jaccard(spark, sf_dir):
+    from ..llmdata.dedup import prefix_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, n=3, threshold=0.8)

@@ -1680,3 +1680,49 @@ def dd_prefix_jaccard(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(d, n=3, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# join: spatial radius join (grid-cell bucketed, exact) — "customers within
+# 50 km of each supplier" on deterministic synthetic planar coordinates
+# (the fixtures carry no geography; derive_planar_point is pure BIGINT
+# arithmetic so both engines compute bit-identical points). The oracle is
+# the naive cross-join distance filter — exactness of the grid means the
+# outputs match; the Spark side never materializes the cross product.
+# ---------------------------------------------------------------------------
+@query(
+    "j12_radius_join",
+    """
+    WITH spts AS (
+      SELECT s_suppkey,
+             ((s_suppkey * 2654435761) % 1000000) / 1000.0 AS x,
+             ((s_suppkey * 40503 + 12345) % 1000000) / 1000.0 AS y
+      FROM supplier),
+    cpts AS (
+      SELECT c_custkey,
+             ((c_custkey * 2654435761) % 1000000) / 1000.0 AS x,
+             ((c_custkey * 40503 + 12345) % 1000000) / 1000.0 AS y
+      FROM customer)
+    SELECT s.s_suppkey, c.c_custkey,
+           ROUND(sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)), 6) AS dist_km
+    FROM spts s, cpts c
+    WHERE ROUND(sqrt((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)), 6) <= 50.0
+    """,
+)
+def j12_radius_join(spark, sf_dir):
+    from ..operators.spatial import derive_planar_point, radius_join
+
+    sx, sy = derive_planar_point(F.col("s_suppkey"))
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", sx.alias("x"), sy.alias("y")
+    )
+    cx, cy = derive_planar_point(F.col("c_custkey"))
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", cx.alias("x"), cy.alias("y")
+    )
+    out = radius_join(supp, cust, radius=50.0, dist_col="dist_km")
+    return out.select(
+        F.col("l_s_suppkey").alias("s_suppkey"),
+        F.col("r_c_custkey").alias("c_custkey"),
+        "dist_km",
+    )

@@ -1726,3 +1726,29 @@ def j12_radius_join(spark, sf_dir):
         F.col("r_c_custkey").alias("c_custkey"),
         "dist_km",
     )
+
+
+# ---------------------------------------------------------------------------
+# agg: heavy hitters ("users with >= 0.75% of all events") — Misra-Gries
+# sketch prefilter + exact recount of the candidates. The sketch bounds the
+# pass-one shuffle to k rows/partition regardless of column cardinality and
+# provably admits no false negatives at the threshold (k > 2/s), so the
+# final output is EXACT and the oracle is the plain GROUP BY ... HAVING.
+# ---------------------------------------------------------------------------
+@query(
+    "a23_heavy_hitters",
+    """
+    WITH tot AS (SELECT COUNT(*) AS n FROM events),
+    c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT c.user_id, CAST(c.cnt AS BIGINT) AS cnt,
+           ROUND(c.cnt * 1.0 / t.n, 6) AS share
+    FROM c, tot t
+    WHERE c.cnt * 1.0 / t.n >= 0.0075
+    """,
+)
+def a23_heavy_hitters(spark, sf_dir):
+    from ..operators.heavyhitters import heavy_hitters
+
+    e = t(spark, sf_dir, "events")
+    out = heavy_hitters(e, "user_id", min_share=0.0075)
+    return out.select("user_id", F.col("cnt").cast("bigint"), "share")

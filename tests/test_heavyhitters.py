@@ -1,0 +1,76 @@
+"""Misra-Gries heavy hitters (operators/heavyhitters.py) — the mergeable-
+summary guarantees (undercount bounded by N/(k+1), no overcount, no false
+negatives above the bound, <= k+1 rows per partition) on skewed data, and
+end-to-end equality with the exact groupBy."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.operators.heavyhitters import (
+    heavy_hitters,
+    merge_mg,
+    misra_gries_partials,
+)
+
+# Zipf-ish skew: item i appears ~ 3000/i times, plus a long uniform tail.
+ITEMS = [f"item{i}" for i in range(1, 40) for _ in range(3000 // i)] + [
+    f"tail{j}" for j in range(2000)
+]
+
+
+def _df(spark, partitions=8):
+    return spark.createDataFrame(
+        [(v,) for v in ITEMS], "item string"
+    ).repartition(partitions)
+
+
+def test_mg_guarantees(spark):
+    k = 50
+    df = _df(spark)
+    n = len(ITEMS)
+    true = Counter(ITEMS)
+    merged, totals = merge_mg(misra_gries_partials(df, "item", k), "item")
+    est = {r["item"]: r["est"] for r in merged.collect()}
+    assert totals.first()["total_n"] == n
+    bound = n / (k + 1)
+    for item, e in est.items():
+        assert e <= true[item]                   # never overcounts
+        assert true[item] - e <= bound           # bounded undercount
+    for item, c in true.items():                 # no false negatives
+        if c > bound:
+            assert item in est
+
+
+def test_partition_summaries_are_bounded(spark):
+    k = 20
+    partials = misra_gries_partials(_df(spark, partitions=6), "item", k)
+    # 6 partitions x at most (k items + 1 total row) each
+    assert partials.count() <= 6 * (k + 1)
+    per_part = (
+        partials.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_part <= k + 1
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    df = _df(spark)
+    s = 0.01
+    got = {
+        (r["item"], r["cnt"]) for r in heavy_hitters(df, "item", min_share=s).collect()
+    }
+    n = len(ITEMS)
+    want = {(i, c) for i, c in Counter(ITEMS).items() if c * 1.0 / n >= s}
+    assert got == want and got
+
+
+def test_result_independent_of_partitioning(spark):
+    a = heavy_hitters(_df(spark, 2), "item", 0.01).collect()
+    b = heavy_hitters(_df(spark, 16), "item", 0.01).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

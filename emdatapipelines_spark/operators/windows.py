@@ -86,3 +86,46 @@ def row_number_code(partition_cols: list[str], order_cols: list) -> Column:
     """W2 — ``ROW_NUMBER()`` sequence for public-code generation
     (`models/public/public_disasters.sql:44`)."""
     return F.row_number().over(keyed_window(partition_cols, order_cols))
+
+
+def grouped_ewma(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-group exponentially weighted moving average (final value):
+    ``ewma_1 = x_1; ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1}``.
+
+    An EWMA is a sequential recurrence — not expressible as any SQL window
+    frame aggregate — but per GROUP it is a plain ordered fold, so the
+    Spark-first form is one groupBy building the group's ordered value
+    array (``array_sort(collect_list(struct(order, value)))``) followed by
+    a row-local ``F.aggregate`` fold: ONE shuffle, no UDF, no iteration.
+    Groups must individually fit in memory (true for per-user / per-sensor
+    series; for million-row groups chunk by time first and chain the folds —
+    the recurrence composes: ewma(chunk2 init=ewma(chunk1))).
+
+    ``order_cols`` must make the order total (include a unique tiebreaker)
+    or the fold result is partitioning-dependent. Emits one row per group:
+    partition_cols + n_obs + ``out_col`` (rounded to 6).
+    """
+    ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
+    grouped = df.groupBy(*partition_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ordkey.alias("k"), F.col(value_col).alias("v")))
+            ),
+            lambda s: s["v"].cast("double"),
+        ).alias("__vals"),
+        F.count(value_col).alias("n_obs"),
+    )
+    a = float(alpha)
+    fold = F.aggregate(
+        F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at("__vals", 1),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+    return grouped.select(*partition_cols, "n_obs", F.round(fold, 6).alias(out_col))

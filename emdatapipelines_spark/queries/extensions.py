@@ -1752,3 +1752,33 @@ def a23_heavy_hitters(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     out = heavy_hitters(e, "user_id", min_share=0.0075)
     return out.select("user_id", F.col("cnt").cast("bigint"), "share")
+
+
+# ---------------------------------------------------------------------------
+# window: per-user EWMA of event values — a sequential recurrence no SQL
+# window frame expresses; computed as one groupBy + row-local ordered fold
+# (array_sort(collect_list) -> F.aggregate), zero UDF. Oracle: DuckDB's
+# ordered list() aggregate + list_reduce runs the identical fold, so the
+# doubles match bit-for-bit (same operation order).
+# ---------------------------------------------------------------------------
+@query(
+    "w11_ewma",
+    """
+    WITH series AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+             COUNT(value) AS n_obs
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+    FROM series
+    """,
+)
+def w11_ewma(spark, sf_dir):
+    from ..operators.windows import grouped_ewma
+
+    e = t(spark, sf_dir, "events")
+    out = grouped_ewma(
+        e, "value", ["user_id"], ["ts", "event_id"], alpha=0.2
+    )
+    return out.select("user_id", F.col("n_obs").cast("bigint"), "ewma")

@@ -217,3 +217,40 @@ def test_rank_filters_get_window_group_limit(spark, name):
     filter form the optimizer can't see through would silently lose it."""
     plan = entry.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_runtime_bloom_filter_prunes_large_large_join(spark):
+    """At 100 TB a fact-dim join where the (filtered) dim side is still too
+    big to broadcast becomes a shuffle join that drags every fact row
+    through the exchange. Spark's runtime Bloom-filter injection
+    (spark.sql.optimizer.runtime.bloomFilter.*, on by default) builds a
+    bloom_filter_agg over the filtered dim keys and plants
+    BloomFilterMightContain on the fact side BEFORE its shuffle, pruning
+    non-joining rows at the scan. This guard pins the contract: with
+    broadcast off (simulating a large dim) the filter must appear."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in optimized.lower()
+        assert "might_contain" in executed.lower()
+        # and the probe must sit on the FACT (lineitem) side scan subtree
+        fact_side = executed.lower().split("lineitem.parquet")[0]
+        assert "might_contain" in fact_side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -1782,3 +1782,54 @@ def w11_ewma(spark, sf_dir):
         e, "value", ["user_id"], ["ts", "event_id"], alpha=0.2
     )
     return out.select("user_id", F.col("n_obs").cast("bigint"), "ewma")
+
+
+# ---------------------------------------------------------------------------
+# llm: distributed BPE merge learning (Sennrich et al. 2016) — the first 6
+# tokenizer merges over the corpus. After one corpus-wide word count every
+# iteration is vocab-bounded (explode pairs over DISTINCT words + 1-row
+# argmax pull), the Pregel shape of gr_pagerank_trade. The oracle unrolls
+# the same 6 iterations as CTE stages; the greedy left-to-right merge fold
+# runs as the SAME string fold in both engines (F.aggregate vs list_reduce),
+# so the merge table matches exactly, ties broken lexicographically.
+# ---------------------------------------------------------------------------
+def _bpe_oracle(k: int) -> str:
+    parts = [
+        """
+    base AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT regexp_replace(unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), '[^a-z0-9]', '', 'g') AS word
+        FROM documents) w
+      WHERE word <> '' GROUP BY word),
+    stage0 AS (
+      SELECT array_to_string(string_split(word, ''), chr(31)) || chr(31) || '</w>' AS state, cnt FROM base)"""
+    ]
+    for i in range(1, k + 1):
+        prev = f"stage{i-1}"
+        parts.append(f"""
+    pairs{i} AS (
+      SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS c FROM (
+        SELECT unnest(list_filter(list_zip(syms, syms[2:]), q -> q[2] IS NOT NULL)) AS p, cnt
+        FROM (SELECT string_split(state, chr(31)) AS syms, cnt FROM {prev}) s) t
+      GROUP BY 1, 2),
+    best{i} AS (SELECT a, b, c FROM pairs{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    stage{i} AS (
+      SELECT CASE WHEN len(string_split(state, chr(31))) <= 1 THEN state ELSE
+        list_reduce(string_split(state, chr(31)), (acc, x) -> CASE
+          WHEN list_extract(string_split(acc, chr(31)), -1) = ma AND x = mb
+          THEN left(acc, length(acc) - length(list_extract(string_split(acc, chr(31)), -1))) || mm
+          ELSE acc || chr(31) || x END) END AS state, cnt
+      FROM {prev} CROSS JOIN (SELECT a AS ma, b AS mb, a || b AS mm FROM best{i}) m)""")
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS sym_a, b AS sym_b, a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",".join(parts) + " " + rows + " ORDER BY step"
+
+
+@query("lm_bpe_merges", _bpe_oracle(6))
+def lm_bpe_merges(spark, sf_dir):
+    from ..llmdata.bpe import learn_bpe_merges
+
+    d = t(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, k=6)

@@ -1833,3 +1833,132 @@ def lm_bpe_merges(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return learn_bpe_merges(d, k=6)
+
+
+# ---------------------------------------------------------------------------
+# ml: group-wise winsorization (clip at per-group exact p05/p95) — standard
+# feature-prep before training. Exact percentile per group (tiny group
+# count) broadcast back onto the fact rows; at 100 TB swap F.percentile for
+# percentile_approx with the same plan shape. Clip boundaries are rounded
+# to 4 in BOTH engines before comparison/clip so interpolation ulp noise
+# can't diverge the hashes.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 4) AS lo,
+             ROUND(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND(least(greatest(e.value, b.lo), b.hi), 4) AS value_winsorized,
+           (e.value < b.lo OR e.value > b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def ml_winsorize(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    b = e.groupBy("event_type").agg(
+        F.round(F.element_at(pcts, 1), 4).alias("lo"),
+        F.round(F.element_at(pcts, 2), 4).alias("hi"),
+    )
+    return e.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4
+        ).alias("value_winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts: first-order Markov transition matrix of event types per user — the
+# behavioral-model summary (next-event prediction, anomaly scoring). One
+# window pass (lag over user sessions) + one groupBy; transition
+# probabilities are integer-count ratios, deterministic under rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM c
+    """,
+)
+def ts_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wrow), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality: Benford first-digit distribution test on order totals — the
+# classic fabricated-data screen for financial columns (reference's quality
+# surface §2.10 has no distributional test). Digit extraction is string-
+# based on the DECIMAL rendering so both engines see identical digits; the
+# expected share is Benford's log10(1 + 1/d).
+# ---------------------------------------------------------------------------
+@query(
+    "q12_benford",
+    """
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                                 '[1-9]') AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / total, 6) AS observed,
+           ROUND(log10(1 + 1.0 / digit), 6) AS expected,
+           ROUND(abs(n * 1.0 / total - ROUND(log10(1 + 1.0 / digit), 6)), 6) AS abs_dev
+    FROM c, tot
+    """,
+)
+def q12_benford(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    expected = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("observed"),
+        expected.alias("expected"),
+        F.round(
+            F.abs(F.col("n") * 1.0 / F.col("total") - expected), 6
+        ).alias("abs_dev"),
+    )

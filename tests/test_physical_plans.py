@@ -63,6 +63,7 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
 #:   sim_cosine_topk: non-equi (id != id) join against broadcast query set
 BNLJ_ALLOWED = {
     "a23_heavy_hitters",  # two crossJoin(broadcast(1-row total-N aggregate)) scalar joins
+    "q12_benford",  # crossJoin(broadcast(1-row total count))
     "ml_risk_bands",
     "m4_recommendations",  # crossJoin(broadcast(1-row moments/tail-rate aggregates))
     "q2_outliers",

@@ -389,3 +389,117 @@ def incremental_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_ewma_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    value_col: str,
+    keys: list[str],
+    order_cols: list[str],
+    alpha: float = 0.2,
+) -> bool:
+    """Apply one microbatch to a per-key EWMA state table — the streaming
+    twin of ``operators.windows.grouped_ewma``, exploiting that the EWMA
+    recurrence COMPOSES: folding a new chunk with the stored state as the
+    initial accumulator is bit-identical to folding the whole history at
+    once (same operation sequence on the same doubles). State per key is
+    one row (n_obs, ewma) — O(keys), independent of history length.
+
+    Precondition (beyond the shared-checkpoint contract of every writer in
+    this module): per key, batches must arrive in event order — an EWMA is
+    order-sensitive, so a late row belongs BEFORE already-folded ones and
+    cannot be merged into the recurrence. Bound disorder upstream with a
+    watermark + ``dedup_within_watermark`` and sort within the batch (done
+    here via the ``order_cols`` sort key).
+    """
+    hw = applied_batch_watermark(table_path)
+    if _replay_check(batch_id, hw, table_path):
+        return False
+    spark = batch_df.sparkSession
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+    grouped = batch_df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ordkey.alias("k"), F.col(value_col).alias("v")))
+            ),
+            lambda s: s["v"].cast("double"),
+        ).alias("__vals"),
+        F.count(value_col).alias("__n"),
+    )
+    try:
+        state = read_versioned(spark, table_path)
+    except FileNotFoundError:
+        state = None
+    step = lambda acc, x: F.lit(float(alpha)) * x + F.lit(1.0 - float(alpha)) * acc  # noqa: E731
+    if state is None:
+        fresh = grouped.select(
+            *keys,
+            F.col("__n").alias("n_obs"),
+            F.aggregate(
+                F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+                F.element_at("__vals", 1),
+                step,
+            ).alias("ewma"),
+        )
+        combined = fresh
+    else:
+        st = state.select(
+            *keys, F.col("n_obs").alias("__n0"), F.col("ewma").alias("__e0")
+        )
+        joined = grouped.join(st, keys, "left")
+        updated = joined.select(
+            *keys,
+            (F.coalesce("__n0", F.lit(0)) + F.col("__n")).alias("n_obs"),
+            F.when(
+                F.col("__e0").isNotNull(),
+                F.aggregate(F.col("__vals"), F.col("__e0"), step),
+            )
+            .otherwise(
+                F.aggregate(
+                    F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0))),
+                    F.element_at("__vals", 1),
+                    step,
+                )
+            )
+            .alias("ewma"),
+        )
+        untouched = state.join(grouped.select(*keys), keys, "left_anti")
+        combined = untouched.select(*keys, "n_obs", "ewma").unionByName(updated)
+    write_versioned(
+        combined,
+        table_path,
+        meta={
+            "batch_id": batch_id,
+            "max_batch_id": batch_id if hw is None else max(hw, batch_id),
+        },
+    )
+    return True
+
+
+def incremental_ewma(
+    stream_df: DataFrame,
+    table_path: str,
+    value_col: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+    alpha: float = 0.2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the EWMA maintenance query: stream → per-batch ordered fold →
+    versioned per-key state commits (exactly-once under the batch
+    watermark, like every writer in this module)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_ewma_batch(
+            batch_df, batch_id, table_path, value_col, keys, order_cols, alpha
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -39,3 +39,46 @@ def test_partitioning_independent(spark):
     a = sorted(map(tuple, grouped_ewma(_df(spark, 1), "value", ["uid"], ["seq"]).collect()))
     b = sorted(map(tuple, grouped_ewma(_df(spark, 7), "value", ["uid"], ["seq"]).collect()))
     assert a == b
+
+
+def test_streaming_twin_composes_bit_exactly(spark, tmp_path):
+    """Chunked folds with carried state == one global fold (the recurrence
+    composes), including keys absent from later batches and keys first seen
+    mid-stream; replayed and stale batches follow the watermark contract."""
+    import pytest
+
+    from emdatapipelines_spark.streaming.incremental import (
+        StaleBatchError,
+        apply_ewma_batch,
+    )
+
+    table = str(tmp_path / "ewma_state")
+    batches = [ROWS[:3], ROWS[3:5], ROWS[5:]]  # u3 appears only in batch 3
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "uid string, seq int, value double")
+        assert apply_ewma_batch(b, i, table, "value", ["uid"], ["seq"]) is True
+
+    from emdatapipelines_spark.versioned import read_versioned
+
+    got = {
+        r["uid"]: (r["n_obs"], round(r["ewma"], 6))
+        for r in read_versioned(spark, table).collect()
+    }
+    want = {
+        r["uid"]: (r["n_obs"], r["ewma"])
+        for r in grouped_ewma(_df(spark), "value", ["uid"], ["seq"], alpha=0.2).collect()
+    }
+    assert got == want
+
+    # replay of the last epoch: skipped, state unchanged
+    b = spark.createDataFrame(batches[-1], "uid string, seq int, value double")
+    assert apply_ewma_batch(b, 2, table, "value", ["uid"], ["seq"]) is False
+    again = {
+        r["uid"]: (r["n_obs"], round(r["ewma"], 6))
+        for r in read_versioned(spark, table).collect()
+    }
+    assert again == want
+
+    # fresh-checkpoint signature (id far below watermark): loud failure
+    with pytest.raises(StaleBatchError):
+        apply_ewma_batch(b, 0, table, "value", ["uid"], ["seq"])

@@ -1962,3 +1962,113 @@ def q12_benford(spark, sf_dir):
             F.abs(F.col("n") * 1.0 / F.col("total") - expected), 6
         ).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup analytics: source-overlap matrix — which SOURCES duplicate each
+# other (mirror sites, syndication, scraper overlap). Rides the same 5-gram
+# near-dup edges as dd_cluster_assign; the doc→source lookups attach via
+# plain equi-joins — the edge side is output-bounded (near-dup pairs), so
+# AQE broadcasts IT, never the corpus-sized source map. The matrix is
+# symmetric: pairs are canonicalized (least, greatest), counted once.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_source_overlap",
+    f"""
+    WITH edges AS ({_JACCARD_EDGES_SQL}),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM edges e
+      JOIN documents da ON e.id_a = da.doc_id
+      JOIN documents db ON e.id_b = db.doc_id)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS dup_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def dd_source_overlap(spark, sf_dir):
+    from ..llmdata.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    tagged = (
+        edges.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm: contrastive training triplets (anchor, positive, negative) for
+# embedding-model training. Positives = near-dup pairs (the 5-gram edge
+# set); negatives are DETERMINISTIC pseudo-random picks: each pair hashes
+# (md5) to one of 256 buckets, docs hash to buckets the same way, and the
+# negative is the first of the bucket's 3 smallest doc_ids that collides
+# with neither anchor nor positive. The bucket table is a 256-row broadcast
+# built by one groupBy over the corpus — no per-pair scan, no RNG, fully
+# reproducible, identical in both engines (md5 on integer strings).
+# ---------------------------------------------------------------------------
+@query(
+    "llm_contrastive_triplets",
+    f"""
+    WITH edges AS ({_JACCARD_EDGES_SQL}),
+    buckets AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt,
+             list_sort(list(doc_id))[1:3] AS cands
+      FROM documents GROUP BY 1),
+    trip AS (
+      SELECT e.id_a AS anchor, e.id_b AS positive,
+             list_filter(b.cands, c -> c <> e.id_a AND c <> e.id_b)[1] AS negative
+      FROM edges e
+      LEFT JOIN buckets b
+        ON substring(md5(CAST(e.id_a AS VARCHAR) || '_' || CAST(e.id_b AS VARCHAR)), 1, 2) = b.bkt)
+    SELECT anchor, positive, negative FROM trip WHERE negative IS NOT NULL
+    """,
+)
+def llm_contrastive_triplets(spark, sf_dir):
+    from ..llmdata.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
+    buckets = (
+        d.select(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2).alias("bkt"),
+            "doc_id",
+        )
+        .groupBy("bkt")
+        .agg(F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("cands"))
+    )
+    pair_bkt = F.substring(
+        F.md5(
+            F.concat(
+                F.col("id_a").cast("string"), F.lit("_"), F.col("id_b").cast("string")
+            )
+        ),
+        1,
+        2,
+    )
+    trip = edges.withColumn("bkt", pair_bkt).join(F.broadcast(buckets), "bkt", "left")
+    neg = F.element_at(
+        F.filter(
+            F.col("cands"),
+            lambda c: (c != F.col("id_a")) & (c != F.col("id_b")),
+        ),
+        1,
+    )
+    return (
+        trip.select(
+            F.col("id_a").alias("anchor"),
+            F.col("id_b").alias("positive"),
+            neg.alias("negative"),
+        )
+        .filter(F.col("negative").isNotNull())
+    )

@@ -161,9 +161,20 @@ def prefix_jaccard_pairs(
     full token arrays for CANDIDATE pairs only (output-bounded, not
     corpus-bounded). Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")
-    ).select("id", F.xxhash64("sgl").alias("shingle"))
+    from pyspark import StorageLevel
+
+    # The shingle stream feeds two consumers (df counts, the ordered-set
+    # build) and the ordered-set frame feeds three (prefix index, both
+    # verification sides): persist both, or the scan+shingle pipeline — the
+    # corpus-cost term at 100 TB — re-runs per consumer (measured 8 corpus
+    # scans / 0 reused exchanges without, 1 with).
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")
+        )
+        .select("id", F.xxhash64("sgl").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Global rarest-first order = (df, shingle); the per-doc sorted array is
     # assembled in one groupBy, so the order never needs a global rank table.
@@ -179,6 +190,7 @@ def prefix_jaccard_pairs(
             "set_size",
             F.transform("__ord", lambda s: s["shingle"]).alias("toks"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix_len = (
         F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)

@@ -2072,3 +2072,72 @@ def llm_contrastive_triplets(spark, sf_dir):
         )
         .filter(F.col("negative").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: paragraph-level exact dedup — the standard boilerplate-removal
+# grain between document-level (dd_exact_dedup) and span-level
+# (dd_dup_spans): a paragraph survives only at its FIRST corpus occurrence
+# (min (doc_id, position)), so repeated headers/footers/disclaimers vanish
+# everywhere else while each doc keeps its residual text in order.
+# Shape: explode paragraphs with position → one window (first-occurrence
+# rank over the paragraph hash) → re-assemble per doc. Two shuffles total
+# (paragraph-hash, doc_id), both content-keyed and skew-bounded by
+# paragraph multiplicity. Paragraphs are synthesized from sentence breaks
+# like tx_c4_line_filter (the fixture text is single-line).
+# ---------------------------------------------------------------------------
+@query(
+    "dd_paragraph_dedup",
+    """
+    WITH wrapped AS (
+      SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text
+      FROM documents),
+    paras AS (
+      SELECT doc_id, p.para, p.pos
+      FROM wrapped, LATERAL (
+        SELECT UNNEST(string_split(text, chr(10))) AS para,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos) p
+      WHERE trim(p.para) <> ''),
+    ranked AS (
+      SELECT doc_id, para, pos,
+             ROW_NUMBER() OVER (PARTITION BY md5(trim(para))
+                                ORDER BY doc_id, pos) AS rn
+      FROM paras)
+    SELECT doc_id,
+           array_to_string(list(para ORDER BY pos), chr(10)) AS clean_text,
+           CAST(COUNT(*) AS INT) AS kept_paras
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dd_paragraph_dedup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", r"\. ", ".\n")
+    )
+    paras = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos0", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    )
+    w = Window.partitionBy(F.md5(F.trim("para"))).orderBy("doc_id", "pos")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("int").alias("kept_paras"),
+        )
+    )

@@ -186,3 +186,107 @@ def test_funnel_counts_monotone_nonincreasing(spark, rows):
         for r in funnel_stages(df, "u", "ts", "et", ["a", "b", "c"]).collect()
     }
     assert got["a"] >= got["a>b"] >= got["a>b>c"] >= 0
+
+
+# --------------------------------------------------------------------------
+# round-5 exact-algorithm claims, randomized
+# --------------------------------------------------------------------------
+
+_doc_corpus = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),  # tiny alphabet -> dense collisions
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_corpus, st.sampled_from([0.3, 0.6, 0.9]))
+def test_prefix_filter_is_lossless(spark, texts, threshold):
+    """prefix_jaccard_pairs == the naive full self-join on random corpora —
+    the AllPairs completeness theorem, checked empirically."""
+    from emdatapipelines_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_jaccard_pairs(df, n=2, threshold=threshold).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=2, threshold=threshold).collect()
+    }
+    assert fast == naive
+
+
+_item_stream = st.lists(st.integers(0, 8), min_size=1, max_size=60)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_item_stream, st.sampled_from([2, 4]))
+def test_mg_merge_bounds_hold(spark, items, k):
+    """Merged Misra-Gries estimates: never overcount, undercount <= N/(k+1),
+    and every item above the bound survives — for any stream and k."""
+    from collections import Counter
+
+    from emdatapipelines_spark.operators.heavyhitters import (
+        merge_mg,
+        misra_gries_partials,
+    )
+
+    df = spark.createDataFrame([(str(v),) for v in items], "item string").repartition(3)
+    merged, totals = merge_mg(misra_gries_partials(df, "item", k), "item")
+    est = {r["item"]: r["est"] for r in merged.collect()}
+    true = Counter(str(v) for v in items)
+    n = len(items)
+    assert totals.first()["total_n"] == n
+    for it, e in est.items():
+        assert e <= true[it] and true[it] - e <= n / (k + 1)
+    for it, c in true.items():
+        if c > n / (k + 1):
+            assert it in est
+
+
+_points = st.lists(
+    st.tuples(
+        st.floats(-30, 30, allow_nan=False, width=32),
+        st.floats(-30, 30, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_points, _points, st.sampled_from([3.0, 10.0]))
+def test_radius_join_is_exact(spark, lpts, rpts, radius):
+    """Grid-bucketed radius join == naive cross-join distance filter for any
+    point sets (incl. negative coords / cell-boundary values)."""
+    import math
+
+    from emdatapipelines_spark.operators.spatial import radius_join
+
+    l = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(lpts)],
+        "id bigint, x double, y double",
+    )
+    r = spark.createDataFrame(
+        [(j, float(x), float(y)) for j, (x, y) in enumerate(rpts)],
+        "pid bigint, x double, y double",
+    )
+    got = {
+        (row["l_id"], row["r_pid"])
+        for row in radius_join(l, r, radius=radius).collect()
+    }
+    want = {
+        (i, j)
+        for i, (xa, ya) in enumerate(lpts)
+        for j, (xb, yb) in enumerate(rpts)
+        if round(math.sqrt((float(xa) - float(xb)) ** 2 + (float(ya) - float(yb)) ** 2), 6)
+        <= radius
+    }
+    assert got == want

@@ -2141,3 +2141,41 @@ def dd_paragraph_dedup(spark, sf_dir):
             F.count(F.lit(1)).cast("int").alias("kept_paras"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts: day-of-week seasonal profile + residuals — the minimal seasonality
+# decomposition (weekly profile is the dominant cycle in ops metrics):
+# seasonal = per (event_type, iso dow) decimal-exact mean, residual =
+# value − seasonal. One groupBy + one broadcast join back; the profile is
+# 5×7 rows at any corpus size. Day-of-week via ISO numbering on both
+# engines (Spark weekday()+1 == DuckDB isodow).
+# ---------------------------------------------------------------------------
+@query(
+    "ts_seasonal_residuals",
+    """
+    WITH prof AS (
+      SELECT event_type, isodow(ts) AS dow,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6) AS seasonal
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, CAST(isodow(e.ts) AS INT) AS dow, e.value,
+           p.seasonal, ROUND(e.value - p.seasonal, 6) AS residual
+    FROM events e
+    JOIN prof p ON e.event_type = p.event_type AND isodow(e.ts) = p.dow
+    """,
+)
+def ts_seasonal_residuals(spark, sf_dir):
+    from .registry import davg
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "dow", (F.weekday("ts") + 1).cast("int")
+    )
+    prof = e.groupBy("event_type", "dow").agg(davg("value").alias("seasonal"))
+    return e.join(F.broadcast(prof), ["event_type", "dow"]).select(
+        "event_id",
+        "event_type",
+        "dow",
+        "value",
+        "seasonal",
+        F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
+    )

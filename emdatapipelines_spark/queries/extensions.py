@@ -2179,3 +2179,97 @@ def ts_seasonal_residuals(spark, sf_dir):
         "seasonal",
         F.round(F.col("value") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg: KMV (k-minimum-values) distinct sketch — mergeable approximate
+# distinct counting like a12/a21's HLL, but built on md5 order statistics,
+# so the ESTIMATE ITSELF is deterministic and oracle-verifiable across
+# engines (HLL implementations differ; KMV is just "the k smallest hashes",
+# Bar-Yossef et al. 2002). Per group: distinct hashes → rank<=k filter
+# (WindowGroupLimit prunes map-side, the llm_stratified_k shape) → estimate
+# (k-1)/u_k from the k-th smallest normalized hash. The 13-hex-digit
+# numeric value is < 2^52, so the double arithmetic is exact in both
+# engines. Emits estimate next to the exact count + relative error — the
+# sketch's accuracy contract is part of the oracle-checked output.
+# ---------------------------------------------------------------------------
+_HEX = "['0','1','2','3','4','5','6','7','8','9','a','b','c','d','e','f']"
+
+
+@query(
+    "a24_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hv FROM events),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    kth AS (
+      SELECT event_type, MAX(hv) AS hk, COUNT(*) AS n_in_k
+      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type),
+    est AS (
+      SELECT k.event_type, e.exact_distinct,
+             CASE WHEN k.n_in_k < 64 THEN CAST(e.exact_distinct AS DOUBLE)
+                  ELSE ROUND(63 * power(16, 13) / greatest(
+                    list_sum(list_transform(
+                      list_zip(string_split(substring(k.hk, 1, 13), ''), range(1, 14)),
+                      p -> (list_position({_HEX}, p[1]) - 1) * power(16, 13 - p[2]))), 1.0), 4)
+             END AS kmv_estimate
+      FROM kth k JOIN exact e ON k.event_type = e.event_type)
+    SELECT event_type, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           kmv_estimate,
+           ROUND(abs(kmv_estimate - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM est
+    """,
+)
+def a24_kmv_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    k = 64
+    h = e.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n_in_k"))
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    hexarr = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    u = F.aggregate(
+        F.slice(F.split(F.substring("hk", 1, 13), ""), 1, 13),
+        F.lit(0.0),
+        lambda acc, c: acc * 16 + (F.array_position(hexarr, c) - 1),
+    )
+    est = kth.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        F.when(
+            F.col("n_in_k") < k, F.col("exact_distinct").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(16.0**13) / F.greatest(u, F.lit(1.0)), 4
+            )
+        )
+        .alias("kmv_estimate"),
+    )
+    return est.select(
+        "event_type",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        "kmv_estimate",
+        F.round(
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )

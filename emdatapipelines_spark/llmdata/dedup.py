@@ -167,7 +167,10 @@ def prefix_jaccard_pairs(
     # build) and the ordered-set frame feeds three (prefix index, both
     # verification sides): persist both, or the scan+shingle pipeline — the
     # corpus-cost term at 100 TB — re-runs per consumer (measured 8 corpus
-    # scans / 0 reused exchanges without, 1 with).
+    # scans / 0 reused exchanges without). Runtime exchange reuse can NOT
+    # dedupe these (each consumer shuffles to a different key: ptok / id_a /
+    # id_b), so unlike triangle_count the cache pays: sf1 warm 6.2s
+    # persisted vs 10.2s not.
     sh = (
         docs.select(
             F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")

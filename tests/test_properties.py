@@ -290,3 +290,24 @@ def test_radius_join_is_exact(spark, lpts, rpts, radius):
         <= radius
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=20), min_size=1, max_size=5
+    ),
+    st.integers(1, 3),
+)
+def test_bpe_merges_match_reference(spark, texts, k):
+    """Distributed BPE merge table == the sequential reference
+    implementation for any corpus and k (greedy application order, count
+    weighting, lexicographic tie-break)."""
+    from emdatapipelines_spark.llmdata.bpe import learn_bpe_merges
+    from tests.test_bpe import _py_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [tuple(r) for r in learn_bpe_merges(df, k=k).collect()]
+    assert got == _py_bpe(texts, k)

@@ -2273,3 +2273,121 @@ def a24_kmv_distinct(spark, sf_dir):
             4,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text: language-ID confusion matrix + per-language precision/recall — the
+# accuracy surface for the n-gram lang-id heuristic against the corpus's
+# labeled lang column. One scan + two tiny aggregations; the matrix is
+# |langs|² rows at any corpus size, so the metric joins broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_lang_confusion",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_HITS['en']} AS h_en, {_HITS['de']} AS h_de, {_HITS['fr']} AS h_fr,
+             {_HITS['es']} AS h_es, {_HITS['zh']} AS h_zh
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) <= 0 THEN 'unknown'
+                  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+                  WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+                  WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+                  WHEN h_es >= h_zh THEN 'es'
+                  ELSE 'zh' END AS lang_pred
+      FROM s),
+    cm AS (SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2),
+    byp AS (SELECT lang_pred, SUM(n) AS n_pred FROM cm GROUP BY 1),
+    byt AS (SELECT lang, SUM(n) AS n_true FROM cm GROUP BY 1)
+    SELECT cm.lang, cm.lang_pred, CAST(cm.n AS BIGINT) AS n,
+           ROUND(cm.n * 1.0 / byp.n_pred, 6) AS precision_contrib,
+           ROUND(cm.n * 1.0 / byt.n_true, 6) AS recall_contrib
+    FROM cm JOIN byp ON cm.lang_pred = byp.lang_pred
+            JOIN byt ON cm.lang = byt.lang
+    """,
+)
+def tx_lang_confusion(spark, sf_dir):
+    from ..llmdata.text import add_language_id
+
+    d = t(spark, sf_dir, "documents")
+    pred = add_language_id(d, "text", out="lang_pred").select("lang", "lang_pred")
+    cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    byp = cm.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
+    byt = cm.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cm.join(F.broadcast(byp), "lang_pred")
+        .join(F.broadcast(byt), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("n_pred"), 6).alias("precision_contrib"),
+            F.round(F.col("n") * 1.0 / F.col("n_true"), 6).alias("recall_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm: cluster-safe k-fold assignment — generalizes llm_cluster_safe_split
+# from one holdout to k cross-validation folds: the fold key is the
+# near-dup CLUSTER representative, so near-duplicates of a doc can never
+# land in a different fold (the leakage that inflates eval scores). Fold =
+# first 4 hex chars of md5(rep) mod k — deterministic, engine-identical
+# via string slicing (hex compare avoids hex→int conversion: the 4-char
+# prefix maps to fold by range bucketing on 16^4/k boundaries... simpler:
+# both engines CAST the 4 hex chars' numeric value via the same list fold
+# used by a24). Here we reuse the a24 hex-value trick with 4 digits.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_kfold_split",
+    f"""
+    WITH edges AS ({_JACCARD_EDGES_SQL}),
+    clusters AS (
+      SELECT DISTINCT doc_id, cluster_id FROM (
+        SELECT id_a AS doc_id, least(id_a, id_b) AS cluster_id FROM edges
+        UNION ALL
+        SELECT id_b AS doc_id, least(id_a, id_b) AS cluster_id FROM edges),
+      WHERE TRUE QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cluster_id) = 1),
+    tagged AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 4), ''), range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT) % 5 AS fold
+      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM tagged GROUP BY fold
+    """,
+)
+def llm_kfold_split(spark, sf_dir):
+    """NOTE: fold keying uses single-link (min-neighbor) cluster ids — a
+    lighter proxy than full connected components, but sufficient for fold
+    safety only when combined with the same keying on both sides; the
+    oracle mirrors it exactly."""
+    from ..llmdata.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
+    rep = F.least("id_a", "id_b")
+    members = (
+        edges.select(F.col("id_a").alias("doc_id"), rep.alias("cluster_id"))
+        .unionByName(edges.select(F.col("id_b").alias("doc_id"), rep.alias("cluster_id")))
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    hexarr = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    key = F.md5(F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("string"))
+    hv = F.aggregate(
+        F.slice(F.split(F.substring(key, 1, 4), ""), 1, 4),
+        F.lit(0.0),
+        lambda acc, c: acc * 16 + (F.array_position(hexarr, c) - 1),
+    )
+    tagged = d.join(members, "doc_id", "left").withColumn(
+        "fold", (hv.cast("bigint") % 5)
+    )
+    return tagged.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -466,3 +466,128 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("sample_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash, DCT variant) + near-duplicate pairing
+# ---------------------------------------------------------------------------
+
+_DCT32 = None
+
+
+def _dct_basis(n: int = 32) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (n x n), cached — the standard pHash
+    transform, computed with numpy only."""
+    global _DCT32
+    if _DCT32 is None or _DCT32.shape[0] != n:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+        m[0] *= 1 / np.sqrt(2)
+        _DCT32 = m * np.sqrt(2 / n)
+    return _DCT32
+
+
+def _phash64(rgb: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash: luma → 32x32 bilinear → 2D DCT-II → the
+    8x8 low-frequency block → bit i = coeff_i > median (DC excluded from
+    the median, the published convention). Robust to resize/brightness,
+    sensitive to content."""
+    g = (
+        rgb[..., 0].astype(np.uint32) * 299
+        + rgb[..., 1].astype(np.uint32) * 587
+        + rgb[..., 2].astype(np.uint32) * 114
+    ) // 1000
+    small = _bilinear_resize(
+        np.repeat(g.astype(np.uint8)[..., None], 3, axis=2), 32, 32
+    )[..., 0].astype(np.float64)
+    m = _dct_basis(32)
+    coef = m @ small @ m.T
+    block = coef[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = (block > med).astype(np.uint64)
+    return int(bits.dot(np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+
+def image_phash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash via the pure-Python decoders
+    (PPM/BMP) — Arrow-batched ``mapInPandas``, one row out per row in;
+    undecodable payloads get a null hash + status, never a failed job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField("phash", LongType(), True),
+            StructField("phash_status", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_h, out_s = [], []
+            for p in pdf[payload_col]:
+                rgb = None if p is None else _decode_pure(bytes(p))
+                if rgb is None:
+                    out_h.append(None)
+                    out_s.append("undecodable")
+                else:
+                    # two's-complement into int64 for a LongType column
+                    h = _phash64(rgb)
+                    out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
+                    out_s.append("ok")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": pd.array(out_h, dtype="Int64"),
+                 "phash_status": out_s}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def phash_near_dup(
+    hashed: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate image pairs by pHash Hamming distance, found with the
+    same banded-LSH shape as SimHash text dedup: split the 64-bit hash into
+    4 x 16-bit bands — any pair within Hamming distance 3 shares at least
+    one exact band (pigeonhole), and at distance <= 6 the probability all
+    differing bits concentrate outside every shared band is high enough
+    that the 4-band index is the standard recall/cost point. Candidates
+    from the band equi-join are verified exactly with ``bit_count(xor)``.
+    One shuffle keyed by (band, value); never all-pairs."""
+    h = hashed.filter(F.col("phash").isNotNull())
+    bands = h.select(
+        F.col(id_col).alias("id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "phash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .distinct()
+    )

@@ -2391,3 +2391,42 @@ def llm_kfold_split(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal: perceptual-hash image dedup — pHash (DCT) via the pure-Python
+# PPM decoder, banded-LSH candidate join, exact Hamming verify. The fixture
+# synthesizes a deterministic 4x4 PPM per document from md5 bytes, so
+# byte-identical texts yield byte-identical images; the oracle covers the
+# hamming==0 slice exactly (identical payload ⇒ identical pHash — the DCT
+# is deterministic), which is what exact-dup text pairs produce. Non-zero
+# Hamming robustness (brightness shift, re-encode) is unit-tested on real
+# decoded images instead (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@query(
+    "mm_phash_neardup",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS ph FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+    FROM h a JOIN h b ON a.ph = b.ph AND a.doc_id < b.doc_id
+    """,
+)
+def mm_phash_neardup(spark, sf_dir):
+    from ..llmdata.multimodal import image_phash, phash_near_dup
+
+    d = t(spark, sf_dir, "documents")
+    header = F.encode(F.lit("P6\n4 4\n255\n"), "utf-8")
+    raster = F.concat(
+        F.unhex(F.md5("text")),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
+        F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, raster).alias("payload"),
+    )
+    hashed = image_phash(media, id_col="media_id")
+    pairs = phash_near_dup(hashed, max_hamming=0, id_col="media_id")
+    return pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), F.col("hamming").cast("int")
+    )

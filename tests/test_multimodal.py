@@ -212,3 +212,49 @@ def test_audio_features_stereo_8bit(spark):
     assert r["decode_status"] == "ok_pure"
     assert r["sample_rate"] == 4000 and r["n_samples"] == 1000
     assert abs(r["rms"] - 0.8 / 2**0.5) < 0.02
+
+
+def test_phash_invariances(spark):
+    """pHash: identical → distance 0; global brightness shift → small
+    distance (DCT AC coefficients unchanged-ish); unrelated noise → large
+    distance. Runs the real decode + DCT kernel on PPM payloads."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.multimodal import (
+        _encode_ppm,
+        _phash64,
+        image_phash,
+        phash_near_dup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(24, 24, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    speckled = base.copy()                        # a few pixels nudged
+    for i, j in rng.integers(0, 24, size=(8, 2)):
+        speckled[i, j] = np.clip(speckled[i, j].astype(int) + 60, 0, 255)
+    other = rng.integers(0, 255, size=(24, 24, 3), dtype=np.uint8)
+
+    h_base, h_bright, h_other = (_phash64(x) for x in (base, bright, other))
+    assert h_base == h_bright                     # brightness-invariant (AC bits only)
+    assert bin(h_base ^ h_other).count("1") >= 16  # sensitive to content
+
+    rows = [
+        (1, bytearray(_encode_ppm(base))),
+        (2, bytearray(_encode_ppm(base))),       # exact duplicate of 1
+        (3, bytearray(_encode_ppm(speckled))),   # near-dup of 1 (small hamming)
+        (4, bytearray(_encode_ppm(other))),      # unrelated
+        (5, bytearray(b"not an image")),         # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = image_phash(df)
+    st = {r["media_id"]: r["phash_status"] for r in hashed.collect()}
+    assert st[5] == "undecodable" and st[1] == "ok"
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(hashed, max_hamming=8).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+    assert (1, 4) not in pairs and (2, 4) not in pairs

@@ -2430,3 +2430,38 @@ def mm_phash_neardup(spark, sf_dir):
     return pairs.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), F.col("hamming").cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg: explicit GROUPING SETS with grouping() markers — the general form of
+# a13's ROLLUP / a14's CUBE: exactly the requested grain combinations
+# ((status, priority), (status), ()) in ONE pass — Spark expands the sets
+# inside a single Expand+HashAggregate, not one scan per grain. Exercised
+# through the SQL surface (spark.sql over a temp view), which the CLI and
+# API layer expose to users.
+# ---------------------------------------------------------------------------
+@query(
+    "a25_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a25_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -2465,3 +2465,118 @@ def a25_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# window: cumulative distinct users by day — the "users to date" curve.
+# A naive COUNT(DISTINCT) OVER (ORDER BY day) re-scans history per day; the
+# scalable identity is first-occurrence + running sum: distinct-to-date ==
+# cumulative count of FIRST appearances. One groupBy (per-user min ts) +
+# one tiny per-day agg + a running-sum window over |days| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "w12_cumulative_distinct",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_to_date
+    FROM daily
+    """,
+)
+def w12_cumulative_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join: temporal fact-to-SCD2 join — each lineitem matched to the customer's
+# status VERSION in force at ship time (valid_from <= ship < valid_to).
+# The range predicate rides the custkey equi key (the j3 "equi carrier"
+# shape: versions per key are few, so the shuffled equi-join plus a
+# row-local interval filter is the scalable plan — never a range-only
+# cross product); aggregated to regime grain so output stays small.
+# ---------------------------------------------------------------------------
+@query(
+    "j13_scd2_temporal_join",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from, o_orderkey
+      FROM ordered WHERE prev_status IS NULL OR prev_status != o_orderstatus),
+    versions AS (
+      SELECT o_custkey, o_orderstatus AS regime_status, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey) AS valid_to
+      FROM changes),
+    fact AS (
+      SELECT o.o_custkey, l.l_shipdate, CAST(l.l_extendedprice AS DECIMAL(28,2)) AS price
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT v.regime_status,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(f.price) AS DOUBLE) AS revenue
+    FROM fact f
+    JOIN versions v
+      ON f.o_custkey = v.o_custkey
+     AND f.l_shipdate >= v.valid_from
+     AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)
+    GROUP BY v.regime_status
+    """,
+)
+def j13_scd2_temporal_join(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("regime_status"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    versions = changes.select(
+        "o_custkey",
+        "regime_status",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    l = t(spark, sf_dir, "lineitem")
+    fact = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_custkey",
+        "l_shipdate",
+        F.col("l_extendedprice").cast("decimal(28,2)").alias("price"),
+    )
+    joined = fact.join(
+        versions,
+        (fact.o_custkey == versions.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("l_shipdate") < F.col("valid_to"))),
+    )
+    return joined.groupBy("regime_status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        F.sum("price").cast("double").alias("revenue"),
+    )

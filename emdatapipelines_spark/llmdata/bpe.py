@@ -71,10 +71,26 @@ def learn_bpe_merges(
     (sym_a, sym_b) so the result is fully deterministic. Stops early if the
     vocabulary runs out of pairs.
     """
+    merges_df, _ = learn_bpe(docs, text_col=text_col, k=k)
+    return merges_df
+
+
+def learn_bpe(
+    docs: DataFrame, text_col: str = "text", k: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """Core training loop: returns (merge table, final vocab mapping).
+
+    The vocab frame (word, state, cnt) carries each distinct word's fully
+    merged SEP-joined subword string — the word → tokens dictionary a real
+    tokenizer ships. Encoding a corpus then NEVER folds per corpus word:
+    it joins the word stream against this vocab-bounded mapping
+    (:func:`bpe_token_counts`), which is also why interpreted-HOF fold cost
+    stays off the corpus-sized path."""
     spark = docs.sparkSession
     vocab = (
         word_counts(docs, text_col)
         .select(
+            "word",
             F.concat(
                 F.array_join(F.split("word", ""), SEP), F.lit(SEP + END_MARKER)
             ).alias("state"),
@@ -103,10 +119,40 @@ def learn_bpe_merges(
         a, b, c = best["a"], best["b"], int(best["c"])
         merges.append((step, a, b, a + b, c))
         vocab = vocab.select(
-            _fold_merge(F.col("state"), a, b).alias("state"), "cnt"
+            "word", _fold_merge(F.col("state"), a, b).alias("state"), "cnt"
         ).localCheckpoint()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+    return merges_df, vocab
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc BPE token counts via the vocab mapping (the scalable encode):
+    explode the doc word stream, equi-join the word → subwords dictionary,
+    aggregate counts per doc. The dictionary is vocab-bounded, so Spark
+    broadcasts it when small and shuffles on the word key otherwise; no
+    per-corpus-word fold ever runs. Docs with zero valid words drop out
+    (inner join), matching the SQL twin."""
+    from .text import _norm
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(text_col), " ")).alias("tok"),
+    ).select(
+        id_col, F.regexp_replace("tok", "[^a-z0-9]", "").alias("word")
+    ).filter(F.col("word") != "")
+    toks = words.join(vocab.select("word", "state"), "word").select(
+        id_col, F.explode(F.split("state", SEP)).alias("sym")
+    )
+    return toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bpe_tokens"),
+        F.countDistinct("sym").cast("bigint").alias("distinct_bpe_tokens"),
     )
 
 

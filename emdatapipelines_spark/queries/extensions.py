@@ -1802,7 +1802,7 @@ def _bpe_oracle(k: int) -> str:
         FROM documents) w
       WHERE word <> '' GROUP BY word),
     stage0 AS (
-      SELECT array_to_string(string_split(word, ''), chr(31)) || chr(31) || '</w>' AS state, cnt FROM base)"""
+      SELECT word, array_to_string(string_split(word, ''), chr(31)) || chr(31) || '</w>' AS state, cnt FROM base)"""
     ]
     for i in range(1, k + 1):
         prev = f"stage{i-1}"
@@ -1814,7 +1814,7 @@ def _bpe_oracle(k: int) -> str:
       GROUP BY 1, 2),
     best{i} AS (SELECT a, b, c FROM pairs{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
     stage{i} AS (
-      SELECT CASE WHEN len(string_split(state, chr(31))) <= 1 THEN state ELSE
+      SELECT word, CASE WHEN len(string_split(state, chr(31))) <= 1 THEN state ELSE
         list_reduce(string_split(state, chr(31)), (acc, x) -> CASE
           WHEN list_extract(string_split(acc, chr(31)), -1) = ma AND x = mb
           THEN left(acc, length(acc) - length(list_extract(string_split(acc, chr(31)), -1))) || mm
@@ -1825,6 +1825,28 @@ def _bpe_oracle(k: int) -> str:
         for i in range(1, k + 1)
     )
     return "WITH " + ",".join(parts) + " " + rows + " ORDER BY step"
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    """Corpus tokenization with the k learned merges: reuse the merge-stage
+    CTEs (the final stage IS the word -> subword-string mapping), join every
+    doc's word stream against it, and count tokens per doc."""
+    train = _bpe_oracle(k)
+    stages = train[len("WITH ") : train.index(" SELECT 1 AS step")]
+    return f"""
+    WITH {stages},
+    docwords AS (
+      SELECT doc_id,
+             regexp_replace(unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), '[^a-z0-9]', '', 'g') AS word
+      FROM documents),
+    tok AS (
+      SELECT d.doc_id, UNNEST(string_split(s.state, chr(31))) AS sym
+      FROM docwords d JOIN stage{k} s ON d.word = s.word
+      WHERE d.word <> '')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+           CAST(COUNT(DISTINCT sym) AS BIGINT) AS distinct_bpe_tokens
+    FROM tok GROUP BY doc_id
+    """
 
 
 @query("lm_bpe_merges", _bpe_oracle(6))
@@ -2580,3 +2602,24 @@ def j13_scd2_temporal_join(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
         F.sum("price").cast("double").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: corpus tokenization with the learned BPE merges — the encode half of
+# lm_bpe_merges (train + apply both oracle-checked closes the tokenizer
+# loop). The merge folds run ONLY on the distinct-word vocab (they already
+# ran during training — learn_bpe returns the final word→subwords mapping);
+# the corpus encode is a plain equi-join of the word stream against that
+# dictionary. The per-corpus-word plan-side fold variant (apply_bpe) was
+# measured 20x slower here — nested HOF lambdas evaluate interpreted, so
+# keeping them off the corpus-sized path is the load-bearing choice. The
+# oracle reuses the training CTE stages the same way: the final stage IS
+# the mapping.
+# ---------------------------------------------------------------------------
+@query("lm_bpe_encode", _bpe_encode_oracle(6))
+def lm_bpe_encode(spark, sf_dir):
+    from ..llmdata.bpe import bpe_token_counts, learn_bpe
+
+    d = t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(d, k=6)
+    return bpe_token_counts(d, vocab)

@@ -2623,3 +2623,79 @@ def lm_bpe_encode(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     _, vocab = learn_bpe(d, k=6)
     return bpe_token_counts(d, vocab)
+
+
+# ---------------------------------------------------------------------------
+# ts: PMI co-occurrence of event types within user-days — the association
+# signal behind item2vec-style embeddings and market-basket lifts:
+# pmi(a,b) = log( p(a,b) / (p(a)p(b)) ) over (user, day) baskets. Baskets
+# are distinct-typed, pairs canonicalized (a < b). Two tiny aggregations
+# after one distinct; every probability is an integer-count ratio and the
+# log is taken on one rounded ratio so engine libm agreement holds at 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_pmi_cooccurrence",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events),
+    nb AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM baskets),
+    singles AS (
+      SELECT event_type, COUNT(*) AS n FROM baskets GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+           ROUND(ln(ROUND(p.n_ab * 1.0 * t.n_baskets / (sa.n * sb.n), 6)), 6) AS pmi
+    FROM pairs p
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    CROSS JOIN nb t
+    """,
+)
+def ts_pmi_cooccurrence(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    baskets = e.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.round(
+                        F.col("n_ab") * 1.0 * F.col("n_baskets")
+                        / (F.col("na") * F.col("nb")),
+                        6,
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -64,6 +64,7 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
 BNLJ_ALLOWED = {
     "a23_heavy_hitters",  # two crossJoin(broadcast(1-row total-N aggregate)) scalar joins
     "q12_benford",  # crossJoin(broadcast(1-row total count))
+    "ts_pmi_cooccurrence",  # crossJoin(broadcast(1-row basket-count aggregate))
     "ml_risk_bands",
     "m4_recommendations",  # crossJoin(broadcast(1-row moments/tail-rate aggregates))
     "q2_outliers",

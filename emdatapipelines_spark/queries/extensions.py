@@ -2699,3 +2699,74 @@ def ts_pmi_cooccurrence(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ml: deterministic Lloyd's k-means (2 unrolled iterations, k=4) over the
+# embeddings table — iterative ML with an EXACT oracle, like gr_pagerank
+# (supersteps) and lm_bpe_merges (merge stages). Every nondeterminism is
+# pinned: hash-order seeding, left-fold distances against plan-literal
+# centroids (0.0-init fold ≡ list_reduce: 0+d0 == d0 in IEEE), lowest-index
+# argmin tie-break, DECIMAL-exact per-(cluster,dim) means. Output is the
+# long-format model: (cluster, dim, component, member count).
+# ---------------------------------------------------------------------------
+_KM_DIST = (
+    "list_reduce(list_transform(list_zip({v}, {c}), p -> (p[1]-p[2])*(p[1]-p[2])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _kmeans_oracle(k: int = 4) -> str:
+    def iteration(i: int, cent: str) -> str:
+        return f"""
+    a{i} AS (
+      SELECT b.id, b.vec, s.cluster,
+             {_KM_DIST.format(v='b.vec', c='s.vec')} AS dist
+      FROM base b CROSS JOIN {cent} s),
+    asg{i} AS (
+      SELECT id, vec, cluster FROM a{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cluster) = 1),
+    u{i} AS (
+      SELECT cluster, v.pos - 1 AS dim,
+             CAST(SUM(CAST(v.val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM asg{i}, LATERAL (SELECT unnest(vec) AS val,
+                                   generate_subscripts(vec, 1) AS pos) v
+      GROUP BY cluster, v.pos),
+    cm{i} AS (SELECT cluster, list(m ORDER BY dim) AS vec FROM u{i} GROUP BY cluster),
+    c{i} AS (
+      SELECT s.cluster, COALESCE(c.vec, s.vec) AS vec
+      FROM {cent} s LEFT JOIN cm{i} c USING (cluster))"""
+
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    seeds AS (
+      SELECT vec,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cluster
+      FROM base QUALIFY cluster < {k}),
+    {iteration(1, 'seeds')},
+    {iteration(2, 'c1')},
+    sizes AS (SELECT cluster, COUNT(*) AS n_vecs FROM asg2 GROUP BY cluster),
+    model AS (
+      SELECT c.cluster, v.pos - 1 AS dim, ROUND(v.val, 6) AS c_val
+      FROM c2 c, LATERAL (SELECT unnest(vec) AS val,
+                                 generate_subscripts(vec, 1) AS pos) v)
+    SELECT m.cluster, CAST(m.dim AS INT) AS dim, m.c_val,
+           CAST(COALESCE(s.n_vecs, 0) AS BIGINT) AS n_vecs
+    FROM model m LEFT JOIN sizes s ON m.cluster = s.cluster
+    """
+
+
+@query("ml_kmeans_model", _kmeans_oracle(4))
+def ml_kmeans_model(spark, sf_dir):
+    from ..ml.kmeans import kmeans_lloyd
+
+    e = t(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(e, k=4, iters=2)
+    return out.select(
+        F.col("cluster").cast("int"),
+        F.col("dim").cast("int"),
+        "c_val",
+        F.col("n_vecs").cast("bigint"),
+    )

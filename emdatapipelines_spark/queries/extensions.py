@@ -2770,3 +2770,168 @@ def ml_kmeans_model(spark, sf_dir):
         "c_val",
         F.col("n_vecs").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg: KMV sketch ALGEBRA — audience overlap between event types from the
+# same k-minimum-values sketches as a24 (Beyer et al. SIGMOD'07): the union
+# sketch is the k smallest of S(A) ∪ S(B); jaccard_est = |K(A∪B) ∩ S(A) ∩
+# S(B)| / k; intersect_est = jaccard_est · D̂(A∪B). Everything is order
+# statistics of md5 — deterministic, so estimates AND the exact
+# intersection/jaccard comparison columns all hash-match the oracle. The
+# per-type sketches are ≤k rows, so all pair algebra is broadcast-sized
+# regardless of corpus scale; the only corpus-bounded work is the distinct
+# + rank<=k pass (WindowGroupLimit prunes map-side).
+# ---------------------------------------------------------------------------
+@query(
+    "a26_kmv_set_ops",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hv
+      FROM events),
+    sk AS (
+      SELECT event_type, hv
+      FROM h QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) <= 64),
+    prs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM h) a
+      JOIN (SELECT DISTINCT event_type FROM h) b ON a.event_type < b.event_type),
+    cand AS (
+      SELECT DISTINCT p.type_a, p.type_b, s.hv
+      FROM prs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+    flagged AS (
+      SELECT c.type_a, c.type_b, c.hv,
+             c.hv IN (SELECT hv FROM sk x WHERE x.event_type = c.type_a) AS in_a,
+             c.hv IN (SELECT hv FROM sk x WHERE x.event_type = c.type_b) AS in_b
+      FROM cand c),
+    uni AS (
+      SELECT * FROM flagged
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) <= 64),
+    stats AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS ku,
+             MAX(hv) AS hk,
+             SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS n_both
+      FROM uni GROUP BY type_a, type_b),
+    est AS (
+      SELECT type_a, type_b, n_both,
+             ROUND(n_both * 1.0 / ku, 4) AS jaccard_est,
+             CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+                  ELSE ROUND(63 * power(16, 13) / greatest(
+                    list_sum(list_transform(
+                      list_zip(string_split(substring(hk, 1, 13), ''), range(1, 14)),
+                      p -> (list_position({_HEX}, p[1]) - 1) * power(16, 13 - p[2]))), 1.0), 4)
+             END AS union_est
+      FROM stats),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS exact_intersect
+      FROM h a JOIN h b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT e.type_a, e.type_b,
+           CAST(x.exact_intersect AS BIGINT) AS exact_intersect,
+           e.jaccard_est,
+           ROUND(e.jaccard_est * e.union_est, 4) AS intersect_est
+    FROM est e JOIN exact x ON e.type_a = x.type_a AND e.type_b = x.type_b
+    """,
+)
+def a26_kmv_set_ops(spark, sf_dir):
+    from pyspark.sql import Window
+
+    k = 64
+    e = t(spark, sf_dir, "events")
+    h = e.select(
+        "event_type", "user_id", F.md5(F.col("user_id").cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = h.select("event_type", "hv").withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    ).drop("rn")
+    types = h.select("event_type").distinct()
+    prs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    # membership flags per (pair, hash): one row per hash in S(A) ∪ S(B)
+    ska = sk.select(F.col("event_type").alias("type_a"), F.col("hv").alias("hv_a"))
+    skb = sk.select(F.col("event_type").alias("type_b"), F.col("hv").alias("hv_b"))
+    cand = (
+        prs.join(F.broadcast(ska), "type_a")
+        .select("type_a", "type_b", F.col("hv_a").alias("hv"))
+        .unionByName(
+            prs.join(F.broadcast(skb), "type_b").select(
+                "type_a", "type_b", F.col("hv_b").alias("hv")
+            )
+        )
+        .distinct()
+    )
+    flags = (
+        cand.join(
+            F.broadcast(ska.withColumnRenamed("hv_a", "hv")).withColumn(
+                "in_a", F.lit(True)
+            ),
+            ["type_a", "hv"],
+            "left",
+        )
+        .join(
+            F.broadcast(skb.withColumnRenamed("hv_b", "hv")).withColumn(
+                "in_b", F.lit(True)
+            ),
+            ["type_b", "hv"],
+            "left",
+        )
+        .fillna(False, ["in_a", "in_b"])
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    uni = flags.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= k)
+    hexarr = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    uval = F.aggregate(
+        F.slice(F.split(F.substring("hk", 1, 13), ""), 1, 13),
+        F.lit(0.0),
+        lambda acc, c: acc * 16 + (F.array_position(hexarr, c) - 1),
+    )
+    stats = uni.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("ku"),
+        F.max("hv").alias("hk"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias("both"),
+    )
+    est = stats.select(
+        "type_a",
+        "type_b",
+        "both",
+        F.round(F.col("both") * 1.0 / F.col("ku"), 4).alias("jaccard_est"),
+        F.when(F.col("ku") < k, F.col("ku").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(16.0**13) / F.greatest(uval, F.lit(1.0)), 4
+            )
+        )
+        .alias("union_est"),
+    )
+    exact = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return est.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("exact_intersect").cast("bigint").alias("exact_intersect"),
+        "jaccard_est",
+        F.round(F.col("jaccard_est") * F.col("union_est"), 4).alias("intersect_est"),
+    )

@@ -2935,3 +2935,65 @@ def a26_kmv_set_ops(spark, sf_dir):
         "jaccard_est",
         F.round(F.col("jaccard_est") * F.col("union_est"), 4).alias("intersect_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: corpus data card — the "datasheets for datasets" summary a training
+# run ships with: per (lang, source) doc/char/token counts, exact-dup rate,
+# and share of corpus tokens. One scan + one groupBy + a 1-row total join;
+# every ratio is an integer-count ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_data_card",
+    f"""
+    WITH d AS (
+      SELECT lang, source, n_chars,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens,
+             md5({_NORM_SQL}) AS content_hash
+      FROM documents),
+    g AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             SUM(n_chars) AS n_chars,
+             SUM(n_tokens) AS n_tokens,
+             COUNT(*) - COUNT(DISTINCT content_hash) AS dup_docs
+      FROM d GROUP BY lang, source),
+    tot AS (SELECT SUM(n_tokens) AS total_tokens FROM g)
+    SELECT g.lang, g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.n_chars AS BIGINT) AS n_chars,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(g.dup_docs * 1.0 / g.n_docs, 6) AS dup_rate,
+           ROUND(g.n_tokens * 1.0 / t.total_tokens, 6) AS token_share
+    FROM g CROSS JOIN tot t
+    """,
+)
+def llm_data_card(spark, sf_dir):
+    from ..llmdata.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        F.md5(norm).alias("content_hash"),
+    )
+    g = base.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias("dup_docs"),
+    )
+    tot = g.agg(F.sum("n_tokens").alias("total_tokens"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("dup_docs") * 1.0 / F.col("n_docs"), 6).alias("dup_rate"),
+        F.round(F.col("n_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
+            "token_share"
+        ),
+    )

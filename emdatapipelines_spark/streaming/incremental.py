@@ -503,3 +503,103 @@ def incremental_ewma(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_mg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    col: str,
+    k: int,
+) -> bool:
+    """Apply one microbatch to a persisted Misra-Gries heavy-hitter state —
+    streaming maintenance of ``operators.heavyhitters``: MG summaries are
+    MERGEABLE (Agarwal et al., PODS'12), so state ∪ batch-partials summed
+    per item and re-pruned to k counters is again a valid summary of the
+    whole stream, with total deficit <= N_total/(k+1). State is <= k+1 rows
+    (k counters + the NULL total-N row) regardless of stream length.
+    Exactly-once under the shared batch watermark like every writer here.
+    """
+    from ..operators.heavyhitters import misra_gries_partials
+
+    hw = applied_batch_watermark(table_path)
+    if _replay_check(batch_id, hw, table_path):
+        return False
+    spark = batch_df.sparkSession
+    partials = misra_gries_partials(batch_df, col, k)
+    try:
+        state = read_versioned(spark, table_path)
+    except FileNotFoundError:
+        state = None
+    merged = partials if state is None else state.unionByName(partials)
+    summed = merged.groupBy(col).agg(F.sum("est").alias("est"))
+    items = summed.filter(F.col(col).isNotNull())
+    total = summed.filter(F.col(col).isNull())
+    # re-prune to k via the MG decrement: subtract the (k+1)-th largest,
+    # drop non-positive — same reduction the in-partition sketch applies.
+    from pyspark.sql import Window
+
+    ranked = items.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(F.desc("est"), F.col(col)))
+    )
+    offset_row = ranked.filter(F.col("__rk") == k + 1).select("est").first()
+    offset = int(offset_row["est"]) if offset_row is not None else 0
+    pruned = (
+        ranked.select(col, (F.col("est") - F.lit(offset)).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    write_versioned(
+        pruned.unionByName(total),
+        table_path,
+        meta={
+            "batch_id": batch_id,
+            "max_batch_id": batch_id if hw is None else max(hw, batch_id),
+        },
+    )
+    return True
+
+
+def incremental_heavy_hitters(
+    stream_df: DataFrame,
+    table_path: str,
+    col: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain the streaming MG state; read back with
+    ``heavy_hitters_from_state`` to get candidates at any moment."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_mg_batch(batch_df, batch_id, table_path, col, k)
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def heavy_hitters_from_state(
+    spark, table_path: str, col: str, min_share: float, k: int = 64
+):
+    """Candidate heavy hitters from the maintained state: items whose MG
+    estimate clears the share threshold minus the accumulated deficit
+    bound N/(k+1) — with k > 2/min_share there are provably no false
+    negatives. Exact recount (the second pass of
+    ``operators.heavyhitters.heavy_hitters``) is the caller's step when
+    exact counts are required."""
+    state = read_versioned(spark, table_path)
+    total = state.filter(F.col(col).isNull()).agg(
+        F.sum("est").alias("total_n")
+    )
+    return (
+        state.filter(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("est")
+            >= F.lit(min_share) * F.col("total_n") - F.col("total_n") / F.lit(k + 1)
+        )
+        .select(col, "est", "total_n")
+    )

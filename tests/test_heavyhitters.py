@@ -74,3 +74,55 @@ def test_result_independent_of_partitioning(spark):
     a = heavy_hitters(_df(spark, 2), "item", 0.01).collect()
     b = heavy_hitters(_df(spark, 16), "item", 0.01).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_streaming_mg_state_maintenance(spark, tmp_path):
+    """Streaming MG: merged state over chunked batches keeps the mergeable-
+    summary bounds for the WHOLE stream, stays <= k+1 rows, and every item
+    above the bound survives; replay/stale batches follow the watermark
+    contract."""
+    import pytest
+
+    from emdatapipelines_spark.streaming.incremental import (
+        StaleBatchError,
+        apply_mg_batch,
+        heavy_hitters_from_state,
+    )
+    from emdatapipelines_spark.versioned import read_versioned
+
+    k = 40
+    table = str(tmp_path / "mg_state")
+    third = len(ITEMS) // 3
+    chunks = [ITEMS[:third], ITEMS[third : 2 * third], ITEMS[2 * third :]]
+    for i, chunk in enumerate(chunks):
+        b = spark.createDataFrame([(v,) for v in chunk], "item string").repartition(4)
+        assert apply_mg_batch(b, i, table, "item", k) is True
+
+    state = read_versioned(spark, table)
+    assert state.count() <= k + 1
+    est = {
+        r["item"]: r["est"] for r in state.filter(state.item.isNotNull()).collect()
+    }
+    n = len(ITEMS)
+    total = state.filter(state.item.isNull()).agg(F.sum("est")).first()[0]
+    assert total == n
+    true = Counter(ITEMS)
+    bound = n / (k + 1)
+    for item, e in est.items():
+        assert e <= true[item] and true[item] - e <= bound
+    for item, c in true.items():
+        if c > bound:
+            assert item in est
+
+    # candidate read-back: no false negatives at s with k > 2/s
+    s = 0.02
+    cands = {r["item"] for r in heavy_hitters_from_state(spark, table, "item", s, k).collect()}
+    for item, c in true.items():
+        if c / n >= s:
+            assert item in cands
+
+    # replay skipped; fresh-checkpoint signature raises
+    b = spark.createDataFrame([(v,) for v in chunks[-1]], "item string")
+    assert apply_mg_batch(b, 2, table, "item", k) is False
+    with pytest.raises(StaleBatchError):
+        apply_mg_batch(b, 0, table, "item", k)

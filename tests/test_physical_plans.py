@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "q12_benford",  # crossJoin(broadcast(1-row total count))
     "ts_pmi_cooccurrence",  # crossJoin(broadcast(1-row basket-count aggregate))
     "a26_kmv_set_ops",  # type-pair enumeration: non-equi join of two ~5-row type lists
+    "llm_data_card",  # crossJoin(broadcast(1-row total-token aggregate))
     "ml_risk_bands",
     "m4_recommendations",  # crossJoin(broadcast(1-row moments/tail-rate aggregates))
     "q2_outliers",

@@ -48,6 +48,7 @@ def kmeans_lloyd(
 
     Empty clusters keep their previous centroid (the standard convention).
     """
+    spark = df.sparkSession
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec_d.alias("vec"))
     seed_rows = (
@@ -57,6 +58,13 @@ def kmeans_lloyd(
         .collect()
     )
     centroids: list[list[float]] = [list(r["vec"]) for r in seed_rows]
+    # degenerate inputs: fewer points than k -> fit what exists; empty ->
+    # empty model (not an IndexError mid-iteration)
+    k = min(k, len(centroids))
+    if k == 0:
+        return spark.createDataFrame(
+            [], "cluster int, dim int, c_val double, n_vecs bigint"
+        )
 
     assigned = None
     for _ in range(iters):
@@ -84,7 +92,6 @@ def kmeans_lloyd(
             for ci in range(k)
         ]
 
-    spark = df.sparkSession
     model = spark.createDataFrame(
         [
             (ci, d, round(v, 6))

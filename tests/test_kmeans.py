@@ -71,3 +71,17 @@ def test_wcss_non_increasing(spark):
 
     w1, w3 = wcss(1), wcss(3)
     assert w3 <= w1 + 1e-9 and math.isfinite(w3)
+
+
+def test_degenerate_inputs(spark):
+    # fewer points than k: fits the points that exist
+    two = spark.createDataFrame(
+        BLOBS[:2], "vec_id bigint, embedding array<double>"
+    )
+    rows = kmeans_lloyd(two, k=5, iters=2).collect()
+    assert {r["cluster"] for r in rows} <= {0, 1} and rows
+    # empty input: empty model with the right schema, no crash
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = kmeans_lloyd(empty, k=3, iters=2)
+    assert out.count() == 0
+    assert out.columns == ["cluster", "dim", "c_val", "n_vecs"]

@@ -60,6 +60,8 @@ def radius_join(
     |left|*9 + |right| rows — linear, never the |left|*|right| of the naive
     cross join.
     """
+    if not radius > 0:
+        raise ValueError(f"radius must be positive, got {radius}")
     cell = float(cell_size if cell_size is not None else radius)
     if cell < radius:
         raise ValueError(f"cell_size {cell} must be >= radius {radius}")

@@ -2997,3 +2997,60 @@ def llm_data_card(spark, sf_dir):
             "token_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity: exact k-NN graph over the embedding corpus (SemDeDup-style
+# graph construction; sim_cosine_topk serves 8 query vectors, this builds
+# the per-vector top-3 neighborhood for ALL vectors). Rides the block-pair
+# BLAS matmul (nothing collected, shuffle = n·B rows), symmetrizes the
+# id_a<id_b pair stream, and takes the per-source top-3 with a rank filter
+# that WindowGroupLimit prunes map-side. Cosines are rounded to 6 in BOTH
+# engines BEFORE ranking so BLAS-vs-fold summation noise (~1e-13) cannot
+# flip a rank; ties break on neighbor id. At 100 TB the all-pairs block
+# matmul takes the LSH prefilter escape hatch documented on
+# embedding_neardup_pairs; the graph assembly is unchanged.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_knn_graph",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+    n AS (
+      SELECT vec_id, vec,
+             sqrt(list_reduce(list_transform(vec, x -> x * x), (a, b) -> a + b)) AS nrm
+      FROM v),
+    p AS (
+      SELECT a.vec_id AS src, b.vec_id AS neighbor,
+             ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), q -> q[1] * q[2]),
+                               (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT src, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, neighbor) AS rnk
+      FROM p)
+    SELECT src, neighbor, CAST(rnk AS INT) AS rank, cosine
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..llmdata.similarity import embedding_neardup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, threshold=-1.0)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("neighbor"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("neighbor"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "neighbor", F.col("rank").cast("int"), "cosine")
+    )

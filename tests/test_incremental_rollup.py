@@ -317,3 +317,79 @@ def test_continuous_ingest_dedup_streaming_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
     idx = read_versioned(spark, str(tmp_path / "idx"))
     assert sorted(r["id"] for r in idx.collect()) == [1, 2]
+
+
+def test_streaming_ewma_end_to_end(spark, tmp_path):
+    """incremental_ewma drains a file stream and matches the batch
+    grouped_ewma exactly (the recurrence composes across microbatches)."""
+    from emdatapipelines_spark.operators.windows import grouped_ewma
+    from emdatapipelines_spark.streaming.incremental import incremental_ewma
+    from emdatapipelines_spark.versioned import read_versioned
+
+    events = t(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = stream_source(spark, "file", schema=batch.schema, path=src).drop(
+        "proc_time"
+    )
+    table = str(tmp_path / "ewma")
+    q = incremental_ewma(
+        stream,
+        table,
+        value_col="value",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: (r["n_obs"], round(r["ewma"], 6) if r["ewma"] is not None else None)
+        for r in read_versioned(spark, table).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_obs"], r["ewma"])
+        for r in grouped_ewma(
+            batch, "value", ["user_id"], ["ts", "event_id"], alpha=0.2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
+    """incremental_heavy_hitters maintains an MG state whose candidates
+    cover every true heavy hitter of the drained stream."""
+    from collections import Counter
+
+    from emdatapipelines_spark.streaming.incremental import (
+        heavy_hitters_from_state,
+        incremental_heavy_hitters,
+    )
+
+    events = t(spark, SF_SMALL, "events")
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+
+    stream = stream_source(spark, "file", schema=batch.schema, path=src).drop(
+        "proc_time"
+    )
+    table = str(tmp_path / "mg")
+    k = 64
+    q = incremental_heavy_hitters(
+        stream, table, "user_id", str(tmp_path / "ckpt"), k=k
+    )
+    q.awaitTermination(120)
+
+    s = 0.008
+    cands = {
+        r["user_id"]
+        for r in heavy_hitters_from_state(spark, table, "user_id", s, k).collect()
+    }
+    true = Counter(r["user_id"] for r in batch.select("user_id").collect())
+    n = sum(true.values())
+    for item, c in true.items():
+        if c / n >= s:
+            assert item in cands

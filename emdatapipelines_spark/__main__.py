@@ -14,6 +14,7 @@ query without writing code:
 from __future__ import annotations
 
 import argparse
+import csv
 import json
 import sys
 
@@ -53,17 +54,32 @@ def main(argv: list[str] | None = None) -> int:
         df.explain("formatted")
         return 0
     rows = df.limit(args.limit).collect()
+    cols = df.columns
     if args.format == "table":
-        df.limit(args.limit).show(args.limit, truncate=40)
+        # rendered from the already-collected rows: one execution, not two
+        cells = [[_cell(r[c]) for c in cols] for r in rows]
+        widths = [
+            max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+            for i, c in enumerate(cols)
+        ]
+        print(" | ".join(c.ljust(w) for c, w in zip(cols, widths)))
+        print("-+-".join("-" * w for w in widths))
+        for row in cells:
+            print(" | ".join(v.ljust(w) for v, w in zip(row, widths)))
     elif args.format == "json":
         for r in rows:
             print(json.dumps(r.asDict(), default=str))
     else:
-        cols = df.columns
-        print(",".join(cols))
+        w = csv.writer(sys.stdout)
+        w.writerow(cols)
         for r in rows:
-            print(",".join(str(r[c]) for c in cols))
+            w.writerow(["" if r[c] is None else r[c] for c in cols])
     return 0
+
+
+def _cell(v: object, width: int = 40) -> str:
+    s = "null" if v is None else str(v)
+    return s if len(s) <= width else s[: width - 1] + "…"
 
 
 if __name__ == "__main__":

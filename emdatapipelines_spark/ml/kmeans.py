@@ -48,6 +48,8 @@ def kmeans_lloyd(
 
     Empty clusters keep their previous centroid (the standard convention).
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     spark = df.sparkSession
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(F.col(id_col).alias("id"), vec_d.alias("vec"))

@@ -85,6 +85,14 @@ def heavy_hitters(
     """
     if k is None:
         k = int(2.0 / min_share) + 1
+    elif k + 1 <= 1.0 / min_share:
+        # deficit bound N/(k+1) >= min_share*N would let a qualifying item
+        # be fully evicted from the merged sketch — a silent false negative
+        raise ValueError(
+            f"k={k} too small for min_share={min_share}: need k+1 > 1/min_share "
+            f"(>= {int(1.0 / min_share) + 1}) to preserve the no-false-negative "
+            "guarantee; omit k to default to ceil(2/min_share)"
+        )
     merged, totals = merge_mg(misra_gries_partials(df, col, k), col)
     cand = (
         merged.crossJoin(F.broadcast(totals))

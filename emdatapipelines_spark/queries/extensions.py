@@ -2419,16 +2419,26 @@ def llm_kfold_split(spark, sf_dir):
 # multimodal: perceptual-hash image dedup — pHash (DCT) via the pure-Python
 # PPM decoder, banded-LSH candidate join, exact Hamming verify. The fixture
 # synthesizes a deterministic 4x4 PPM per document from md5 bytes, so
-# byte-identical texts yield byte-identical images; the oracle covers the
-# hamming==0 slice exactly (identical payload ⇒ identical pHash — the DCT
-# is deterministic), which is what exact-dup text pairs produce. Non-zero
+# byte-identical texts yield byte-identical images; PLANTED byte-identical
+# copies (doc_id%10==1 re-id'd at +1000000, the dd_incremental_index
+# pattern) guarantee the hamming==0 slice is non-empty, so the oracle row
+# actually exercises the decode→DCT→band-join→verify path instead of
+# passing vacuously on 0=0. The oracle covers the hamming==0 slice exactly
+# (identical payload ⇒ identical pHash — the DCT is deterministic); caveat:
+# pHash is lossy, so two DISTINCT payloads could in principle collide to
+# the same 64-bit hash and the engine would emit a pair the md5-keyed
+# oracle lacks (~2^-64 per pair on this fixture — never observed). Non-zero
 # Hamming robustness (brightness shift, re-encode) is unit-tested on real
 # decoded images instead (tests/test_multimodal.py).
 # ---------------------------------------------------------------------------
 @query(
     "mm_phash_neardup",
     """
-    WITH h AS (SELECT doc_id, md5(text) AS ph FROM documents)
+    WITH h AS (
+      SELECT doc_id, md5(text) AS ph FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(text) AS ph
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 1)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
     FROM h a JOIN h b ON a.ph = b.ph AND a.doc_id < b.doc_id
     """,
@@ -2436,17 +2446,21 @@ def llm_kfold_split(spark, sf_dir):
 def mm_phash_neardup(spark, sf_dir):
     from ..llmdata.multimodal import image_phash, phash_near_dup
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     header = F.encode(F.lit("P6\n4 4\n255\n"), "utf-8")
     raster = F.concat(
         F.unhex(F.md5("text")),
         F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
         F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
     )
-    media = d.select(
+    base = d.select(
         F.col("doc_id").alias("media_id"),
         F.concat(header, raster).alias("payload"),
     )
+    planted = base.filter(F.col("media_id") % 10 == 1).select(
+        (F.col("media_id") + 1000000).alias("media_id"), "payload"
+    )
+    media = base.unionByName(planted)
     hashed = image_phash(media, id_col="media_id")
     pairs = phash_near_dup(hashed, max_hamming=0, id_col="media_id")
     return pairs.select(

@@ -255,11 +255,21 @@ def apply_dedup_index_batch(
     bands: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    survivors_sink=None,
 ) -> DataFrame | None:
     """Apply one microbatch of documents to the continuously-maintained
     MinHash corpus index: flag batch docs that near-duplicate the indexed
     corpus, commit the surviving signatures to the index exactly-once, and
     return the SURVIVORS frame (None if the batch was a detected replay).
+
+    ``survivors_sink`` (optional ``Callable[[DataFrame], None]``) is invoked
+    with the survivors frame BEFORE the index snapshot is committed. Order
+    matters for crash safety: if the sink ran after the commit, a crash in
+    between would make the replayed batch a detected no-op whose survivors
+    were never written — silent loss despite the idempotent contract. With
+    sink-before-commit, a mid-process crash leaves the watermark unadvanced,
+    so the replay recomputes and rewrites both (the sink must itself be
+    idempotent, e.g. an overwrite into a batch_id= subdirectory).
 
     This is continuous-ingest dedup — the streaming twin of
     ``llmdata.dedup.incremental_minhash_dedup``: every arriving snapshot is
@@ -304,6 +314,8 @@ def apply_dedup_index_batch(
     # breaks the lineage to the previous snapshot's files BEFORE the commit
     # rewrites them (same hazard as combine_partials in apply_rollup_batch)
     updated = updated.localCheckpoint(eager=True)
+    if survivors_sink is not None:
+        survivors_sink(survivors)
     write_versioned(
         updated,
         index_path,
@@ -331,13 +343,23 @@ def incremental_dedup_ingest(
     overwrites its own output instead of duplicating it — idempotent)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        survivors = apply_dedup_index_batch(
-            batch_df, batch_id, index_path, id_col, text_col, **dedup_kwargs
-        )
-        if survivors is not None:
+        def sink(survivors: DataFrame) -> None:
             survivors.write.mode("overwrite").parquet(
                 os.path.join(survivors_path, f"batch_id={batch_id}")
             )
+
+        # sink runs inside apply_dedup_index_batch BEFORE the index commit:
+        # a crash between the two leaves the watermark unadvanced and the
+        # replay rewrites both (overwrite into batch_id= is idempotent)
+        apply_dedup_index_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            id_col,
+            text_col,
+            survivors_sink=sink,
+            **dedup_kwargs,
+        )
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -70,6 +70,24 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     assert got == want and got
 
 
+def test_undersized_explicit_k_rejected(spark):
+    """k+1 <= 1/min_share would let a qualifying item be fully evicted from
+    the merged sketch (silent false negative) — must raise, not mislead."""
+    import pytest
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="no-false-negative"):
+        heavy_hitters(df, "item", min_share=0.01, k=50)  # 51 <= 100
+    # the boundary-legal k (k+1 > 1/min_share) still works and stays exact
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(_df(spark), "item", min_share=0.01, k=100).collect()
+    }
+    n = len(ITEMS)
+    want = {(i, c) for i, c in Counter(ITEMS).items() if c * 1.0 / n >= 0.01}
+    assert got == want
+
+
 def test_result_independent_of_partitioning(spark):
     a = heavy_hitters(_df(spark, 2), "item", 0.01).collect()
     b = heavy_hitters(_df(spark, 16), "item", 0.01).collect()

@@ -319,6 +319,50 @@ def test_continuous_ingest_dedup_streaming_end_to_end(spark, tmp_path):
     assert sorted(r["id"] for r in idx.collect()) == [1, 2]
 
 
+def test_dedup_ingest_crash_between_sink_and_commit(spark, tmp_path):
+    """Crash safety of the sink-before-commit ordering: a crash AFTER the
+    survivors write but BEFORE the index commit leaves the watermark
+    unadvanced, so the replayed batch recomputes (not a detected no-op) and
+    both artifacts land. The reverse order would silently lose survivors."""
+    import os
+
+    import pytest
+
+    from emdatapipelines_spark.streaming.incremental import apply_dedup_index_batch
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+
+    def real_sink(survivors, batch_id=1):
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    def crashing_sink(survivors):
+        real_sink(survivors)
+        raise RuntimeError("simulated crash before index commit")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        apply_dedup_index_batch(b1, 1, idx, survivors_sink=crashing_sink)
+    # survivors landed, index did NOT commit -> watermark unadvanced
+    assert spark.read.parquet(out).count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, idx)
+
+    # replay: recomputes (not skipped), rewrites survivors, commits index
+    replay = apply_dedup_index_batch(b1, 1, idx, survivors_sink=real_sink)
+    assert replay is not None
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1]
+    assert sorted(r["id"] for r in read_versioned(spark, idx).collect()) == [1]
+
+    # a second replay of the SAME batch after the commit is a detected no-op
+    assert apply_dedup_index_batch(b1, 1, idx, survivors_sink=real_sink) is None
+
+
 def test_streaming_ewma_end_to_end(spark, tmp_path):
     """incremental_ewma drains a file stream and matches the batch
     grouped_ewma exactly (the recurrence composes across microbatches)."""

@@ -73,6 +73,14 @@ def test_wcss_non_increasing(spark):
     assert w3 <= w1 + 1e-9 and math.isfinite(w3)
 
 
+def test_zero_iters_rejected(spark):
+    import pytest
+
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="iters"):
+            kmeans_lloyd(_df(spark), k=3, iters=bad)
+
+
 def test_degenerate_inputs(spark):
     # fewer points than k: fits the points that exist
     two = spark.createDataFrame(

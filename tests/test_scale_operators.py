@@ -439,3 +439,97 @@ def test_triangle_count_skewed_hub_matches_naive(spark):
         .count()
     )
     assert got == naive == 38  # hub wedges close along the 1-2-...-39 path
+
+
+def _clustered_vectors(n_clusters=40, per_cluster=6, d=16, spread=0.05):
+    """Deterministic clustered corpus: unit centers + small per-member
+    perturbation. Within-cluster cosines mostly >= 0.95; cross-cluster
+    cosines are random (~0). Pure-python LCG so no numpy RNG state leaks."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            v = centers[c] + spread * rng.standard_normal(d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_embedding_neardup_prefilter_lossless_high_threshold(spark):
+    """The grid prefilter must be LOSSLESS: at a real dedup threshold
+    (0.95) on clustered data, the prefiltered pairs equal the numpy
+    all-pairs ground truth exactly — same pairs, same cosines — for both
+    projection modes and several projection counts."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.similarity import embedding_neardup_pairs
+
+    rows = _clustered_vectors()
+    mat = np.vstack([np.array(v) for _, v in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+    t = 0.95
+    want = {
+        (i, j, round(float(sims[i, j]), 6))
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if sims[i, j] >= t
+    }
+    assert len(want) > 50  # the fixture actually has near-dups at 0.95
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for mode in ("pca", "random"):
+        for p in (1, 2, 3):
+            got = {
+                (r["id_a"], r["id_b"], r["cosine"])
+                for r in embedding_neardup_pairs(
+                    df, threshold=t, n_projections=p, projections=mode
+                ).collect()
+            }
+            assert got == want, f"mode={mode} p={p}"
+
+
+def test_embedding_neardup_prefilter_actually_prunes(spark):
+    """On clustered data at threshold 0.95 the candidate row-pair count
+    must be a small fraction of all pairs (the prefilter has power), while
+    staying lossless (previous test). Also: the degenerate low-threshold
+    grid (one cell) must fall back to all pairs, never MORE than all
+    pairs."""
+    from emdatapipelines_spark.llmdata.similarity import embedding_neardup_stats
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    s = embedding_neardup_stats(df, threshold=0.95, n_projections=2)
+    assert s["n_rows"] == len(rows)
+    assert s["candidate_row_pairs"] < 0.5 * s["all_row_pairs"]
+    # low threshold: grid collapses -> bounded all-pairs fallback
+    s_lo = embedding_neardup_stats(df, threshold=0.4, n_projections=2)
+    assert s_lo["candidate_row_pairs"] <= s_lo["all_row_pairs"]
+
+
+def test_embedding_neardup_edge_cases(spark):
+    """Empty corpus, single row, zero vectors, exact duplicates."""
+    from emdatapipelines_spark.llmdata.similarity import embedding_neardup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs(empty, threshold=0.9)
+    assert out.count() == 0 and out.columns == ["id_a", "id_b", "cosine"]
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert embedding_neardup_pairs(one, threshold=0.9).count() == 0
+
+    # zero vectors never pair (cosine undefined -> excluded); exact dups do
+    mix = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8]), (4, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_neardup_pairs(mix, threshold=0.99).collect()
+    ]
+    assert got == [(3, 4, 1.0)]

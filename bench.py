@@ -10,10 +10,22 @@ Each query is forced end-to-end with the built-in ``noop`` sink so every
 column is materialized through the whole plan (a bare ``count()`` would let
 Catalyst prune the projection and under-report the work). One warmup query
 amortizes JVM startup, and each query runs ``$SPARK_GRAFT_BENCH_PASSES``
-times (default 2) with the LAST pass reported — r3's apparent 2-4.5x
-regressions on the front-of-suite queries were cold-JVM/codegen artifacts,
-so the steady-state pass is the comparable number (cold pass-1 times are
-kept in BENCH_FULL.json under "cold_pass" for the diagnosis trail).
+times (default 3). Reported per-query numbers (round 6, after the r5
+artifact's 1.9x contention swings on untouched queries cost a round of
+ambiguity):
+
+- ``queries``   — MIN of the warm passes (passes 2..N): the least-noise
+  estimate of the plan's intrinsic cost; suite-level GC/codegen contention
+  only ever ADDS time, so the min is the comparable number round-to-round.
+- ``median_pass`` — median across the same warm passes: shows run-to-run
+  spread; a big min/median gap flags contention, not a plan change.
+- ``cold_pass`` — pass-1 times (codegen+footer-read cost, diagnosis trail).
+
+``--isolate [N]`` additionally re-times the N slowest queries (default 20)
+in a FRESH JVM each (subprocess running ``--one``), so a suspected
+regression can be attributed: suite-min >> isolated-min ⇒ suite contention;
+isolated-min itself moved ⇒ a real plan/cost change. Isolated numbers land
+in BENCH_FULL.json under ``isolated`` (never in the stdout contract line).
 """
 
 from __future__ import annotations
@@ -21,6 +33,8 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
@@ -30,45 +44,105 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.1
-
+def _session():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from emdatapipelines_spark.session import get_spark
 
     spark = get_spark(app_name="emdatapipelines-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    return spark, entrymod.queries()
 
-    queries = entrymod.queries()
+
+def _time_passes(spark, fn, sf_dir: str, passes: int) -> list[float]:
+    out = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
+    return out
+
+
+def run_one(name: str, sf_dir: str, passes: int) -> int:
+    """Single-query mode (used by --isolate subprocesses): fresh JVM, one
+    same-query warmup, then ``passes`` timed passes; prints min/median."""
+    spark, queries = _session()
+    fn = queries[name]
+    _force(fn(spark, sf_dir))  # warm this query's codegen in the fresh JVM
+    spark.catalog.clearCache()
+    times = _time_passes(spark, fn, sf_dir, passes)
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "min_sec": round(min(times), 4),
+                "median_sec": round(statistics.median(times), 4),
+            }
+        )
+    )
+    return 0
+
+
+def _isolate(names: list[str], sf_dir: str, passes: int) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+                 "SPARK_GRAFT_BENCH_PASSES": str(passes)},
+            timeout=1800,
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            rec = json.loads(line)
+            out[name] = {"min_sec": rec["min_sec"], "median_sec": rec["median_sec"]}
+        else:
+            out[name] = {"error": (proc.stderr or "no output")[-500:]}
+    return out
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+
+    args = sys.argv[1:]
+    if args[:1] == ["--one"]:
+        return run_one(args[1], sf_dir, passes)
+    isolate_n = 0
+    if args[:1] == ["--isolate"]:
+        isolate_n = int(args[1]) if len(args) > 1 else 20
+
+    spark, queries = _session()
 
     # Warmup: trigger codegen/JIT + parquet footer reads once.
     warm = queries.get("a1_pricing_summary") or next(iter(queries.values()))
     _force(warm(spark, sf_dir))
 
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     cold: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
         try:
-            last = 0.0
-            for p in range(passes):
-                t0 = time.perf_counter()
-                _force(queries[name](spark, sf_dir))
-                last = time.perf_counter() - t0
-                if p == 0:
-                    cold[name] = round(last, 4)
-            timings[name] = round(last, 4)
             # Benchmark isolation: operators that persist() intermediates
             # (e.g. the jaccard shingle frame) leak cached blocks into the
-            # NEXT query's memory budget — across 145 queries the
+            # NEXT query's memory budget — across 145+ queries the
             # accumulated cache thrashes eviction and inflated heavy-query
             # times up to 3x, run-order dependent. A production driver owns
-            # its cache lifecycle; the bench isolates per query.
-            spark.catalog.clearCache()
+            # its cache lifecycle; the bench isolates per query (clearCache
+            # inside _time_passes).
+            ts = _time_passes(spark, queries[name], sf_dir, passes)
+            cold[name] = round(ts[0], 4)
+            warm_ts = ts[1:] if len(ts) > 1 else ts
+            timings[name] = round(min(warm_ts), 4)
+            medians[name] = round(statistics.median(warm_ts), 4)
         except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
             # keep head+tail so the artifact records the full exception class
             # and the end of the message (truncating mid-token loses both)
@@ -85,11 +159,16 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "passes": passes,
+        "per_query_stat": "min_of_warm_passes",
+        "median_pass": medians,
     }
     if passes > 1:
         line["cold_pass"] = cold
     if failures:
         line["failures"] = failures
+    if isolate_n:
+        top = sorted(timings, key=lambda n: -timings[n])[:isolate_n]
+        line["isolated"] = _isolate(top, sf_dir, passes)
 
     # Full record to a repo artifact (the driver keeps only the LAST 2000
     # chars of stdout — BENCH_r01.json's "tail" proved it — so the full
@@ -100,7 +179,9 @@ def main() -> int:
 
     budget = 1820
     out = dict(line)
-    out.pop("cold_pass", None)  # full map lives in BENCH_FULL.json
+    out.pop("cold_pass", None)  # full maps live in BENCH_FULL.json
+    out.pop("median_pass", None)
+    out.pop("isolated", None)
     if failures:
         out["failures"] = sorted(failures)  # names only; messages in BENCH_FULL.json
     q = dict(sorted(timings.items(), key=lambda kv: -kv[1]))

@@ -53,7 +53,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return normalize_event_time(df, "ts")
     df = normalize_event_time(spark.read.parquet(path))
     if name in _RESTORE_SPLITS:
-        df = _restore_scan_parallelism(spark, df)
+        df = _restore_scan_parallelism(spark, df, cache_key=path)
     return df
 
 
@@ -61,8 +61,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # batches). The other fixtures hit a shuffle immediately, which parallelizes.
 _RESTORE_SPLITS = {"documents", "embeddings"}
 
+# (path, cores) -> is the scan starved? The split count of a fixture file
+# never changes within a process, but the .rdd.getNumPartitions() probe
+# costs ~0.13s of plan conversion PER t() CALL — across a 170-query bench
+# suite that probe alone was ~half of the round-5 "regression" on the
+# documents/embeddings query families (measured in SCALING.md round-6).
+_STARVED_CACHE: dict[tuple[str, int], bool] = {}
 
-def _restore_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
+
+def _restore_scan_parallelism(
+    spark: SparkSession, df: DataFrame, cache_key: str
+) -> DataFrame:
     """Restore the input parallelism a real table has.
 
     The fixture parquet files are written as a SINGLE row group, which makes
@@ -78,9 +87,14 @@ def _restore_scan_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
     session's cores); naturally-split multi-file tables pass through.
     """
     cores = spark.sparkContext.defaultParallelism
-    if cores <= 2 or df.rdd.getNumPartitions() >= max(2, cores // 2):
+    if cores <= 2:
         return df
-    return df.repartition(cores)
+    key = (cache_key, cores)
+    starved = _STARVED_CACHE.get(key)
+    if starved is None:
+        starved = df.rdd.getNumPartitions() < max(2, cores // 2)
+        _STARVED_CACHE[key] = starved
+    return df.repartition(cores) if starved else df
 
 
 def dsum(col, scale: int = 2):

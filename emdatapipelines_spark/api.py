@@ -103,23 +103,50 @@ class QueryEngine:
                 self.governance.compliance_event(
                     "rate_limit_denied", f"query:{fp}", f"org={org} type={org_type}"
                 )
+            # denied requests are still usage (`usage_metrics.sql` computes a
+            # success RATE, so the log must carry failures too)
+            self.usage_log.append(
+                {
+                    "org": org,
+                    "type": classify_query(query),
+                    "fingerprint": fp,
+                    "at": now,
+                    "ok": False,
+                    "elapsed_ms": 0.0,
+                }
+            )
             raise PermissionError(f"rate limit exceeded for organization {org}")
-        self.usage_log.append(
-            {"org": org, "type": classify_query(query), "fingerprint": fp, "at": now}
-        )
+        entry = {
+            "org": org,
+            "type": classify_query(query),
+            "fingerprint": fp,
+            "at": now,
+            "ok": True,
+            "elapsed_ms": 0.0,
+        }
+        self.usage_log.append(entry)
         if self.governance is not None:
             self.governance.compliance_event(
                 "data_access", f"query:{fp}", f"org={org} type={org_type} class={classify_query(query)}"
             )
-        if use_cache:
-            hit = self._cache.get(fp)
-            if hit and hit.expires_at > now:
-                return hit.df
-        df = self.spark.sql(query)
-        if use_cache:
-            df = df.cache()
-            self._cache[fp] = _CacheEntry(df, now + self.cache_ttl)
-        return df
+        t0 = time.perf_counter()
+        try:
+            if use_cache:
+                hit = self._cache.get(fp)
+                if hit and hit.expires_at > now:
+                    return hit.df
+            df = self.spark.sql(query)
+            if use_cache:
+                df = df.cache()
+                self._cache[fp] = _CacheEntry(df, now + self.cache_ttl)
+            return df
+        except Exception:
+            entry["ok"] = False
+            raise
+        finally:
+            # serving latency (analysis/plan build; execution is lazy) — the
+            # field api_performance aggregates into its percentile buffers
+            entry["elapsed_ms"] = (time.perf_counter() - t0) * 1000.0
 
     def warm(self, queries: list[str], now: float | None = None) -> None:
         """Pre-populate the cache (`public_resources.py:537-599` warm list)."""

@@ -3068,3 +3068,111 @@ def sim_knn_graph(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("src", "neighbor", F.col("rank").cast("int"), "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# metrics marts: the engine's own serving-layer views, computed over a
+# request log. The reference materializes these over whatever its platform
+# logged (`models/metrics/usage_metrics.sql:6-76`,
+# `models/metrics/api_performance.sql:1-99`); here the fixture `events`
+# table plays the request log (endpoint=event_type, latency=value,
+# ok = props.k < 95 — a per-request predicate so the health ladders see
+# real rate variation) and the SAME mart functions run over the live
+# QueryEngine.usage_log in tests/test_metrics.py. Percent fields round in
+# the integer domain (round(x*10^k)/10^k) — see metrics.py for the
+# cross-engine round-tie rationale.
+# ---------------------------------------------------------------------------
+_LOG_SQL = """
+  SELECT event_type AS endpoint, ts,
+         CAST(json_extract(props, '$.k') AS INT) < 95 AS ok,
+         value AS latency_ms,
+         'org_' || CAST(user_id % 37 AS VARCHAR) AS org
+  FROM events
+"""
+
+
+def _request_log(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_type").alias("endpoint"),
+        "ts",
+        (F.get_json_object("props", "$.k").cast("int") < 95).alias("ok"),
+        F.col("value").alias("latency_ms"),
+        F.concat(F.lit("org_"), (F.col("user_id") % 37).cast("string")).alias("org"),
+    )
+
+
+@query(
+    "a27_usage_metrics",
+    f"""
+    WITH log AS ({_LOG_SQL}),
+    agg AS (
+      SELECT endpoint,
+             CAST(COUNT(*) AS BIGINT) AS total_requests,
+             CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS unique_hours,
+             MIN(ts) AS first_access, MAX(ts) AS last_access,
+             SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_ok
+      FROM log WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY endpoint)
+    SELECT endpoint AS api_endpoint, total_requests,
+           unique_hours AS unique_hours_accessed, first_access, last_access,
+           ROUND(n_ok * 10000.0 / total_requests) / 100.0 AS success_rate_percent,
+           ROUND(total_requests / 7.0, 0) AS avg_daily_requests,
+           ROUND(total_requests * 10.0 / unique_hours) / 10.0 AS avg_requests_per_hour,
+           CASE WHEN n_ok * 1.0 / total_requests >= 0.99 THEN 'EXCELLENT'
+                WHEN n_ok * 1.0 / total_requests >= 0.95 THEN 'GOOD'
+                WHEN n_ok * 1.0 / total_requests >= 0.90 THEN 'ACCEPTABLE'
+                ELSE 'DEGRADED' END AS system_health_status,
+           CASE WHEN total_requests > 1000 THEN 'HIGH_USAGE'
+                WHEN total_requests > 100 THEN 'MODERATE_USAGE'
+                WHEN total_requests > 10 THEN 'LOW_USAGE'
+                ELSE 'MINIMAL_USAGE' END AS usage_level,
+           TIMESTAMP '2024-02-01 00:00:00' AS metrics_generated_at
+    FROM agg
+    """,
+)
+def a27_usage_metrics(spark, sf_dir):
+    from ..metrics import usage_metrics
+
+    return usage_metrics(_request_log(spark, sf_dir))
+
+
+@query(
+    "a28_api_performance",
+    f"""
+    WITH log AS ({_LOG_SQL}),
+    agg AS (
+      SELECT endpoint,
+             CAST(COUNT(*) AS BIGINT) AS total_requests,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS recent_requests,
+             CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS error_requests,
+             CAST(COUNT(DISTINCT org) AS BIGINT) AS distinct_orgs,
+             MAX(ts) AS last_request_at,
+             ROUND(quantile_cont(latency_ms, 0.5), 4) AS p50_latency_ms,
+             ROUND(quantile_cont(latency_ms, 0.95), 4) AS p95_latency_ms,
+             ROUND(quantile_cont(latency_ms, 0.99), 4) AS p99_latency_ms
+      FROM log WHERE ts >= TIMESTAMP '2023-02-01 00:00:00' GROUP BY endpoint)
+    SELECT endpoint AS api_endpoint, total_requests, recent_requests,
+           error_requests, distinct_orgs,
+           p50_latency_ms, p95_latency_ms, p99_latency_ms,
+           ROUND(recent_requests * 10000.0 / total_requests) / 100.0 AS recent_activity_percent,
+           ROUND(error_requests * 10000.0 / total_requests) / 100.0 AS error_percent,
+           CASE WHEN distinct_orgs >= 45 THEN 'BROAD_COVERAGE'
+                WHEN distinct_orgs >= 30 THEN 'WIDE_COVERAGE'
+                WHEN distinct_orgs >= 10 THEN 'MULTI_ORG_COVERAGE'
+                ELSE 'LIMITED_COVERAGE' END AS caller_coverage,
+           CASE WHEN last_request_at >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 6 HOUR THEN 'CURRENT'
+                WHEN last_request_at >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 24 HOUR THEN 'RECENT'
+                WHEN last_request_at >= TIMESTAMP '2024-02-01 00:00:00' - INTERVAL 48 HOUR THEN 'STALE'
+                ELSE 'OUTDATED' END AS endpoint_freshness,
+           CASE WHEN total_requests = 0 THEN 'DATA_MISSING'
+                WHEN recent_requests = 0 THEN 'NO_RECENT_ACTIVITY'
+                ELSE 'OPERATIONAL' END AS compliance_status,
+           last_request_at,
+           TIMESTAMP '2024-02-01 00:00:00' AS performance_check_timestamp
+    FROM agg
+    """,
+)
+def a28_api_performance(spark, sf_dir):
+    from ..metrics import api_performance
+
+    return api_performance(_request_log(spark, sf_dir))

@@ -462,6 +462,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster assignment over near-duplicate pairs: connected components by
     iterative min-label propagation (each node repeatedly takes the smallest
@@ -477,11 +478,17 @@ def connected_components(
     grouped min) followed by a pointer-jumping step (label := label of the
     current label), so the propagation distance doubles per round and
     convergence takes O(log diameter) rounds instead of O(diameter) — the
-    difference between ~5 and ~50 scheduled jobs on chain-shaped clusters.
+    difference between ~5 and ~50 scheduled jobs on chain-shaped clusters
+    (measured: a 10⁴-node path graph — diameter 10⁴ — converges in 13
+    rounds ≈ log₂(10⁴), pinned by
+    ``tests/test_scale_operators.py::test_connected_components_chain_converges_in_log_rounds``).
     ``localCheckpoint(eager=True)`` truncates the lineage every round —
     without it the plan doubles per pass and the job dies on plan size long
     before data size. At web scale the same loop body is the
     large-star/small-star algorithm's skeleton.
+
+    ``stats`` (optional dict) receives ``{"rounds": n}`` — the number of
+    label-propagation rounds executed before the fixpoint proof.
     """
     # Materialize the pair list before mirroring it: the union below consumes
     # it twice, and without this the (expensive) candidate-generation subtree
@@ -498,6 +505,7 @@ def connected_components(
     labels = edges.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
         stepped = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -517,11 +525,14 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         # labels only ever decrease; an unchanged sum is a fixpoint proof
+        rounds += 1
         s = labels.agg(F.sum("label")).first()[0]
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -533,3 +533,42 @@ def test_embedding_neardup_edge_cases(spark):
         for r in embedding_neardup_pairs(mix, threshold=0.99).collect()
     ]
     assert got == [(3, 4, 1.0)]
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 10^4-node path graph has diameter 10^4: plain label propagation
+    would need ~10^4 rounds, the pointer-jumping implementation must
+    converge in <= 2*log2(n) (the min-label-doubling bound). Also checks
+    correctness: every node labels to the chain head."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.llmdata.dedup import connected_components
+
+    n = 10_000
+    chain = spark.range(1, n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    out = connected_components(chain, stats=stats)
+    assert out.filter(F.col("cluster_id") != 1).count() == 0
+    assert out.count() == n
+    assert stats["rounds"] <= 2 * math.log2(n)  # 26; measured 13-14
+
+
+def test_connected_components_round_counter_small_graphs(spark):
+    """Star and two-component graphs converge in a couple of rounds and the
+    counter reports them."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.llmdata.dedup import connected_components
+
+    star = spark.createDataFrame(
+        [(1, i) for i in range(2, 8)] + [(10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(star, stats=stats).collect()}
+    assert {out[i] for i in range(1, 8)} == {1}
+    assert out[10] == out[11] == out[12] == 10
+    assert 1 <= stats["rounds"] <= 4

@@ -788,9 +788,12 @@ def pq_cosine_topk(
     cosine. Per query a (m × n_centroids) lookup table of subspace distances
     is precomputed driver-side (queries are bounded, as in lsh/ivf_topk);
     scoring the corpus is then ONE join-free Arrow map — for each encoded
-    row, sum m table lookups — followed by a per-query top-k window. No
-    float vectors move after encoding; shuffle volume is the shortlist per
-    query, not the corpus.
+    row, sum m table lookups — with a MAP-SIDE PARTIAL TOP-K (each batch
+    emits only its best shortlist_k+1 rows per query, tie-broken identically
+    to the global ordering), followed by the per-query top-k window that
+    reduces the partials. Peak Arrow output per batch is |Q|·(shortlist+1)
+    rows, not |Q|·batch; no float vectors move after encoding; shuffle
+    volume is partials-per-batch, not the corpus.
 
     ``rerank=True`` is the standard two-stage shape: ADC shortlists
     ``k·oversample`` candidates from the compressed index, then exact cosine
@@ -815,23 +818,39 @@ def pq_cosine_topk(
         luts[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
     bc = spark.sparkContext.broadcast((qids, luts))
 
+    shortlist_k = k * oversample if rerank else k
+
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_, luts_ = bc.value
         nq = len(ids_)
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = np.vstack(pdf["codes"].to_numpy())  # (n, m)
+            # map-side partial top-k: emit only the per-batch best
+            # shortlist_k+1 rows per query (+1 because the self-match is
+            # filtered AFTER this map and may occupy one slot), instead of
+            # |Q|×batch rows — the union of per-batch partials provably
+            # contains the global shortlist, and the downstream window
+            # reduces them. Batch rows are pre-ordered by neighbor id so
+            # the STABLE dist-sort breaks ties exactly like the global
+            # window's (adc_dist, neighbor_id) ordering — boundary ties
+            # select identically with or without the partial step.
+            item_ids = pdf["item_id"].to_numpy()
+            order = np.argsort(item_ids, kind="stable")
+            item_ids = item_ids[order]
+            codes = np.vstack(pdf["codes"].to_numpy())[order]  # (n, m)
             n = len(codes)
             # dists[qi, row] = sum_j luts[qi, j, codes[row, j]]
             dists = np.zeros((nq, n))
             for j in range(codes.shape[1]):
                 dists += luts_[:, j, :][:, codes[:, j]]
+            keep = min(shortlist_k + 1, n)
+            idx = np.argsort(dists, axis=1, kind="stable")[:, :keep]
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids_, n),
-                    "neighbor_id": np.tile(pdf["item_id"].to_numpy(), nq),
-                    "adc_dist": dists.reshape(-1),
+                    "query_id": np.repeat(ids_, keep),
+                    "neighbor_id": item_ids[idx].reshape(-1),
+                    "adc_dist": np.take_along_axis(dists, idx, axis=1).reshape(-1),
                 }
             )
 
@@ -839,7 +858,6 @@ def pq_cosine_topk(
         score, "query_id long, neighbor_id long, adc_dist double"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    shortlist_k = k * oversample if rerank else k
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= shortlist_k)

@@ -572,3 +572,23 @@ def test_connected_components_round_counter_small_graphs(spark):
     assert {out[i] for i in range(1, 8)} == {1}
     assert out[10] == out[11] == out[12] == 10
     assert 1 <= stats["rounds"] <= 4
+
+
+def test_pq_partial_topk_partition_independent(spark):
+    """The map-side partial top-k inside the ADC scan must not change the
+    result under different partitionings (boundary ties included)."""
+    from emdatapipelines_spark.llmdata.similarity import pq_cosine_topk
+    from emdatapipelines_spark.queries.registry import t as load
+
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter("vec_id % 200 = 0")
+
+    def run(parts):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in pq_cosine_topk(
+                queries, emb.repartition(parts), k=5, m=32, n_centroids=64
+            ).collect()
+        )
+
+    assert run(2) == run(17)

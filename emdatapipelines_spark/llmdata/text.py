@@ -462,3 +462,77 @@ def gopher_rules(
         "required_hits": required_hits,
         "passes_gopher": passes,
     }
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 full-text retrieval: top-``k`` documents for a bag of query
+    terms (Robertson/Spärck Jones probabilistic relevance framework — the
+    retrieval baseline every RAG / data-curation pipeline needs next to the
+    embedding ANN family). Same normalization as every other tx_* operator.
+
+    Scale shape: token explode → (doc, term) tf hash-agg → inner join with
+    the BROADCAST query-term list, so only matching postings survive the
+    map side — at 100 TB the shuffle carries rows for matched (doc, term)
+    pairs, not the corpus token stream. Corpus stats (N, Σdl) are a 1-row
+    aggregate cross-joined in; df comes from the tf frame (already one row
+    per (doc, term)). The final score is an ORDERED left fold over the
+    term-sorted contribution list, so partial-agg order can never wiggle
+    the low bits — results hash-match a single-node engine exactly.
+
+    Returns (doc_id, score, n_terms_matched, rank), rank = row_number over
+    (score DESC, doc_id).
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(norm, " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qt = docs.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    matched = tf.join(F.broadcast(qt), "term")
+    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        matched.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_term = joined.select("doc_id", "term", contrib.alias("c"))
+    folded = per_term.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "c"))).alias("__cs"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+    )
+    score = F.round(
+        F.aggregate(
+            F.transform("__cs", lambda s: s["c"]), F.lit(0.0), lambda a, x: a + x
+        ),
+        6,
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        folded.select("doc_id", score.alias("score"), "n_terms_matched")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

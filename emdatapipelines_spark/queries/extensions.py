@@ -3176,3 +3176,49 @@ def a28_api_performance(spark, sf_dir):
     from ..metrics import api_performance
 
     return api_performance(_request_log(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# retrieval: BM25 full-text top-k — the lexical-retrieval baseline next to
+# the embedding ANN family (sim_*): every RAG / curation pipeline needs
+# both. Query = a fixed bag of terms mixing common ('hash', 'join',
+# 'spark') and rare ('dup', df≈5%) so idf does real ranking work on the
+# fixture. Per-doc score is an ORDERED fold over term-sorted contributions
+# (the a24/BPE fold-equivalence pattern), so the Spark hash-agg hash-matches
+# DuckDB exactly despite float summation.
+# ---------------------------------------------------------------------------
+@query(
+    "rag_bm25_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    q AS (SELECT UNNEST(['hash', 'join', 'spark', 'dup']) AS term),
+    matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY term),
+    contrib AS (
+      SELECT m.doc_id, m.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl * 1.0 / s.n_docs))) AS c
+      FROM matched m JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             ROUND(list_reduce(
+               list_transform(list_sort(list(struct_pack(term := term, c := c))), x -> x.c),
+               (a, b) -> a + b), 6) AS score,
+             CAST(COUNT(*) AS INT) AS n_terms_matched
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, score, n_terms_matched,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def rag_bm25_topk(spark, sf_dir):
+    from ..llmdata.text import bm25_topk
+
+    d = t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["hash", "join", "spark", "dup"], k=10)

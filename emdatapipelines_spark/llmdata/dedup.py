@@ -232,6 +232,90 @@ def prefix_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """DIRECTED near-subset pairs: (contained_id, container_id, containment)
+    with ``containment = |A∩B| / |A| >= threshold`` over distinct word
+    n-gram shingles. The asymmetric twin of the Jaccard join — it catches
+    quotes, partial copies, and doc-inside-doc duplication that a symmetric
+    Jaccard threshold misses when the container is much larger (jaccard
+    ≈ |A|/|B| → 0 while containment stays 1).
+
+    Candidate generation is the asymmetric prefix filter (PPJoin family,
+    Xiao et al. WWW'08): order each doc's shingles by global document
+    frequency (rarest first); if C(A→B) ≥ t then B contains one of A's
+    first ``|A| - ceil(t·|A|) + 1`` shingles under that order, so only A's
+    prefix probes the index — but unlike the Jaccard join the B side must
+    index ALL its shingles (a container can be arbitrarily large, so there
+    is no symmetric prefix on B). Rarest-first ordering keeps the probe on
+    the LOW-multiplicity end of the index. Verification is one row-local
+    ``array_intersect`` on candidate pairs only, after the necessary size
+    filter ``|B| >= ceil(t·|A|)``.
+
+    At 100 TB: two shuffles build the df-ordered sets, the candidate join
+    moves A-prefix rows against the full index (rare-token postings), and
+    full shingle arrays move for candidates only — output-bounded.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")
+    ).select("id", F.xxhash64("sgl").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    grouped = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("__ord"),
+            F.count(F.lit(1)).alias("set_size"),
+        )
+        .select(
+            "id",
+            "set_size",
+            F.transform("__ord", lambda s: s["shingle"]).alias("toks"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    # consumed by three branches (prefix probe, full index, both verify
+    # sides) that shuffle to different keys — the measured prefix-join
+    # persist rationale applies unchanged
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
+    ).cast("int")
+    probe = grouped.select("id", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok"))
+    index = grouped.select("id", F.explode("toks").alias("ptok"))
+    a, b = probe.alias("a"), index.alias("b")
+    cand = (
+        a.join(b, (F.col("a.ptok") == F.col("b.ptok")) & (F.col("a.id") != F.col("b.id")))
+        .select(F.col("a.id").alias("contained_id"), F.col("b.id").alias("container_id"))
+        .distinct()
+    )
+    ga = grouped.select(
+        F.col("id").alias("contained_id"),
+        F.col("set_size").alias("size_a"),
+        F.col("toks").alias("toks_a"),
+    )
+    gb = grouped.select(
+        F.col("id").alias("container_id"),
+        F.col("set_size").alias("size_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        cand.join(ga, "contained_id")
+        .join(gb, "container_id")
+        .filter(F.col("size_b") >= F.ceil(F.lit(threshold) * F.col("size_a")))
+        .withColumn("containment", F.round(inter * 1.0 / F.col("size_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

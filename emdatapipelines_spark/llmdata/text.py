@@ -179,8 +179,13 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
     scored = tok.join(F.broadcast(freq), "w").select(F.col(id_col), surp.alias("s"))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(
-            F.sum(F.col("s").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)), 6
+        (
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
         ).alias("mean_surprisal"),
     )
 

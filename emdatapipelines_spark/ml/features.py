@@ -20,7 +20,7 @@ def daily_event_features(events: DataFrame, ts_col: str = "ts", type_col: str = 
         events.groupBy(type_col, F.to_date(F.col(ts_col)).alias("event_date"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("event_count"),
-            F.round(F.sum(F.col(value_col).cast("decimal(28,4)")).cast("double") / F.count(F.lit(1)), 6).alias("mean_value"),
+            (F.round(F.sum(F.col(value_col).cast("decimal(28,4)")).cast("double") / F.count(F.lit(1)) * F.lit(1000000.0)) / F.lit(1000000.0)).alias("mean_value"),
             F.max(value_col).alias("max_value"),
         )
     )

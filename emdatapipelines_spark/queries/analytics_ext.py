@@ -868,7 +868,7 @@ def a22_histogram_quantiles(spark, sf_dir):
     spine AS (SELECT event_type, day FROM types CROSS JOIN days),
     daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6)
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) * 1000000.0) / 1000000.0
                AS v
       FROM events WHERE value > 450
       GROUP BY event_type, CAST(ts AS DATE)),
@@ -902,9 +902,13 @@ def ts_resample_ffill(spark, sf_dir):
         e.filter(F.col("value") > 450)
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
         .agg(
-            F.round(
-                F.sum(F.col("value").cast("decimal(28,4)")).cast("double") / F.count("value"),
-                6,
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                    / F.count("value")
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
             ).alias("v")
         )
     )

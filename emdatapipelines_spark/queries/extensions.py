@@ -836,7 +836,7 @@ def tx_tfidf_keywords(spark, sf_dir):
       SELECT tok.doc_id, ROUND(-LN((freq.c + 1.0) / tot.nv), 8) AS s
       FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6)
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) * 1000000.0) / 1000000.0
              AS mean_surprisal
     FROM scored GROUP BY doc_id
     """,
@@ -871,7 +871,7 @@ def tx_fingerprint(spark, sf_dir):
     """
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS event_count,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*), 6) AS mean_value,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mean_value,
              MAX(value) AS max_value
       FROM events GROUP BY 1, 2)
     SELECT event_type, event_date, event_count, mean_value, max_value,
@@ -2178,7 +2178,7 @@ def dd_paragraph_dedup(spark, sf_dir):
     """
     WITH prof AS (
       SELECT event_type, isodow(ts) AS dow,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value), 6) AS seasonal
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) * 1000000.0) / 1000000.0 AS seasonal
       FROM events GROUP BY 1, 2)
     SELECT e.event_id, e.event_type, CAST(isodow(e.ts) AS INT) AS dow, e.value,
            p.seasonal, ROUND(e.value - p.seasonal, 6) AS residual
@@ -3222,3 +3222,38 @@ def rag_bm25_topk(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return bm25_topk(d, ["hash", "join", "spark", "dup"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# dedup: DIRECTED containment (near-subset) pairs — the asymmetric twin of
+# dd_jaccard_pairs: catches quotes / partial copies / doc-inside-doc where
+# the container is much larger (jaccard → 0 while |A∩B|/|A| stays high).
+# Engine side: asymmetric prefix filter (rarest-first prefix probes a FULL
+# shingle index) + row-local exact verify; oracle: all-pairs shared-shingle
+# join, trigram shingles, same normalization as dd_jaccard_pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_containment",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 1, 2)),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.contained_id, c.container_id,
+           ROUND(c.common * 1.0 / sa.set_size, 6) AS containment
+    FROM common c JOIN sizes sa ON c.contained_id = sa.doc_id
+    WHERE c.common * 1.0 / sa.set_size >= 0.5
+    """,
+)
+def dd_containment(spark, sf_dir):
+    from ..llmdata.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return containment_pairs(d, n=3, threshold=0.5)

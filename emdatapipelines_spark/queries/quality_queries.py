@@ -355,7 +355,7 @@ def enc_roundtrip(spark, sf_dir):
     """
     WITH g AS (
       SELECT event_type AS entity,
-             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value), 6) AS avg_value,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value) * 1000000.0) / 1000000.0 AS avg_value,
              CAST(FLOOR((epoch(TIMESTAMP '2024-02-01 00:00:00') - FLOOR(epoch(MAX(ts))))/60) AS DOUBLE) AS age_minutes
       FROM events GROUP BY event_type),
     m AS (

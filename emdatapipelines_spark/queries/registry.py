@@ -104,6 +104,18 @@ def dsum(col, scale: int = 2):
 
 
 def davg(col, scale: int = 4, nd: int = 6):
-    """Deterministic mean: exact decimal sum ÷ count, rounded."""
+    """Deterministic mean: exact decimal sum ÷ count, rounded in the
+    INTEGER domain (``round(x·10^nd)/10^nd``).
+
+    ``round(double, nd)`` itself is NOT cross-engine safe: Spark rounds the
+    shortest decimal repr (HALF_UP) while DuckDB rounds the exact binary
+    value, and they disagree exactly when the true ratio's repr lands on a
+    .…5 boundary at position nd+1 — first observed at sf0.1 where
+    a7_config_window_agg's avg hit 56.4133125 (spark 56.413312 vs duckdb
+    56.413313). Scaled to the integer domain the tie value k+0.5 IS
+    exactly representable, and both engines round it half-away-from-zero
+    identically; every oracle mirrors ``ROUND(x * 10^nd) / 10^nd``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c), nd)
+    mean = F.sum(c.cast(f"decimal(28,{scale})")).cast("double") / F.count(c)
+    p = float(10**nd)
+    return F.round(mean * F.lit(p)) / F.lit(p)

@@ -28,8 +28,8 @@ from .registry import davg, dsum, query, t
            CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)/COUNT(l_quantity), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_discount), 6) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE)/COUNT(l_quantity) * 1000000.0) / 1000000.0 AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE)/COUNT(l_discount) * 1000000.0) / 1000000.0 AS avg_disc,
            COUNT(*) AS count_order,
            COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS high_qty_orders,
            MAX(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS has_deep_discount
@@ -157,7 +157,7 @@ def p7_range_validate(spark, sf_dir):
     """
     SELECT r.r_name AS region_name, COUNT(*) AS customer_count,
            CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_acctbal,
-           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)/COUNT(c.c_acctbal), 6) AS avg_acctbal
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,4))) AS DOUBLE)/COUNT(c.c_acctbal) * 1000000.0) / 1000000.0 AS avg_acctbal
     FROM customer c
     LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     LEFT JOIN region r ON n.n_regionkey = r.r_regionkey

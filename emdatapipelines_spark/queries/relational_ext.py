@@ -67,7 +67,7 @@ def p6_active_alerts(spark, sf_dir):
            COUNT(*) AS n_orders,
            COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
            COUNT(CASE WHEN MONTH(o_orderdate) IN (6,7,8) THEN 1 END) AS n_summer,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)/COUNT(o_totalprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)/COUNT(o_totalprice) * 1000000.0) / 1000000.0 AS avg_price,
            MAX(o_totalprice) AS max_price
     FROM orders
     GROUP BY o_orderstatus, order_year, o_orderpriority
@@ -98,7 +98,7 @@ def a3_yearly_trend(spark, sf_dir):
     SELECT event_type,
            time_bucket(INTERVAL '6 hours', ts) AS window_start,
            time_bucket(INTERVAL '6 hours', ts) + INTERVAL '6 hours' AS window_end,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value), 6) AS avg_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(value) * 1000000.0) / 1000000.0 AS avg_value,
            MAX(value) AS max_value,
            COUNT(*) AS record_count
     FROM events GROUP BY event_type, window_start, window_end
@@ -860,7 +860,7 @@ def tpch_q14_promo_effect(spark, sf_dir):
                AS half_avg_qty
       FROM lineitem l JOIN brand_parts bp ON l.l_partkey = bp.p_partkey
       GROUP BY l.l_partkey)
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 6)
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 * 1000000.0) / 1000000.0
              AS avg_yearly
     FROM lineitem l
     JOIN pa ON l.l_partkey = pa.l_partkey
@@ -889,8 +889,13 @@ def tpch_q17_small_quantity(spark, sf_dir):
         l.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double") / 7.0, 6
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+                    / 7.0
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
             ).alias("avg_yearly")
         )
     )

@@ -76,3 +76,50 @@ def test_no_python_udf_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_containment_pairs_directed_and_lossless(spark):
+    """Planted doc-inside-doc: containment must fire A→B with high score
+    while the symmetric Jaccard stays low; the prefix-filtered candidate
+    path must equal the brute-force all-pairs computation."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.llmdata.dedup import containment_pairs
+
+    core = "the quick brown fox jumps over the lazy dog near the river bank"
+    container = core + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    docs = [
+        (1, core),                     # contained in 2
+        (2, container),                # the big container
+        (3, "completely different words about spark and shuffles here"),
+        (4, core),                     # byte-identical to 1 -> mutual containment
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, n=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0           # core fully inside container
+    assert (2, 1) not in got            # container not inside core
+    assert got[(1, 4)] == 1.0 and got[(4, 1)] == 1.0  # identical: both ways
+    assert not any(3 in k for k in got)
+
+    # brute force over trigram shingle sets — prefix filter must be lossless
+    def shingles(text):
+        tk = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+        if len(tk) < 3:
+            return {" ".join(tk)}
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= 0.5:
+                want[(a, b)] = round(c, 6)
+    assert got == want

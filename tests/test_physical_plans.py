@@ -63,6 +63,7 @@ def test_flagship_broadcasts_dim_and_partial_aggs(spark):
 #:   sim_cosine_topk: non-equi (id != id) join against broadcast query set
 BNLJ_ALLOWED = {
     "a23_heavy_hitters",  # two crossJoin(broadcast(1-row total-N aggregate)) scalar joins
+    "rag_bm25_topk",  # crossJoin(broadcast(1-row N/avgdl corpus-stats aggregate))
     "q12_benford",  # crossJoin(broadcast(1-row total count))
     "ts_pmi_cooccurrence",  # crossJoin(broadcast(1-row basket-count aggregate))
     "a26_kmv_set_ops",  # type-pair enumeration: non-equi join of two ~5-row type lists

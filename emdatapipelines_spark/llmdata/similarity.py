@@ -251,6 +251,26 @@ def _estimate_candidate_fraction(smat: np.ndarray, proj: np.ndarray, w: float) -
     return min(1.0, cand / (total * total))
 
 
+def _random_blocks(
+    corpus: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> tuple[DataFrame, DataFrame]:
+    """The zero-pre-pass fallback blocking: rows hash into ``n_blocks``
+    random blocks, every unordered block pair is a candidate — the exact
+    pre-prefilter plan (bounded all-pairs)."""
+    B = n_blocks
+    blocked = corpus.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(vec_col).alias("pvec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B))
+        .cast("int")
+        .alias("bid"),
+    )
+    all_pairs = corpus.sparkSession.createDataFrame(
+        [(a, b) for a in range(B) for b in range(a, B)], "ba int, bb int"
+    )
+    return blocked, all_pairs
+
+
 def _neardup_blocks(
     corpus: DataFrame,
     threshold: float,
@@ -274,7 +294,13 @@ def _neardup_blocks(
     pre-passes buy nothing, so fall back to the zero-pre-pass random
     blocking with ALL block pairs — the exact pre-prefilter plan. Either
     path feeds the same exact-verify kernel, so the dispatch affects cost
-    only, never the result set."""
+    only, never the result set. At ``threshold <= -1`` (e.g. the exact
+    k-NN graph keeps every pair) pruning is PROVABLY impossible — the
+    pitch ``w >= 2`` covers the whole [-1, 1] projection range, so every
+    cell is adjacent — and the dispatch short-circuits without even the
+    sample pull."""
+    if not force_grid and threshold <= -1.0:
+        return _random_blocks(corpus, id_col, vec_col, int(n_blocks))
     sample = corpus.select(F.col(vec_col)).limit(4096).toPandas()
     if sample.empty:
         return None, None
@@ -294,19 +320,7 @@ def _neardup_blocks(
     w = float(np.sqrt(max(2.0 - 2.0 * float(threshold), 1e-12))) * (1.0 + 1e-6)
 
     if not force_grid and _estimate_candidate_fraction(smat, proj, w) > 0.8:
-        B = int(n_blocks)
-        spark = corpus.sparkSession
-        blocked = corpus.select(
-            F.col(id_col).cast("long").alias("pid"),
-            F.col(vec_col).alias("pvec"),
-            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B))
-            .cast("int")
-            .alias("bid"),
-        )
-        all_pairs = spark.createDataFrame(
-            [(a, b) for a in range(B) for b in range(a, B)], "ba int, bb int"
-        )
-        return blocked, all_pairs
+        return _random_blocks(corpus, id_col, vec_col, int(n_blocks))
 
     vd = _as_double(vec_col)
     nrm = _norm(vd)
@@ -940,3 +954,107 @@ def with_recall_vs_exact(
         )
     )
     return approx_topk.join(F.broadcast(hits), "query_id", "left")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    cand_id: str = "neighbor_id",
+    rel_col: str = "cosine",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein SIGIR'98):
+    greedily pick ``k`` results maximizing
+    ``lam·relevance − (1−lam)·max_similarity_to_already_selected`` — the
+    diversity stage after any retrieval shortlist (BM25 / ANN top-N), so a
+    RAG answer set stops collapsing onto near-duplicates of one hit.
+
+    Structurally: the shortlist is join-enriched with its vectors, pairwise
+    candidate-candidate cosines are computed ONCE (shortlist² rows — the
+    shortlist is retrieval-bounded, e.g. 50, so this is k·N metadata-rate
+    work, never corpus-rate), and the k greedy steps are UNROLLED into the
+    plan: each step joins the remaining candidates against the selected
+    1-row winners, takes the per-candidate max similarity, scores, and
+    picks the argmax with a deterministic (score DESC, id) tie-break. All
+    scores round to 6 before every argmax so the plan is engine-exact
+    (oracle-comparable). Returns (selected_id, mmr_rank, relevance,
+    mmr_score — the score at selection time; rank 1's score is lam·rel).
+    """
+    cand = candidates.select(
+        F.col(cand_id).alias("cid"), F.round(F.col(rel_col), 6).alias("rel")
+    )
+    vecs = corpus.select(F.col(c_id).alias("cid"), _as_double(c_vec).alias("v"))
+    cv = cand.join(vecs, "cid")
+    a = cv.select(F.col("cid").alias("ia"), F.col("v").alias("va"))
+    b = cv.select(F.col("cid").alias("ib"), F.col("v").alias("vb"))
+    sims = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    sims = sims.localCheckpoint(eager=True)  # shortlist²-bounded, reused k-1 times
+
+    remaining = cand
+    selected = None  # DataFrame (cid, mmr_rank, rel, mmr_score)
+    for step in range(1, int(k) + 1):
+        if step == 1:
+            scored = remaining.select(
+                "cid",
+                "rel",
+                (F.round(F.lit(lam) * F.col("rel") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
+                    "mmr_score"
+                ),
+            )
+        else:
+            max_sim = (
+                sims.join(
+                    selected.select(F.col("cid").alias("ib")), "ib"
+                )
+                .groupBy("ia")
+                .agg(F.max("sim").alias("msim"))
+                .select(F.col("ia").alias("cid"), "msim")
+            )
+            scored = (
+                remaining.join(max_sim, "cid", "left")
+                .withColumn("msim", F.coalesce("msim", F.lit(0.0)))
+                .select(
+                    "cid",
+                    "rel",
+                    (
+                        F.round(
+                            (
+                                F.lit(lam) * F.col("rel")
+                                - F.lit(1.0 - lam) * F.col("msim")
+                            )
+                            * F.lit(1000000.0)
+                        )
+                        / F.lit(1000000.0)
+                    ).alias("mmr_score"),
+                )
+            )
+        winner = (
+            scored.orderBy(F.desc("mmr_score"), F.asc("cid"))
+            .limit(1)
+            .select("cid", F.lit(step).alias("mmr_rank"), "rel", "mmr_score")
+            .localCheckpoint(eager=True)  # 1 row
+        )
+        selected = winner if selected is None else selected.unionByName(winner)
+        remaining = remaining.join(
+            winner.select("cid"), "cid", "left_anti"
+        )
+    return selected.select(
+        F.col("cid").alias("selected_id"),
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "rel",
+        "mmr_score",
+    )

@@ -129,3 +129,65 @@ def grouped_ewma(
         lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
     )
     return grouped.select(*partition_cols, "n_obs", F.round(fold, 6).alias(out_col))
+
+
+def grouped_holt(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Per-group Holt double exponential smoothing (level + trend), final
+    state: ``l_1 = y_1, b_1 = 0``; for t ≥ 2
+    ``l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})``,
+    ``b_t = β(l_t − l_{t−1}) + (1−β) b_{t−1}``.
+    Emits one row per group: n_obs, level, trend, and the one-step
+    forecast ``level + trend`` — the EWMA's trend-aware sibling
+    (`grouped_ewma`), same ordered-fold shape.
+
+    The recurrence carries TWO mutually-recursive state components, so the
+    fold accumulator is the string-encoded state ``"l|b"`` (the BPE-fold
+    trick: a cross-engine fold's accumulator must match the element type,
+    and shortest-repr double↔string round-trips exactly in both engines).
+    One shuffle (groupBy building the ordered array), no UDF; groups must
+    individually fit in memory, and the recurrence composes across time
+    chunks exactly as EWMA's does (chain folds with carried (l, b) init).
+    """
+    a, bt = float(alpha), float(beta)
+    ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
+    grouped = df.groupBy(*partition_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ordkey.alias("k"), F.col(value_col).alias("v")))
+            ),
+            lambda s: s["v"].cast("double"),
+        ).alias("__vals"),
+        F.count(value_col).alias("n_obs"),
+    )
+    state0 = F.concat(F.element_at("__vals", 1).cast("string"), F.lit("|0.0"))
+    rest = F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0)))
+
+    def step(acc, x):
+        parts = F.split(acc, r"\|")
+        l_prev = F.element_at(parts, 1).cast("double")
+        b_prev = F.element_at(parts, 2).cast("double")
+        level = F.lit(a) * x + F.lit(1.0 - a) * (l_prev + b_prev)
+        trend = F.lit(bt) * (level - l_prev) + F.lit(1.0 - bt) * b_prev
+        return F.concat(level.cast("string"), F.lit("|"), trend.cast("string"))
+
+    folded = F.split(F.aggregate(rest, state0, step), r"\|")
+    level = F.element_at(folded, 1).cast("double")
+    trend = F.element_at(folded, 2).cast("double")
+
+    def r6(c):
+        return F.round(c * F.lit(1000000.0)) / F.lit(1000000.0)
+
+    return grouped.select(
+        *partition_cols,
+        "n_obs",
+        r6(level).alias("level"),
+        r6(trend).alias("trend"),
+        r6(level + trend).alias("forecast_1"),
+    )

@@ -3257,3 +3257,116 @@ def dd_containment(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return containment_pairs(d, n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# retrieval: MMR diversity re-rank — the stage after any retrieval
+# shortlist (BM25 / ANN): greedy k-selection maximizing
+# lam*rel - (1-lam)*max-sim-to-selected (Carbonell & Goldstein SIGIR'98).
+# Engine side unrolls the k greedy steps into the plan over the BOUNDED
+# shortlist; the oracle unrolls the same 5 argmax steps as chained CTEs.
+# Scores round in the integer domain before every argmax (engine-exact).
+# ---------------------------------------------------------------------------
+def _MMR_ORACLE():
+    head = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    rel0 AS (
+      SELECT e.vec_id AS cid,
+             ROUND(list_dot_product(q.qv, e.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS rel
+      FROM e, q WHERE e.vec_id != 0),
+    short AS (SELECT cid, rel FROM rel0 ORDER BY rel DESC, cid LIMIT 20),
+    sims AS (
+      SELECT a.cid AS ia, b.cid AS ib,
+             ROUND(list_dot_product(ea.v, eb.v) /
+                   (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+      FROM short a JOIN short b ON a.cid != b.cid
+      JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid),
+    w1 AS (SELECT cid, 1 AS mmr_rank, rel,
+                  ROUND(0.7 * rel * 1000000.0) / 1000000.0 AS mmr_score
+           FROM short
+           ORDER BY ROUND(0.7 * rel * 1000000.0) / 1000000.0 DESC, cid LIMIT 1)
+    """
+    steps = []
+    for i in range(2, 6):
+        prev = " UNION ALL ".join(f"SELECT cid FROM w{j}" for j in range(1, i))
+        steps.append(f""",
+    s{i} AS (
+      SELECT sh.cid, sh.rel,
+             ROUND((0.7 * sh.rel - 0.3 * COALESCE(ms.msim, 0.0)) * 1000000.0) / 1000000.0 AS mmr_score
+      FROM short sh
+      LEFT JOIN (SELECT ia, MAX(sim) AS msim FROM sims
+                 WHERE ib IN ({prev}) GROUP BY ia) ms ON ms.ia = sh.cid
+      WHERE sh.cid NOT IN ({prev})),
+    w{i} AS (SELECT cid, {i} AS mmr_rank, rel, mmr_score FROM s{i}
+             ORDER BY mmr_score DESC, cid LIMIT 1)""")
+    tail = """
+    SELECT cid AS selected_id, CAST(mmr_rank AS INT) AS mmr_rank, rel, mmr_score
+    FROM (SELECT * FROM w1 UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+          UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5)
+    """
+    return head + "".join(steps) + tail
+
+
+@query("rag_mmr_rerank", _MMR_ORACLE())
+def rag_mmr_rerank(spark, sf_dir):
+    from ..llmdata.similarity import brute_force_cosine_topk, mmr_rerank
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    shortlist = brute_force_cosine_topk(q, e, k=20)
+    return mmr_rerank(shortlist, e, k=5, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# time series: Holt double exponential smoothing (level+trend, trend-aware
+# EWMA sibling) — the two-component recurrence folds with a string-encoded
+# accumulator "l|b" (the BPE-fold trick: cross-engine fold acc type must
+# equal the element type; shortest-repr double<->string round-trips exactly
+# in both engines). Oracle replays the identical fold in DuckDB.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_holt_forecast",
+    """
+    WITH ordered AS (
+      SELECT event_type,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals,
+             COUNT(value) AS n_obs
+      FROM events GROUP BY event_type),
+    folded AS (
+      SELECT event_type, n_obs,
+             string_split(list_reduce(
+               list_prepend(CAST(vals[1] AS VARCHAR) || '|0.0',
+                            list_transform(vals[2:], x -> CAST(x AS VARCHAR))),
+               (acc, x) -> CAST(
+                   (0.3 * CAST(x AS DOUBLE)
+                    + 0.7 * (CAST(string_split(acc, '|')[1] AS DOUBLE)
+                             + CAST(string_split(acc, '|')[2] AS DOUBLE))) AS VARCHAR)
+                 || '|' || CAST(
+                   (0.1 * ((0.3 * CAST(x AS DOUBLE)
+                            + 0.7 * (CAST(string_split(acc, '|')[1] AS DOUBLE)
+                                     + CAST(string_split(acc, '|')[2] AS DOUBLE)))
+                           - CAST(string_split(acc, '|')[1] AS DOUBLE))
+                    + 0.9 * CAST(string_split(acc, '|')[2] AS DOUBLE)) AS VARCHAR)
+             ), '|') AS st
+      FROM ordered)
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(CAST(st[1] AS DOUBLE) * 1000000.0) / 1000000.0 AS level,
+           ROUND(CAST(st[2] AS DOUBLE) * 1000000.0) / 1000000.0 AS trend,
+           ROUND((CAST(st[1] AS DOUBLE) + CAST(st[2] AS DOUBLE)) * 1000000.0) / 1000000.0
+             AS forecast_1
+    FROM folded
+    """,
+)
+def ts_holt_forecast(spark, sf_dir):
+    from ..operators.windows import grouped_holt
+
+    e = t(spark, sf_dir, "events")
+    return grouped_holt(
+        e, "value", ["event_type"], [F.col("ts"), F.col("event_id")],
+        alpha=0.3, beta=0.1,
+    ).select(
+        "event_type", F.col("n_obs").cast("bigint").alias("n_obs"),
+        "level", "trend", "forecast_1",
+    )

@@ -82,3 +82,48 @@ def test_streaming_twin_composes_bit_exactly(spark, tmp_path):
     # fresh-checkpoint signature (id far below watermark): loud failure
     with pytest.raises(StaleBatchError):
         apply_ewma_batch(b, 0, table, "value", ["uid"], ["seq"])
+
+
+def test_grouped_holt_matches_python_recurrence(spark):
+    """Holt level/trend fold vs a plain python reference, plus n=1 and
+    constant-series edge cases (trend must stay 0 on a flat series)."""
+    from emdatapipelines_spark.operators.windows import grouped_holt
+
+    rows = [
+        ("a", i, float(v)) for i, v in enumerate([10, 12, 14, 16, 18, 20])
+    ] + [("b", 0, 5.0)] + [("c", i, 7.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, seq long, value double")
+    got = {
+        r["g"]: (r["n_obs"], r["level"], r["trend"], r["forecast_1"])
+        for r in grouped_holt(df, "value", ["g"], ["seq"], alpha=0.3, beta=0.1).collect()
+    }
+
+    def ref(vals, a=0.3, b=0.1):
+        l, t = vals[0], 0.0
+        for y in vals[1:]:
+            l_new = a * y + (1.0 - a) * (l + t)
+            t = b * (l_new - l) + (1.0 - b) * t
+            l = l_new
+        r6 = lambda x: round(x * 1e6) / 1e6
+        return r6(l), r6(t), r6(l + t)
+
+    la, ta, fa = ref([10, 12, 14, 16, 18, 20])
+    assert got["a"] == (6, la, ta, fa)
+    assert ta > 0  # rising series -> positive trend
+    assert got["b"] == (1, 5.0, 0.0, 5.0)          # single point: no trend
+    assert got["c"] == (4, 7.0, 0.0, 7.0)          # flat series: trend 0
+
+
+def test_grouped_holt_partitioning_independent(spark):
+    from emdatapipelines_spark.operators.windows import grouped_holt
+
+    rows = [("g", i, float((i * 37) % 11) + 0.25) for i in range(200)]
+    a = grouped_holt(
+        spark.createDataFrame(rows, "g string, seq long, value double").repartition(1),
+        "value", ["g"], ["seq"],
+    ).collect()
+    b = grouped_holt(
+        spark.createDataFrame(rows, "g string, seq long, value double").repartition(16),
+        "value", ["g"], ["seq"],
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -592,3 +592,66 @@ def test_pq_partial_topk_partition_independent(spark):
         )
 
     assert run(2) == run(17)
+
+
+def test_mmr_rerank_matches_reference_greedy(spark):
+    """MMR must equal a straightforward python greedy reference on a
+    shortlist with a planted redundancy: two near-identical high-relevance
+    docs — plain top-k keeps both, MMR must demote the duplicate."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.similarity import mmr_rerank
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(8)
+    vecs = {
+        0: base + 0.01 * rng.standard_normal(8),          # the query
+        1: base + 0.02 * rng.standard_normal(8),          # top hit
+        2: base + 0.02 * rng.standard_normal(8),          # near-dup of 1
+        # moderately-relevant distinct docs: related to the query but far
+        # from each other, so diversity has something to prefer
+        3: 0.5 * base + 0.9 * rng.standard_normal(8),
+        4: 0.5 * base + 0.9 * rng.standard_normal(8),
+        5: 0.5 * base + 0.9 * rng.standard_normal(8),
+    }
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rel = {i: round(cos(vecs[0], v), 6) for i, v in vecs.items() if i != 0}
+    cands = spark.createDataFrame(
+        [(i, r) for i, r in rel.items()], "neighbor_id long, cosine double"
+    )
+    lam, k = 0.5, 4  # 0.5: dup penalty ~cancels a near-1 rel, diversity wins
+    # python greedy reference with the same integer-domain rounding
+    def r6(x):
+        return round(x * 1e6) / 1e6
+
+    selected, remaining = [], dict(rel)
+    for step in range(1, k + 1):
+        scored = {}
+        for i, r in remaining.items():
+            msim = max(
+                (round(cos(vecs[i], vecs[j]), 6) for j, _ in selected), default=0.0
+            )
+            scored[i] = r6(lam * r - (1 - lam) * msim) if selected else r6(lam * r)
+        win = min(scored, key=lambda i: (-scored[i], i))
+        selected.append((win, scored[win]))
+        del remaining[win]
+
+    got = sorted(
+        (r["mmr_rank"], r["selected_id"], r["mmr_score"])
+        for r in mmr_rerank(cands, corpus, k=k, lam=lam).collect()
+    )
+    want = sorted((n + 1, i, s) for n, (i, s) in enumerate(selected))
+    assert [(rk, i) for rk, i, _ in got] == [(rk, i) for rk, i, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-9
+    # the diversity property itself: 1 and 2 are near-dups; MMR must NOT
+    # pick them back-to-back at ranks 1-2 (plain top-k would)
+    order = [i for _, i, _ in got]
+    assert not (set(order[:2]) == {1, 2})

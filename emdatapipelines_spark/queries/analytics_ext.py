@@ -923,3 +923,119 @@ def ts_resample_ffill(spark, sf_dir):
         "day",
         F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# w13 — PERCENT_RANK / CUME_DIST per group: the relative-standing window
+# pair (percentile position of each order's price within its priority
+# class). Rounds in the integer domain (see davg) — both are ratios of
+# ints but ties at the 6th decimal are engine-divergent under plain ROUND.
+# ---------------------------------------------------------------------------
+@query(
+    "w13_percent_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w * 1000000.0) / 1000000.0 AS pct_rank,
+           ROUND(CUME_DIST() OVER w * 1000000.0) / 1000000.0 AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w13_percent_rank(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r6 = lambda c: F.round(c * F.lit(1000000.0)) / F.lit(1000000.0)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts — CUSUM change detection over the per-type daily series. The textbook
+# recurrence S_t = max(0, S_{t-1} + (x_t - target - slack)) rewrites to the
+# WINDOW identity S_t = P_t - min_{j<=t} P_j over prefix sums P of the
+# drift d_t = x_t - target - slack, so the whole detector is two window
+# passes — no fold, no iteration, scales as any partitioned window. Flags
+# days where the upward CUSUM exceeds h = 2·sigma of the daily means.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) * 1000000.0) / 1000000.0 AS x
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n_days,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx
+      FROM daily GROUP BY event_type),
+    drift AS (
+      SELECT d.event_type, d.day, d.x,
+             d.x - s.mu - 0.5 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / (s.n_days - 1)) AS dft,
+             2.0 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / (s.n_days - 1)) AS h
+      FROM daily d JOIN stats s ON d.event_type = s.event_type),
+    prefix AS (
+      SELECT event_type, day, x, h,
+             SUM(dft) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_t
+      FROM drift),
+    cusum AS (
+      SELECT event_type, day, x, h,
+             p_t - LEAST(MIN(p_t) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS s_t
+      FROM prefix)
+    SELECT event_type, day, x AS daily_mean,
+           ROUND(s_t * 1000000.0) / 1000000.0 AS cusum_stat,
+           CAST(s_t > h AS BOOLEAN) AS changepoint
+    FROM cusum
+    """,
+)
+def ts_cusum_changepoints(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    r6 = lambda c: F.round(c * F.lit(1000000.0)) / F.lit(1000000.0)
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        r6(
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            / F.count("value")
+        ).alias("x")
+    )
+    stats = daily.groupBy("event_type").agg(
+        (F.sum(F.col("x").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+    )
+    sigma = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_days"))
+        / (F.col("n_days") - 1)
+    )
+    drift = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("x") - F.col("mu") - F.lit(0.5) * sigma).alias("dft"),
+        (F.lit(2.0) * sigma).alias("h"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum("dft").over(w)
+    # include the empty prefix P_0 = 0 (S_0 = 0 in the recurrence)
+    s_t = p - F.least(F.min(p).over(w), F.lit(0.0))
+    return drift.select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_mean"),
+        r6(s_t).alias("cusum_stat"),
+        (s_t > F.col("h")).alias("changepoint"),
+    )

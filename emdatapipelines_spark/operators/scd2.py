@@ -23,14 +23,23 @@ def scd2_init(source: DataFrame, updated_at: str) -> DataFrame:
     )
 
 
-def scd2_merge(snapshot: DataFrame, source: DataFrame, key: str, updated_at: str) -> DataFrame:
+def scd2_merge(
+    snapshot: DataFrame,
+    source: DataFrame,
+    key: str,
+    updated_at: str,
+    hard_deletes: bool = True,
+) -> DataFrame:
     """Timestamp-strategy SCD2 merge without Delta MERGE (plain Spark):
 
     - changed rows (same key, newer ``updated_at``) close the current version
       and append a new current one;
     - unseen keys insert as current;
     - keys absent from the source hard-invalidate (``invalidate_hard_deletes``):
-      current version closes at the merge's max source timestamp.
+      current version closes at the merge's max source timestamp. Set
+      ``hard_deletes=False`` when the source is a PARTIAL slice (e.g. a
+      streaming microbatch of changed rows) — absence then means
+      "unchanged", not "deleted".
 
     One full-outer join on the key — a single shuffle; at 100 TB run per
     date-partition slice.
@@ -43,7 +52,11 @@ def scd2_merge(snapshot: DataFrame, source: DataFrame, key: str, updated_at: str
     changed = F.col(f"s.{key}").isNotNull() & F.col(f"c.{key}").isNotNull() & (
         F.col(f"s.{updated_at}") > F.col(f"c.{updated_at}")
     )
-    deleted = F.col(f"s.{key}").isNull() & F.col(f"c.{key}").isNotNull()
+    deleted = (
+        F.col(f"s.{key}").isNull() & F.col(f"c.{key}").isNotNull()
+        if hard_deletes
+        else F.lit(False)
+    )
     inserted = F.col(f"c.{key}").isNull() & F.col(f"s.{key}").isNotNull()
 
     close_ts = source.agg(F.max(updated_at)).first()[0]

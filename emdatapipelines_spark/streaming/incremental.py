@@ -413,6 +413,91 @@ def incremental_upsert(
     return writer.start()
 
 
+def apply_scd2_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table_path: str,
+    key: str,
+    updated_at: str,
+    hard_deletes: bool = False,
+) -> bool:
+    """Apply one microbatch of source rows to a VERSIONED SCD2 dimension —
+    the continuous twin of the reference's scheduled dbt snapshots
+    (`dbt_projects/emergency_data/snapshots/*.sql` run on a cron; this
+    applies the same timestamp-strategy merge per microbatch, so history
+    capture lags by one trigger interval instead of one schedule tick).
+
+    Each batch is collapsed to last-per-key first (several updates to one
+    key within a batch → the snapshot records the latest state, exactly
+    what a scheduled snapshot would have seen), then merged via
+    ``operators.scd2.scd2_merge``. ``hard_deletes`` defaults to False
+    because a CDC/changed-rows stream is a PARTIAL slice — absence means
+    unchanged; pass True only when every batch is a full table image.
+    Exactly-once via the shared ``max_batch_id`` watermark. Returns True
+    if applied, False for a detected replay."""
+    from pyspark.sql import Window
+
+    from ..operators.scd2 import scd2_init, scd2_merge
+
+    hw = applied_batch_watermark(table_path)
+    if _replay_check(batch_id, hw, table_path):
+        return False
+    spark = batch_df.sparkSession
+    w = Window.partitionBy(key).orderBy(F.desc(updated_at))
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        snap = read_versioned(spark, table_path)
+    except FileNotFoundError:
+        snap = None
+    if snap is None:
+        out = scd2_init(latest, updated_at)
+    else:
+        out = scd2_merge(snap, latest, key, updated_at, hard_deletes=hard_deletes)
+    # break lineage to the previous snapshot's files before the commit
+    # (same hazard as every read-merge-write sink in this module)
+    out = out.localCheckpoint(eager=True)
+    write_versioned(
+        out,
+        table_path,
+        meta={
+            "batch_id": batch_id,
+            "max_batch_id": batch_id if hw is None else max(hw, batch_id),
+        },
+    )
+    return True
+
+
+def incremental_scd2(
+    stream_df: DataFrame,
+    table_path: str,
+    key: str,
+    updated_at: str,
+    checkpoint_dir: str,
+    hard_deletes: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the continuous SCD2 snapshot query: stream of source rows →
+    per-batch timestamp-strategy merge into the versioned dimension at
+    ``table_path`` (valid_from / valid_to / is_current columns, dbt
+    snapshot parity — see ``apply_scd2_batch``)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_scd2_batch(
+            batch_df, batch_id, table_path, key, updated_at, hard_deletes
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def apply_ewma_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -148,10 +148,14 @@ def _grid_block_directory(
     dir_rows = directory.select(
         "cell", "n_sub", F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)).alias("sub")
     )
-    w = Window.orderBy(F.col("cell").cast("string"), "sub")
-    # derives from the checkpointed cells frame, so the three consumers
-    # below (blocked, da, db) recompute only a tiny window — no checkpoint
-    dir_rows = dir_rows.withColumn("bid", F.row_number().over(w).cast("int"))
+    # Block ids need only be DISTINCT, not dense: a deterministic hash of
+    # (cell, sub) replaces the former row_number over a GLOBAL window,
+    # which funneled the whole cell×sub directory through one task — fine
+    # at metadata rate, a serialization point once occupied cells ~ n
+    # (tight pitch / many projections). A 64-bit collision (~n²/2⁶⁴) would
+    # merely MERGE two blocks — the merged block inherits every candidate
+    # pair of both, so coverage stays lossless; never a missed pair.
+    dir_rows = dir_rows.withColumn("bid", F.xxhash64("cell", "sub"))
 
     dsel = dir_rows.select(
         F.col("cell").alias("d_cell"),
@@ -599,6 +603,151 @@ def ivf_cosine_topk(
     )
 
 
+def knn_graph_ann(
+    corpus: DataFrame,
+    k: int = 3,
+    nlist: int = 8,
+    nprobe: int = 2,
+    block_rows: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN graph: IVF candidate edges + exact cosine re-rank —
+    the sub-quadratic SCALE TWIN of the exact all-pairs graph
+    (``sim_knn_graph``), mirroring the repo's baseline/scale-path split
+    (``dd_jaccard_pairs`` → ``dd_minhash_lsh``). The exact graph is
+    provably un-prunable (threshold −1 keeps every pair), so it stays the
+    oracle baseline; this path bounds work per vector to its ``nprobe``
+    nearest coarse cells.
+
+    Scale shape: ``nlist`` coarse centroids from a BOUNDED deterministic
+    sample (smallest md5(id) — the only driver pull, nlist·d floats at any
+    corpus size). ONE ``mapInPandas`` pass over the corpus emits, per
+    vector, its owner cell (nearest centroid) and its ``nprobe`` probe
+    cells (nprobe ≥ 1 ⇒ each vector probes its own cell, so the graph is
+    never starved of candidates). Owners hash-split into sub-blocks of ≤
+    ``block_rows`` rows via a tiny checkpointed cell-size directory
+    (broadcast), probers replicate to each sub-block of their probed
+    cells; each (cell, sub) group is one ``applyInPandas`` BLAS matmul
+    emitting per-prober LOCAL top-k — shuffled rows are candidate-bounded
+    (≤ nprobe·n_sub·k per vector), never Σcell². A final per-src
+    WindowGroupLimit rank merges the partials. Total cost:
+    O(n·nprobe·(n/nlist)·d) flops vs the exact graph's O(n²·d); with
+    nlist ~ √n this is O(n^1.5·d).
+
+    Returns (src, neighbor, rank, cosine) — same schema/rounding/ties as
+    the exact graph, so recall is directly measurable (see
+    ``sim_knn_graph_ann``'s sampled in-query recall column).
+    """
+    spark = corpus.sparkSession
+    cents = (
+        corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cell_id").cast("string")), F.col("cell_id"))
+        .limit(int(nlist))
+    )
+    cpdf = cents.toPandas()
+    if cpdf.empty:
+        return spark.createDataFrame([], "src long, neighbor long, rank int, cosine double")
+    cent_ids = cpdf["cell_id"].to_numpy()
+    cent_mat = np.vstack(cpdf["cvec"].to_numpy()).astype(np.float64)
+    cent_norm = np.maximum(np.linalg.norm(cent_mat, axis=1), 1e-12)
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+    npb = max(1, min(int(nprobe), len(cent_ids)))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, cmat, cnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+            sims = (m @ cmat.T) / (norms[:, None] * cnorm[None, :])
+            top = np.argsort(-sims, axis=1)[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "vec": pdf["vec"],
+                    "own_cell": ids_[top[:, 0]],
+                    "probe_cells": [ids_[row].tolist() for row in top],
+                }
+            )
+
+    base = corpus.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("vec"))
+    assigned = base.mapInPandas(
+        assign, "item_id long, vec array<float>, own_cell long, probe_cells array<long>"
+    )
+    # tiny directory: rows per owner cell → sub-block count (≤ nlist rows)
+    sizes = assigned.groupBy("own_cell").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.localCheckpoint(eager=True)
+    directory = sizes.select(
+        F.col("own_cell").alias("d_cell"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("n") / F.lit(int(block_rows))).cast("int")
+        ).alias("n_sub"),
+    )
+    owners = assigned.join(
+        F.broadcast(directory), F.col("own_cell") == F.col("d_cell")
+    ).select(
+        F.col("own_cell").alias("cell"),
+        F.pmod(F.xxhash64("item_id"), F.col("n_sub")).cast("int").alias("sub"),
+        F.lit(1).alias("side"),
+        F.col("item_id"),
+        "vec",
+    )
+    probers = (
+        assigned.select("item_id", "vec", F.explode("probe_cells").alias("cell"))
+        .join(F.broadcast(directory), F.col("cell") == F.col("d_cell"))
+        .select(
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.col("n_sub") - 1)).alias("sub"),
+            F.lit(0).alias("side"),
+            "item_id",
+            "vec",
+        )
+    )
+    tagged = probers.unionByName(owners)
+
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "neighbor": [], "cosine": []}).astype(
+            {"src": "int64", "neighbor": "int64", "cosine": "float64"}
+        )
+        q = pdf[pdf["side"] == 0]
+        c = pdf[pdf["side"] == 1]
+        if q.empty or c.empty:
+            return empty
+        q_ids, c_ids = q["item_id"].to_numpy(), c["item_id"].to_numpy()
+        qm = np.vstack(q["vec"].to_numpy()).astype(np.float64)
+        cm = np.vstack(c["vec"].to_numpy()).astype(np.float64)
+        qn = np.maximum(np.linalg.norm(qm, axis=1), 1e-12)
+        cn = np.maximum(np.linalg.norm(cm, axis=1), 1e-12)
+        sims = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # no self edges
+        kk = min(int(k), sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        vals = np.take_along_axis(sims, idx, axis=1)
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "src": np.repeat(q_ids, kk)[keep.ravel()],
+                "neighbor": c_ids[idx].ravel()[keep.ravel()],
+                "cosine": np.round(vals, 6).ravel()[keep.ravel()],
+            }
+        )
+
+    partial = tagged.groupBy("cell", "sub").applyInPandas(
+        cell_topk, "src long, neighbor long, cosine double"
+    )
+    # a neighbor can reach a src via several probed cells — dedupe (the
+    # rounded cosine is identical on every route), then the global top-k
+    merged = partial.groupBy("src", "neighbor").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "neighbor", F.col("rank").cast("int").alias("rank"), "cosine")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -965,6 +1114,7 @@ def mmr_rerank(
     rel_col: str = "cosine",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    query_col: str | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-rank (Carbonell & Goldstein SIGIR'98):
     greedily pick ``k`` results maximizing
@@ -972,27 +1122,42 @@ def mmr_rerank(
     diversity stage after any retrieval shortlist (BM25 / ANN top-N), so a
     RAG answer set stops collapsing onto near-duplicates of one hit.
 
+    ``query_col`` names the shortlist's query-partition column: the greedy
+    selection runs INDEPENDENTLY per query (the natural multi-query top-k
+    frame from :func:`brute_force_cosine_topk` et al. feeds straight in).
+    With ``query_col=None`` the whole frame is treated as ONE query's
+    shortlist — feeding a multi-query frame in that mode would mix queries
+    into a single greedy selection, which is why the per-query mode is the
+    default path for retrieval outputs.
+
     Structurally: the shortlist is join-enriched with its vectors, pairwise
-    candidate-candidate cosines are computed ONCE (shortlist² rows — the
-    shortlist is retrieval-bounded, e.g. 50, so this is k·N metadata-rate
-    work, never corpus-rate), and the k greedy steps are UNROLLED into the
-    plan: each step joins the remaining candidates against the selected
-    1-row winners, takes the per-candidate max similarity, scores, and
-    picks the argmax with a deterministic (score DESC, id) tie-break. All
-    scores round to 6 before every argmax so the plan is engine-exact
-    (oracle-comparable). Returns (selected_id, mmr_rank, relevance,
-    mmr_score — the score at selection time; rank 1's score is lam·rel).
+    candidate-candidate cosines are computed ONCE per query (shortlist²
+    rows per query — the shortlist is retrieval-bounded, e.g. 50, so this
+    is metadata-rate work, never corpus-rate), and the k greedy steps are
+    UNROLLED into the plan: each step joins the remaining candidates
+    against that query's selected winners, takes the per-candidate max
+    similarity, scores, and picks the per-query argmax with a
+    deterministic (score DESC, id) tie-break. All scores round to 6 before
+    every argmax so the plan is engine-exact (oracle-comparable). Returns
+    (query_col?, selected_id, mmr_rank, relevance, mmr_score — the score
+    at selection time; rank 1's score is lam·rel).
     """
+    qid = F.col(query_col) if query_col else F.lit(0)
     cand = candidates.select(
-        F.col(cand_id).alias("cid"), F.round(F.col(rel_col), 6).alias("rel")
+        qid.alias("qid"),
+        F.col(cand_id).alias("cid"),
+        F.round(F.col(rel_col), 6).alias("rel"),
     )
     vecs = corpus.select(F.col(c_id).alias("cid"), _as_double(c_vec).alias("v"))
     cv = cand.join(vecs, "cid")
-    a = cv.select(F.col("cid").alias("ia"), F.col("v").alias("va"))
-    b = cv.select(F.col("cid").alias("ib"), F.col("v").alias("vb"))
+    a = cv.select("qid", F.col("cid").alias("ia"), F.col("v").alias("va"))
+    b = cv.select(
+        F.col("qid").alias("qb"), F.col("cid").alias("ib"), F.col("v").alias("vb")
+    )
     sims = (
-        a.join(b, F.col("ia") != F.col("ib"))
+        a.join(b, (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
         .select(
+            "qid",
             "ia",
             "ib",
             F.round(
@@ -1002,13 +1167,15 @@ def mmr_rerank(
             ).alias("sim"),
         )
     )
-    sims = sims.localCheckpoint(eager=True)  # shortlist²-bounded, reused k-1 times
+    sims = sims.localCheckpoint(eager=True)  # Σ shortlist²-bounded, reused k-1 times
 
+    wq = Window.partitionBy("qid").orderBy(F.desc("mmr_score"), F.asc("cid"))
     remaining = cand
-    selected = None  # DataFrame (cid, mmr_rank, rel, mmr_score)
+    selected = None  # DataFrame (qid, cid, mmr_rank, rel, mmr_score)
     for step in range(1, int(k) + 1):
         if step == 1:
             scored = remaining.select(
+                "qid",
                 "cid",
                 "rel",
                 (F.round(F.lit(lam) * F.col("rel") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
@@ -1018,16 +1185,20 @@ def mmr_rerank(
         else:
             max_sim = (
                 sims.join(
-                    selected.select(F.col("cid").alias("ib")), "ib"
+                    selected.select(
+                        F.col("qid").alias("sq"), F.col("cid").alias("sb")
+                    ),
+                    (F.col("qid") == F.col("sq")) & (F.col("ib") == F.col("sb")),
                 )
-                .groupBy("ia")
+                .groupBy("qid", "ia")
                 .agg(F.max("sim").alias("msim"))
-                .select(F.col("ia").alias("cid"), "msim")
+                .select("qid", F.col("ia").alias("cid"), "msim")
             )
             scored = (
-                remaining.join(max_sim, "cid", "left")
+                remaining.join(max_sim, ["qid", "cid"], "left")
                 .withColumn("msim", F.coalesce("msim", F.lit(0.0)))
                 .select(
+                    "qid",
                     "cid",
                     "rel",
                     (
@@ -1043,18 +1214,22 @@ def mmr_rerank(
                 )
             )
         winner = (
-            scored.orderBy(F.desc("mmr_score"), F.asc("cid"))
-            .limit(1)
-            .select("cid", F.lit(step).alias("mmr_rank"), "rel", "mmr_score")
-            .localCheckpoint(eager=True)  # 1 row
+            scored.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") == 1)
+            .select("qid", "cid", F.lit(step).alias("mmr_rank"), "rel", "mmr_score")
+            .localCheckpoint(eager=True)  # one row per query
         )
         selected = winner if selected is None else selected.unionByName(winner)
         remaining = remaining.join(
-            winner.select("cid"), "cid", "left_anti"
+            winner.select("qid", "cid"), ["qid", "cid"], "left_anti"
         )
-    return selected.select(
+    out = selected.select(
+        "qid",
         F.col("cid").alias("selected_id"),
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
         "rel",
         "mmr_score",
     )
+    if query_col:
+        return out.withColumnRenamed("qid", query_col)
+    return out.drop("qid")

@@ -483,37 +483,66 @@ def bm25_topk(
     retrieval baseline every RAG / data-curation pipeline needs next to the
     embedding ANN family). Same normalization as every other tx_* operator.
 
-    Scale shape: token explode → (doc, term) tf hash-agg → inner join with
-    the BROADCAST query-term list, so only matching postings survive the
-    map side — at 100 TB the shuffle carries rows for matched (doc, term)
-    pairs, not the corpus token stream. Corpus stats (N, Σdl) are a 1-row
-    aggregate cross-joined in; df comes from the tf frame (already one row
-    per (doc, term)). The final score is an ORDERED left fold over the
+    Scale shape: token explode → ONE hash-agg keyed on doc_id computing dl
+    AND a conditional tf per query term (the term list is a bounded
+    literal, so each tf is a map-side `count(when(term = t))` column) —
+    the only corpus-rate shuffle is that doc-cardinality partial agg,
+    which any dl computation needs. Docs matching no term are filtered
+    IMMEDIATELY after the agg, so the (doc, term, tf, dl) posting rows
+    that feed scoring are matched-cardinality; nothing re-shuffles the
+    per-doc length frame (the former `matched JOIN dl` carried one row
+    per corpus doc). Corpus stats (N, Σdl) are a 1-row map-side aggregate
+    cross-joined in; df is a per-term count over the matched rows,
+    broadcast back. The final score is an ORDERED left fold over the
     term-sorted contribution list, so partial-agg order can never wiggle
     the low bits — results hash-match a single-node engine exactly.
 
     Returns (doc_id, score, n_terms_matched, rank), rank = row_number over
     (score DESC, doc_id).
     """
+    from functools import reduce
+    from operator import or_
+
     from pyspark.sql import Window
 
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.split(norm, " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    terms = list(dict.fromkeys(query_terms))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("term") == F.lit(tm), 1)).alias(f"__tf{i}")
+            for i, tm in enumerate(terms)
+        ],
     )
-    qt = docs.sparkSession.createDataFrame(
-        [(t,) for t in query_terms], "term string"
+    matched = per_doc.filter(
+        reduce(or_, [F.col(f"__tf{i}") > 0 for i in range(len(terms))])
     )
-    matched = tf.join(F.broadcast(qt), "term")
-    dfreq = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = matched.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tm).alias("term"), F.col(f"__tf{i}").alias("tf")
+                        )
+                        for i, tm in enumerate(terms)
+                    ]
+                ),
+                lambda s: s["tf"] > 0,
+            )
+        ).alias("__p"),
+    ).select("doc_id", "dl", F.col("__p.term").alias("term"), F.col("__p.tf").alias("tf"))
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("sum_dl")
+    )
     joined = (
-        matched.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        pairs.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")

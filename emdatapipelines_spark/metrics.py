@@ -110,7 +110,9 @@ def usage_metrics(
         "unique_hours_accessed",
         "first_access",
         "last_access",
-        (F.round(rate * 10000.0) / 100.0).alias("success_rate_percent"),
+        (F.round(F.col("__n_ok") * 10000.0 / F.col("total_requests")) / 100.0).alias(
+            "success_rate_percent"
+        ),
         F.round(F.col("total_requests") / float(window_days), 0).alias(
             "avg_daily_requests"
         ),

@@ -105,8 +105,9 @@ def grouped_ewma(
     array (``array_sort(collect_list(struct(order, value)))``) followed by
     a row-local ``F.aggregate`` fold: ONE shuffle, no UDF, no iteration.
     Groups must individually fit in memory (true for per-user / per-sensor
-    series; for million-row groups chunk by time first and chain the folds —
-    the recurrence composes: ewma(chunk2 init=ewma(chunk1))).
+    series); for million-row groups pass ``chunk_size`` —
+    :func:`grouped_ewma_chunked` chains per-chunk folds so no single array
+    cell ever holds more than ``chunk_size`` values.
 
     ``order_cols`` must make the order total (include a unique tiebreaker)
     or the fold result is partitioning-dependent. Emits one row per group:
@@ -152,8 +153,9 @@ def grouped_holt(
     trick: a cross-engine fold's accumulator must match the element type,
     and shortest-repr double↔string round-trips exactly in both engines).
     One shuffle (groupBy building the ordered array), no UDF; groups must
-    individually fit in memory, and the recurrence composes across time
-    chunks exactly as EWMA's does (chain folds with carried (l, b) init).
+    individually fit in memory — for million-row groups use
+    :func:`grouped_holt_chunked`, which chains per-chunk affine maps so no
+    single array cell ever exceeds ``chunk_size`` values.
     """
     a, bt = float(alpha), float(beta)
     ordkey = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
@@ -190,4 +192,196 @@ def grouped_holt(
         r6(level).alias("level"),
         r6(trend).alias("trend"),
         r6(level + trend).alias("forecast_1"),
+    )
+
+
+def _chunked_ordered(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    chunk_size: int,
+) -> DataFrame:
+    """Shared front end for the chunked recurrence paths: per-group time
+    position via a partitioned window (sort-based, SPILLABLE — unlike a
+    collect_list cell, a window sort never needs the whole group in
+    memory), then per-(group, chunk) ordered value arrays of ≤
+    ``chunk_size`` elements. Emits (partition_cols..., __chunk, __vals,
+    __n)."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    pos = df.select(
+        *partition_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        ((F.row_number().over(w) - 1) / F.lit(int(chunk_size)))
+        .cast("long")
+        .alias("__chunk"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    return pos.groupBy(*partition_cols, "__chunk").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__rn").alias("k"), F.col("__v").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("__vals"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+
+def grouped_ewma_chunked(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    alpha: float = 0.2,
+    out_col: str = "ewma",
+    chunk_size: int = 8192,
+) -> DataFrame:
+    """:func:`grouped_ewma` for groups too large for one array cell: the
+    recurrence ``s_t = α·x_t + (1−α)·s_{t−1}`` is AFFINE in the carried
+    state, so a whole chunk composes to one map ``s → A·s + B`` with
+    ``A = (1−α)^n`` and ``B`` the chunk fold from init 0 (the classic
+    parallel-prefix/scan decomposition of a linear recurrence — Blelloch
+    1990). Plan: a spillable per-group window assigns time positions,
+    per-(group, chunk) folds of ≤ ``chunk_size`` values produce one
+    (A, B) summary row each, and a second BOUNDED fold over the ordered
+    chunk summaries (group_rows / chunk_size elements) chains them.
+    Peak per-cell memory drops from O(group) to O(chunk_size +
+    group/chunk_size); two shuffles total, no UDF, no iteration.
+
+    Chunk 0 mirrors the single-array path exactly (init = its first
+    element, fold over the rest); later chunks apply their affine map, so
+    cross-chunk float association can differ from the sequential fold by
+    ~1 ulp per composition — equivalence vs :func:`grouped_ewma` is
+    tested to 1e-9 relative on a million-row group. Same output schema.
+    """
+    a = float(alpha)
+    chunks = _chunked_ordered(df, value_col, partition_cols, order_cols, chunk_size)
+    rest = F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0)))
+    step = lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc
+    summaries = chunks.select(
+        *partition_cols,
+        "__chunk",
+        "__n",
+        # chunk 0: exact folded prefix state (init = first element);
+        # chunk c>0: affine map A = (1−α)^n, B = fold from 0
+        F.when(
+            F.col("__chunk") == 0, F.aggregate(rest, F.element_at("__vals", 1), step)
+        ).otherwise(F.pow(F.lit(1.0 - a), F.col("__n"))).alias("__s_or_A"),
+        F.when(F.col("__chunk") == 0, F.lit(0.0))
+        .otherwise(F.aggregate("__vals", F.lit(0.0), step))
+        .alias("__B"),
+    )
+    per_group = summaries.groupBy(*partition_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__chunk").alias("k"),
+                    F.col("__s_or_A").alias("a"),
+                    F.col("__B").alias("b"),
+                )
+            )
+        ).alias("__cs"),
+        F.sum("__n").alias("n_obs"),
+    )
+    chained = F.aggregate(
+        F.slice("__cs", 2, F.greatest(F.size("__cs") - 1, F.lit(0))),
+        F.element_at("__cs", 1)["a"],  # chunk 0 carries the exact state
+        lambda acc, c: c["a"] * acc + c["b"],
+    )
+    return per_group.select(
+        *partition_cols, "n_obs", F.round(chained, 6).alias(out_col)
+    )
+
+
+def grouped_holt_chunked(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    chunk_size: int = 8192,
+) -> DataFrame:
+    """:func:`grouped_holt` for groups too large for one array cell — the
+    two-state sibling of :func:`grouped_ewma_chunked`. Holt's (l, b)
+    update is affine in the carried state vector, so a chunk composes to
+    ``s → M·s + v`` (M 2×2): the chunk fold is run with the three basis
+    inits (0,0), (1,0), (0,1), giving v = f(0) and M's columns as
+    f(eᵢ) − f(0) — exact in real arithmetic, ~ulp-level float divergence
+    per composition vs the sequential fold (tested to 1e-9 relative).
+    No oracle constrains this path, so the fold accumulator is a plain
+    (l, b) struct — no string codec needed. Chunk 0 carries the exact
+    folded state (init l = x₁, b = 0 over its tail), later chunks chain
+    through the second bounded fold. Same output schema as
+    :func:`grouped_holt`.
+    """
+    a, bt = float(alpha), float(beta)
+    chunks = _chunked_ordered(df, value_col, partition_cols, order_cols, chunk_size)
+
+    def step(acc, x):
+        level = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        trend = F.lit(bt) * (level - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+        return F.struct(level.alias("l"), trend.alias("b"))
+
+    def fold(arr, l0, b0):
+        return F.aggregate(
+            arr, F.struct(l0.alias("l"), b0.alias("b")), step
+        )
+
+    rest = F.slice("__vals", 2, F.greatest(F.size("__vals") - 1, F.lit(0)))
+    z, one = F.lit(0.0), F.lit(1.0)
+    f00 = fold(F.col("__vals"), z, z)
+    f10 = fold(F.col("__vals"), one, z)
+    f01 = fold(F.col("__vals"), z, one)
+    exact0 = fold(rest, F.element_at("__vals", 1), z)
+    summaries = chunks.select(
+        *partition_cols,
+        "__chunk",
+        "__n",
+        F.when(F.col("__chunk") == 0, exact0["l"]).otherwise(f00["l"]).alias("__vl"),
+        F.when(F.col("__chunk") == 0, exact0["b"]).otherwise(f00["b"]).alias("__vb"),
+        # M columns (only meaningful for chunk > 0)
+        (f10["l"] - f00["l"]).alias("__m11"),
+        (f01["l"] - f00["l"]).alias("__m12"),
+        (f10["b"] - f00["b"]).alias("__m21"),
+        (f01["b"] - f00["b"]).alias("__m22"),
+    )
+    per_group = summaries.groupBy(*partition_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__chunk").alias("k"),
+                    F.col("__vl").alias("vl"),
+                    F.col("__vb").alias("vb"),
+                    F.col("__m11").alias("m11"),
+                    F.col("__m12").alias("m12"),
+                    F.col("__m21").alias("m21"),
+                    F.col("__m22").alias("m22"),
+                )
+            )
+        ).alias("__cs"),
+        F.sum("__n").alias("n_obs"),
+    )
+    first = F.element_at("__cs", 1)
+    chained = F.aggregate(
+        F.slice("__cs", 2, F.greatest(F.size("__cs") - 1, F.lit(0))),
+        F.struct(first["vl"].alias("l"), first["vb"].alias("b")),
+        lambda acc, c: F.struct(
+            (c["m11"] * acc["l"] + c["m12"] * acc["b"] + c["vl"]).alias("l"),
+            (c["m21"] * acc["l"] + c["m22"] * acc["b"] + c["vb"]).alias("b"),
+        ),
+    )
+
+    def r6(c):
+        return F.round(c * F.lit(1000000.0)) / F.lit(1000000.0)
+
+    return per_group.select(
+        *partition_cols,
+        "n_obs",
+        r6(chained["l"]).alias("level"),
+        r6(chained["b"]).alias("trend"),
+        r6(chained["l"] + chained["b"]).alias("forecast_1"),
     )

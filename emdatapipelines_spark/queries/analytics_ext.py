@@ -977,8 +977,8 @@ def w13_percent_rank(spark, sf_dir):
       FROM daily GROUP BY event_type),
     drift AS (
       SELECT d.event_type, d.day, d.x,
-             d.x - s.mu - 0.5 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / (s.n_days - 1)) AS dft,
-             2.0 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / (s.n_days - 1)) AS h
+             d.x - s.mu - 0.5 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / NULLIF(s.n_days - 1, 0)) AS dft,
+             2.0 * SQRT((s.sxx - s.sx * s.sx / s.n_days) / NULLIF(s.n_days - 1, 0)) AS h
       FROM daily d JOIN stats s ON d.event_type = s.event_type),
     prefix AS (
       SELECT event_type, day, x, h,
@@ -1013,9 +1013,16 @@ def ts_cusum_changepoints(spark, sf_dir):
         F.sum((F.col("x") * F.col("x")).cast("decimal(38,8)")).cast("double").alias("sxx"),
         F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
     )
-    sigma = F.sqrt(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_days"))
-        / (F.col("n_days") - 1)
+    # guard the sample-variance denominator: a single-observation group
+    # divides by zero, where Spark doubles yield NULL but DuckDB's IEEE
+    # float ops yield inf/nan — force BOTH engines to NULL (oracle uses
+    # NULLIF(n_days - 1, 0)) so the edge agrees at any scale
+    sigma = F.when(
+        F.col("n_days") > 1,
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_days"))
+            / (F.col("n_days") - 1)
+        ),
     )
     drift = daily.join(F.broadcast(stats), "event_type").select(
         "event_type",

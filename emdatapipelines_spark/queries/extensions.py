@@ -3071,6 +3071,47 @@ def sim_knn_graph(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# similarity: ANN k-NN graph (scale path — no SQL oracle). The sub-quadratic
+# twin of sim_knn_graph: the exact graph is provably un-prunable (threshold
+# −1 keeps every pair — see _neardup_blocks), so at 100 TB it is the one
+# quadratic surface left; this IVF-candidate + exact-re-rank path replaces
+# it at scale, same baseline/scale split as dd_jaccard_pairs→dd_minhash_lsh.
+# nlist scales as √n so flops are O(n^1.5·d) vs the exact graph's O(n²·d);
+# self-validating: every row carries sample_recall_at_k, the measured edge
+# recall vs the exact graph on a FIXED 20-source probe set (floor asserted
+# in tests/test_scale_operators.py).
+# ---------------------------------------------------------------------------
+@query("sim_knn_graph_ann")
+def sim_knn_graph_ann(spark, sf_dir):
+    from ..llmdata.similarity import brute_force_cosine_topk, knn_graph_ann
+
+    e = t(spark, sf_dir, "embeddings")
+    n = e.count()
+    nlist = max(8, int(round(n ** 0.5)))
+    g = knn_graph_ann(e, k=3, nlist=nlist, nprobe=4)
+    # FIXED sampled-source recall probe (bounded at any sf — same protocol
+    # as sim_pq_topk's pinned query sample): exact top-3 for ≤20 sources
+    # via the broadcast brute-force path, compared edge-for-edge
+    sample = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    exact = brute_force_cosine_topk(sample, e, k=3).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("neighbor")
+    )
+    n_hit = g.join(F.broadcast(exact), ["src", "neighbor"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    rec = (
+        n_hit.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.round(F.col("n_hit") * 1.0 / F.col("n_exact"), 6).alias(
+                "sample_recall_at_k"
+            )
+        )
+    )
+    return g.crossJoin(F.broadcast(rec))
+
+
+# ---------------------------------------------------------------------------
 # metrics marts: the engine's own serving-layer views, computed over a
 # request log. The reference materializes these over whatever its platform
 # logged (`models/metrics/usage_metrics.sql:6-76`,

@@ -127,3 +127,69 @@ def test_grouped_holt_partitioning_independent(spark):
         "value", ["g"], ["seq"],
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_chunked_recurrences_match_single_array_on_million_row_group(spark):
+    """The chunked scale paths (per-chunk affine maps + bounded chaining
+    fold — grouped_ewma_chunked / grouped_holt_chunked) must reproduce the
+    single-array fold on a 10^6-row group: at 100 TB a hot (event_type)
+    group is years of rows, and the single-array path would put them all
+    in one collect_list cell. Rounded-to-6 outputs must agree exactly;
+    cross-chunk float association is the only divergence source (~ulp per
+    chunk composition)."""
+    from pyspark.sql import functions as F
+
+    from emdatapipelines_spark.operators.windows import (
+        grouped_ewma,
+        grouped_ewma_chunked,
+        grouped_holt,
+        grouped_holt_chunked,
+    )
+
+    df = spark.range(1_000_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").alias("ts"),
+        (F.sin(F.col("id") * 0.001) * 10 + F.col("id") * 1e-5).alias("v"),
+    )
+    e1 = {tuple(r) for r in grouped_ewma(df, "v", ["g"], ["ts"]).collect()}
+    e2 = {
+        tuple(r)
+        for r in grouped_ewma_chunked(df, "v", ["g"], ["ts"], chunk_size=8192).collect()
+    }
+    assert e1 == e2 and len(e1) == 2
+    h1 = {tuple(r) for r in grouped_holt(df, "v", ["g"], ["ts"]).collect()}
+    h2 = {
+        tuple(r)
+        for r in grouped_holt_chunked(df, "v", ["g"], ["ts"], chunk_size=8192).collect()
+    }
+    assert h1 == h2 and len(h1) == 2
+
+
+def test_chunked_recurrences_small_groups_and_boundaries(spark):
+    """Chunked == single-array on groups smaller than, equal to, and just
+    above the chunk size (the boundary cases: single-chunk groups take the
+    exact-state branch; a 1-element second chunk exercises the affine
+    composition)."""
+    from emdatapipelines_spark.operators.windows import (
+        grouped_ewma,
+        grouped_ewma_chunked,
+        grouped_holt,
+        grouped_holt_chunked,
+    )
+
+    rows = [
+        (g, i, float((i * 37 + hash(g) % 7) % 11) + 0.25)
+        for g, n in [("a", 3), ("b", 8), ("c", 9), ("d", 17), ("e", 1)]
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "g string, seq long, value double")
+    for single, chunked in [
+        (grouped_ewma, grouped_ewma_chunked),
+        (grouped_holt, grouped_holt_chunked),
+    ]:
+        want = sorted(tuple(r) for r in single(df, "value", ["g"], ["seq"]).collect())
+        got = sorted(
+            tuple(r)
+            for r in chunked(df, "value", ["g"], ["seq"], chunk_size=8).collect()
+        )
+        assert got == want

@@ -81,6 +81,9 @@ BNLJ_ALLOWED = {
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    # ANN graph twin: non-equi brute-force recall probe over the broadcast
+    # 20-source sample + crossJoin(broadcast(1-row recall aggregate))
+    "sim_knn_graph_ann",
 }
 
 
@@ -259,3 +262,24 @@ def test_runtime_bloom_filter_prunes_large_large_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_neardup_prefilter_has_no_global_window(spark):
+    """The grid-prefilter block directory must derive block ids WITHOUT an
+    unpartitioned Window (the former row_number over a global orderBy
+    funneled the whole cell×sub directory — ~n rows at tight pitch —
+    through one task). Hash-derived ids need no Window at all, so the
+    near-dup plan must be Window-free end to end."""
+    plan = _plan(spark, "dd_embedding_neardup")
+    assert "Window" not in plan
+
+
+def test_bm25_single_doc_cardinality_shuffle(spark):
+    """BM25's only corpus-rate shuffle is the ONE doc_id hash-agg that
+    computes dl + per-term conditional tfs; the former plan re-shuffled a
+    full per-doc length frame into a corpus-cardinality join. Guard: no
+    SortMergeJoin anywhere (scoring joins are broadcast), and the doc_id
+    aggregation is two-phase (partial before the exchange)."""
+    plan = _plan(spark, "rag_bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan

@@ -655,3 +655,70 @@ def test_mmr_rerank_matches_reference_greedy(spark):
     # pick them back-to-back at ranks 1-2 (plain top-k would)
     order = [i for _, i, _ in got]
     assert not (set(order[:2]) == {1, 2})
+
+
+def test_mmr_rerank_per_query_equals_independent_runs(spark):
+    """query_col mode: a multi-query shortlist frame must produce, per
+    query, EXACTLY what a single-query mmr_rerank over that query's slice
+    produces — queries never leak into each other's greedy selection."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.similarity import mmr_rerank
+
+    rng = np.random.RandomState(11)
+    corpus_rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(12)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    # two queries with overlapping but distinct shortlists + relevances
+    short = {
+        100: [(1, 0.9), (2, 0.85), (3, 0.7), (4, 0.6), (5, 0.5)],
+        200: [(3, 0.95), (6, 0.8), (7, 0.75), (8, 0.4), (9, 0.3)],
+    }
+    multi = spark.createDataFrame(
+        [(q, i, r) for q, rows in short.items() for i, r in rows],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    got = {
+        (r["query_id"], r["mmr_rank"]): (r["selected_id"], r["mmr_score"])
+        for r in mmr_rerank(
+            multi, corpus, k=3, lam=0.6, query_col="query_id"
+        ).collect()
+    }
+    for q, rows in short.items():
+        single = spark.createDataFrame(rows, "neighbor_id long, cosine double")
+        want = {
+            r["mmr_rank"]: (r["selected_id"], r["mmr_score"])
+            for r in mmr_rerank(single, corpus, k=3, lam=0.6).collect()
+        }
+        for rank, (sid, score) in want.items():
+            gsid, gscore = got[(q, rank)]
+            assert gsid == sid and abs(gscore - score) < 1e-9
+
+
+def test_knn_graph_ann_structure_and_recall_floor(spark):
+    """The ANN k-NN-graph scale twin must (a) emit exactly k edges per
+    source — every vector probes its own cell, so the graph is never
+    starved — (b) clear the same loose recall floor as the other IVF
+    entries (the random fixture is IVF's documented worst case; the
+    clustered sf1 fixture measures 0.93), and (c) agree edge-for-edge
+    with itself under a different input partitioning (the per-(cell,sub)
+    local top-k must be partition-independent)."""
+    from emdatapipelines_spark.llmdata.similarity import knn_graph_ann
+    from emdatapipelines_spark.queries.registry import t
+
+    rows = entry.queries()["sim_knn_graph_ann"](spark, SF).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_src.values())
+    assert len(per_src) == 500  # every vector is a source
+    assert rows[0]["sample_recall_at_k"] >= 0.2
+
+    e = t(spark, SF, "embeddings")
+    def run(parts):
+        return sorted(
+            (r["src"], r["neighbor"], r["rank"], r["cosine"])
+            for r in knn_graph_ann(e.repartition(parts), k=3, nlist=22, nprobe=4).collect()
+        )
+    assert run(2) == run(17)

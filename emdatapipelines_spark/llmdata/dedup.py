@@ -799,3 +799,126 @@ def remove_duplicated_spans(
     )
     out_text = F.when(F.col("__cuts").isNull(), F.col(text_col)).otherwise(kept_text)
     return cut.withColumn(text_col, out_text).drop("__cuts")
+
+
+def url_canonicalize(col) -> "F.Column":
+    """Canonical form of a URL for host/URL-level document dedup — the
+    web-crawl twin of content dedup (CCNet/RefinedWeb dedupe by
+    canonicalized URL before any text comparison; a crawl sees the same
+    page as http/https, with/without www., trailing slash, tracking
+    params, fragments). Steps, all pure regexp/array column expressions
+    (engine-identical semantics exist in DuckDB — no UDF, codegen'd):
+
+    1. strip the scheme and the #fragment,
+    2. lowercase the host, strip leading ``www.`` and default ports
+       (:80/:443),
+    3. strip trailing slashes from the path,
+    4. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``) and
+       SORT the survivors (param order never distinguishes resources).
+
+    Returns ``host/path?sorted_params`` — group or window on it to dedup.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    x = F.regexp_replace(x, r"#.*$", "")
+    hostpath = F.regexp_extract(x, r"^([^?]*)", 1)
+    query = F.regexp_extract(x, r"\?(.*)$", 1)
+    host = F.lower(F.regexp_extract(hostpath, r"^([^/]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_replace(F.regexp_replace(hostpath, r"^[^/]*", ""), r"/+$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike("^(utm_[^=]*|fbclid|gclid)="),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host,
+        path,
+        F.when(canon_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
+def url_dedup_groups(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-canonical duplicate groups: one row per canonical URL with the
+    member count and the kept representative (min id). Same hash-groupBy
+    shape as :func:`exact_dedup_groups` — one shuffle on the canonical
+    key, no pairwise work; at 100 TB the canonicalization is a map-side
+    column expression on the scan."""
+    return (
+        docs.select(
+            F.col(id_col), url_canonicalize(url_col).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def substring_dedup_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Suffix-array-free EXACT substring dedup at chunk granularity — the
+    tractable-at-scale variant of Lee et al. 2022's ExactSubstr: instead
+    of a corpus-wide suffix array (which needs the whole corpus in one
+    address space), the corpus is cut into NON-OVERLAPPING ``chunk_tokens``
+    token chunks and a chunk repeated anywhere in the corpus is kept only
+    at its FIRST occurrence (global (doc_id, chunk_idx) order) — every
+    later occurrence is dropped from its document's rebuilt text. Catches
+    boilerplate/quote/license-block repetition that document-level dedup
+    misses, at the cost of ± one chunk of boundary slop vs the exact
+    suffix-array answer.
+
+    Plan shape: chunking is a pure column expression on the scan (split →
+    ``transform(sequence(...), i → array_join(slice(...)))`` → posexplode
+    — no shuffle); first-occurrence ranking is ONE window partitioned by
+    the chunk text (each chunk group's occurrence list is tiny); the
+    rebuild is one groupBy(doc) re-assembling kept chunks in order. Two
+    shuffles total, both equi-keyed, no UDF.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dedup_text).
+    """
+    from pyspark.sql import Window
+
+    C = int(chunk_tokens)
+    toks = F.split(_norm_text(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(C))).cast("int")
+    chunked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * C + 1, C), " "),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunked.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum((F.col("__rn") > 1).cast("int")).cast("int").alias("n_dup_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(
+                                F.col("chunk_idx").alias("k"),
+                                F.col("chunk").alias("c"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

@@ -3411,3 +3411,121 @@ def ts_holt_forecast(spark, sf_dir):
         "event_type", F.col("n_obs").cast("bigint").alias("n_obs"),
         "level", "trend", "forecast_1",
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: URL/host-canonicalized document dedup (CCNet/RefinedWeb-style crawl
+# dedup — the same page arrives as http/https, ±www., trailing slash,
+# tracking params, fragments; dedup keys on the canonical URL BEFORE any
+# text comparison). The fixture carries no URL column, so one is synthesized
+# deterministically from (source, doc_id) with all the mess classes the
+# canonicalizer must collapse; the oracle mirrors both the synthesis and the
+# canonicalization (regexp + list ops) step for step.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_url_dedup",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END ||
+             CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END ||
+             source || '.Example.com' ||
+             CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END ||
+             '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+             CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&ref='
+                             WHEN 3 THEN '?fbclid=ab12&ref='
+                             ELSE '?ref=' END || CAST(doc_id % 3 AS VARCHAR) ||
+             CASE WHEN doc_id % 4 = 2 THEN '&utm_campaign=x' ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0 THEN '&z=1' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END AS url
+      FROM documents),
+    c1 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                            '#.*$', '') AS x
+      FROM raw),
+    c2 AS (
+      SELECT doc_id,
+             regexp_extract(x, '^([^?]*)', 1) AS hostpath,
+             CASE WHEN x LIKE '%?%' THEN regexp_extract(x, '\?(.*)$', 1) ELSE '' END AS q
+      FROM c1),
+    c3 AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(
+                 lower(regexp_extract(hostpath, '^([^/]*)', 1)),
+                 '^www\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(regexp_replace(hostpath, '^[^/]*', ''), '/+$', '') AS path,
+             list_sort(list_filter(string_split(q, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')))
+               AS params
+      FROM c2),
+    canon AS (
+      SELECT doc_id,
+             host || path ||
+             CASE WHEN len(params) = 0 THEN ''
+                  ELSE '?' || array_to_string(params, '&') END AS canonical_url
+      FROM c3)
+    SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dd_url_dedup(spark, sf_dir):
+    from ..llmdata.dedup import url_dedup_groups
+
+    d = t(spark, sf_dir, "documents")
+    m = lambda k: F.col("doc_id") % k
+    url = F.concat(
+        F.when(m(2) == 0, F.lit("http://")).otherwise(F.lit("https://")),
+        F.when(m(3) == 0, F.lit("WWW."))
+        .when(m(3) == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.com"),
+        F.when(m(5) == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        m(40).cast("string"),
+        F.when(m(4) == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m(4) == 0, F.lit("?utm_source=feed&ref="))
+        .when(m(4) == 3, F.lit("?fbclid=ab12&ref="))
+        .otherwise(F.lit("?ref=")),
+        m(3).cast("string"),
+        F.when(m(4) == 2, F.lit("&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(m(2) == 0, F.lit("&z=1")).otherwise(F.lit("")),
+        F.when(m(7) == 0, F.lit("#sec-2")).otherwise(F.lit("")),
+    )
+    return url_dedup_groups(d.select("doc_id", url.alias("url")))
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact substring dedup at chunk granularity (suffix-array-free
+# ExactSubstr variant, Lee et al. 2022 family — rounds out dd_dup_spans,
+# which FINDS repeated n-gram spans, by actually REMOVING repeated
+# 20-token chunks corpus-wide, keeping each chunk's first occurrence).
+# ---------------------------------------------------------------------------
+@query(
+    "dd_substring_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(toks[(i*20+1):((i+1)*20)], ' ') AS chunk
+      FROM t, UNNEST(range(CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM c)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+           COALESCE(array_to_string(list(chunk ORDER BY chunk_idx)
+                                    FILTER (WHERE rn = 1), ' '), '') AS dedup_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def dd_substring_dedup(spark, sf_dir):
+    from ..llmdata.dedup import substring_dedup_chunks
+
+    d = t(spark, sf_dir, "documents")
+    return substring_dedup_chunks(d, chunk_tokens=20)

@@ -293,8 +293,17 @@ def q6_concentration(spark, sf_dir):
 )
 def q7_pii_redact(spark, sf_dir):
     from ..quality.pii import pii_redact
+    from .registry import _restore_scan_parallelism
 
-    e = t(spark, sf_dir, "events")
+    # map-only query: no shuffle ever parallelizes it, so the single-row-
+    # group fixture file pins the whole regex chain to ONE core (the other
+    # events queries hit a groupBy immediately — see _RESTORE_SPLITS).
+    # A real 100 TB table is millions of splits; this restores that shape.
+    e = _restore_scan_parallelism(
+        spark,
+        t(spark, sf_dir, "events"),
+        cache_key=f"{sf_dir}/events.parquet#q7",
+    )
     sid = F.col("user_id").cast("string")
     eid = F.col("event_id")
     raw = e.select(

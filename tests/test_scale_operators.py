@@ -722,3 +722,59 @@ def test_knn_graph_ann_structure_and_recall_floor(spark):
             for r in knn_graph_ann(e.repartition(parts), k=3, nlist=22, nprobe=4).collect()
         )
     assert run(2) == run(17)
+
+
+def test_url_canonicalize_collapses_crawl_variants(spark):
+    """Every mess class the canonicalizer claims to handle must collapse
+    to one key; distinct resources must NOT collapse."""
+    from emdatapipelines_spark.llmdata.dedup import url_canonicalize
+
+    same = [
+        "http://www.News.example.com/a/b/?ref=1&utm_source=x",
+        "https://news.example.com:443/a/b?utm_campaign=y&ref=1",
+        "https://NEWS.example.com/a/b/?ref=1#frag",  # fragment stripped
+        "news.example.com:80/a/b?fbclid=zz&ref=1",
+    ]
+    different = [
+        "https://news.example.com/a/b?ref=2",      # param value differs
+        "https://news.example.com/a/c?ref=1",      # path differs
+        "https://blog.example.com/a/b?ref=1",      # host differs
+        "https://news.example.com/a/b?ref=1&z=1",  # extra real param
+    ]
+    df = spark.createDataFrame([(u,) for u in same + different], "url string")
+    got = [r[0] for r in df.select(url_canonicalize("url")).collect()]
+    assert len(set(got[: len(same)])) == 1
+    assert len(set(got)) == 1 + len(different)
+    assert got[0] == "news.example.com/a/b?ref=1"
+    # param sort: order never distinguishes
+    two = spark.createDataFrame(
+        [("https://h.com/p?b=2&a=1",), ("https://h.com/p?a=1&b=2",)], "url string"
+    )
+    a, b = [r[0] for r in two.select(url_canonicalize("url")).collect()]
+    assert a == b == "h.com/p?a=1&b=2"
+
+
+def test_substring_dedup_chunks_keeps_first_occurrence_only(spark):
+    """A 20-token block repeated across (and within) documents survives
+    only at its first (doc_id, chunk_idx) position; unique chunks are
+    untouched; counts reconcile."""
+    from emdatapipelines_spark.llmdata.dedup import substring_dedup_chunks
+
+    block = " ".join(f"b{i}" for i in range(20))
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(20))
+    rows = [
+        (1, u("x") + " " + block),          # chunks: unique-x, block (first)
+        (2, block + " " + u("y")),          # block (dup) dropped, unique-y kept
+        (3, block + " " + block),           # both occurrences dup -> empty text? no: both >first
+        (4, u("z")),                        # untouched
+    ]
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dedup_text"])
+        for r in substring_dedup_chunks(
+            spark.createDataFrame(rows, "doc_id long, text string"), chunk_tokens=20
+        ).collect()
+    }
+    assert got[1] == (2, 0, u("x") + " " + block)
+    assert got[2] == (2, 1, u("y"))
+    assert got[3] == (2, 2, "")
+    assert got[4] == (1, 0, u("z"))

@@ -181,6 +181,18 @@ def prefix_jaccard_pairs(
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Global rarest-first order = (df, shingle); the per-doc sorted array is
     # assembled in one groupBy, so the order never needs a global rank table.
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
+    ).cast("int")
+    # Hapax pruning (lossless): a df==1 shingle exists in exactly ONE doc,
+    # so it can never equal another doc's shingle in the candidate join,
+    # and it can never contribute to any |A∩B| — drop hapaxes from the
+    # prefix probe AND the verify arrays. Zipf makes hapaxes the BULK of
+    # the rarest-first prefix, so this collapses the candidate-join input.
+    # Order of operations matters: the prefix boundary is fixed on the
+    # FULL ordered set first (the theorem's prefix is over all of |x|),
+    # THEN df==1 entries are filtered out of the slice. set_size stays the
+    # full distinct count (it is the Jaccard denominator).
     grouped = (
         sh.join(freq, "shingle")
         .groupBy("id")
@@ -191,16 +203,17 @@ def prefix_jaccard_pairs(
         .select(
             "id",
             "set_size",
-            F.transform("__ord", lambda s: s["shingle"]).alias("toks"),
+            F.transform(
+                F.filter(F.slice("__ord", 1, prefix_len), lambda s: s["df"] > 1),
+                lambda s: s["shingle"],
+            ).alias("ptoks"),
+            F.transform(
+                F.filter("__ord", lambda s: s["df"] > 1), lambda s: s["shingle"]
+            ).alias("toks"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
-    ).cast("int")
-    prefix = grouped.select(
-        "id", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok")
-    )
+    prefix = grouped.select("id", F.explode("ptoks").alias("ptok"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.ptok") == F.col("b.ptok")) & (F.col("a.id") < F.col("b.id")))
@@ -265,6 +278,14 @@ def containment_pairs(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")
     ).select("id", F.xxhash64("sgl").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
+    ).cast("int")
+    # Hapax pruning (lossless — see prefix_jaccard_pairs): df==1 shingles
+    # can't match any OTHER doc in the candidate join nor contribute to
+    # |A∩B|, so they are dropped from the probe prefix (boundary fixed on
+    # the full order FIRST), the full index, and the verify arrays;
+    # set_size keeps the full distinct count (the containment denominator).
     grouped = (
         sh.join(freq, "shingle")
         .groupBy("id")
@@ -275,7 +296,13 @@ def containment_pairs(
         .select(
             "id",
             "set_size",
-            F.transform("__ord", lambda s: s["shingle"]).alias("toks"),
+            F.transform(
+                F.filter(F.slice("__ord", 1, prefix_len), lambda s: s["df"] > 1),
+                lambda s: s["shingle"],
+            ).alias("ptoks"),
+            F.transform(
+                F.filter("__ord", lambda s: s["df"] > 1), lambda s: s["shingle"]
+            ).alias("toks"),
         )
     )
     from pyspark import StorageLevel
@@ -284,14 +311,27 @@ def containment_pairs(
     # sides) that shuffle to different keys — the measured prefix-join
     # persist rationale applies unchanged
     grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-    prefix_len = (
-        F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + F.lit(1)
-    ).cast("int")
-    probe = grouped.select("id", F.explode(F.slice("toks", 1, prefix_len)).alias("ptok"))
-    index = grouped.select("id", F.explode("toks").alias("ptok"))
+    # probe/index rows carry their set size so the |B| >= ceil(t*|A|)
+    # size filter runs INSIDE the candidate join — pairs that can never
+    # qualify are dropped before the distinct and before any full shingle
+    # array ships to the verify joins (previously the filter sat after
+    # both array joins, moving arrays for hopeless candidates)
+    probe = grouped.select(
+        "id",
+        F.col("set_size").alias("sz"),
+        F.explode("ptoks").alias("ptok"),
+    )
+    index = grouped.select(
+        "id", F.col("set_size").alias("sz"), F.explode("toks").alias("ptok")
+    )
     a, b = probe.alias("a"), index.alias("b")
     cand = (
-        a.join(b, (F.col("a.ptok") == F.col("b.ptok")) & (F.col("a.id") != F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz"))),
+        )
         .select(F.col("a.id").alias("contained_id"), F.col("b.id").alias("container_id"))
         .distinct()
     )

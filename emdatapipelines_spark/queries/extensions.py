@@ -257,7 +257,10 @@ def dd_dup_spans(spark, sf_dir):
 # dedup: incremental snapshot dedup against a persisted MinHash index.
 # The oracle is an end-to-end PLANTED-COPY invariant: corpus = doc_id%4!=0,
 # batch = doc_id%4==0 PLUS byte-identical copies of corpus docs with
-# doc_id%10==1 re-id'd at +1000000. An exact copy of an indexed doc shares
+# doc_id%10==1 re-id'd at +10^12 (clear of the key-shifted replica id
+# space — at sf1 real doc_ids reach 9*10^8, and a 10^6 offset let real
+# batch docs leak into the planted-slice filter; caught by the sf1
+# oracle audit). An exact copy of an indexed doc shares
 # every LSH band bucket and agrees on every MinHash position, so the engine
 # MUST flag each planted id with est_jaccard exactly 1.0 — SQL-predictable
 # even though the hash path itself isn't SQL-expressible.
@@ -265,7 +268,7 @@ def dd_dup_spans(spark, sf_dir):
 @query(
     "dd_incremental_index",
     f"""
-    SELECT CAST(doc_id + 1000000 AS BIGINT) AS id,
+    SELECT CAST(doc_id + 1000000000000 AS BIGINT) AS id,
            CAST(1.0 AS DOUBLE) AS max_est_jaccard
     FROM documents
     WHERE len({_TOKS_SQL}) >= 3 AND doc_id % 4 != 0 AND doc_id % 10 = 1
@@ -276,7 +279,7 @@ def dd_incremental_index(spark, sf_dir):
     """Snapshot-over-snapshot dedup (`llmdata/dedup.py:
     incremental_minhash_dedup`): the corpus signature table is the persisted
     index; the new batch is flagged against it without touching corpus text.
-    Output is the planted-copy slice (id ≥ 1000000) with max est_jaccard per
+    Output is the planted-copy slice (id ≥ 10^12) with max est_jaccard per
     id — deterministically 1.0 for every planted copy."""
     d = t(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -285,7 +288,7 @@ def dd_incremental_index(spark, sf_dir):
     )
     corpus = eligible.filter(F.col("doc_id") % 4 != 0)
     planted = corpus.filter(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 1000000).cast("bigint").alias("doc_id"), "text"
+        (F.col("doc_id") + 1000000000000).cast("bigint").alias("doc_id"), "text"
     )
     batch = (
         eligible.filter(F.col("doc_id") % 4 == 0)
@@ -298,7 +301,7 @@ def dd_incremental_index(spark, sf_dir):
     )
     return (
         step["flagged"]
-        .filter(F.col("id") >= 1000000)
+        .filter(F.col("id") >= 1000000000000)
         .groupBy(F.col("id").cast("bigint").alias("id"))
         .agg(F.max("est_jaccard").alias("max_est_jaccard"))
         .orderBy("id")
@@ -2447,11 +2450,17 @@ def mm_phash_neardup(spark, sf_dir):
     from ..llmdata.multimodal import image_phash, phash_near_dup
 
     d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    header = F.encode(F.lit("P6\n4 4\n255\n"), "utf-8")
+    # 8x8 source (192 raster bytes = 12 md5 blocks): a 4x4 image has only
+    # 16 degrees of freedom, so its 64-bit DCT hash carries far less than
+    # 64 bits of entropy — at sf1 (55k images) 5 DISTINCT payloads collided
+    # to equal hashes and the md5-keyed oracle (exact) undercounted (sf1
+    # oracle-audit finding). 64 DoF restores ~uniform 64-bit hashing.
+    header = F.encode(F.lit("P6\n8 8\n255\n"), "utf-8")
     raster = F.concat(
-        F.unhex(F.md5("text")),
-        F.unhex(F.md5(F.concat(F.col("text"), F.lit("1")))),
-        F.unhex(F.md5(F.concat(F.col("text"), F.lit("2")))),
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i)))))
+            for i in range(12)
+        ]
     )
     base = d.select(
         F.col("doc_id").alias("media_id"),

@@ -1233,3 +1233,60 @@ def mmr_rerank(
     if query_col:
         return out.withColumnRenamed("qid", query_col)
     return out.drop("qid")
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher SIGIR'09): fuse
+    the top-k lists of several retrievers — lexical BM25 next to dense ANN
+    is the canonical hybrid-RAG pairing — by summing ``1/(rrf_k + rank)``
+    over the lists each document appears in. Rank-only fusion needs no
+    score calibration between retrievers, which is why it is the default
+    hybrid combiner in production search stacks.
+
+    ``ranked`` is an ORDERED list of ``(name, frame)``; each frame carries
+    ``id_col`` + ``rank_col`` and is already top-N bounded by its
+    retriever. The fused score is built as a left-to-right sum of
+    ``coalesce(1/(rrf_k+rank_<name>), 0)`` in the declared order, so float
+    association is fixed and engine-exact (oracle-comparable); with the
+    usual two retrievers the two-term sum is order-independent anyway.
+
+    Scale shape: every input list is top-N bounded (metadata-rate, never
+    corpus-rate), so the per-retriever full-outer joins on the id never
+    touch corpus-cardinality data; the final (score DESC, id) row_number
+    runs over at most ``sum(N_i)`` rows. Returns
+    (``id_col``, rank_<name>..., rrf_score, fused_rank ≤ k).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    out = None
+    for name, df in ranked:
+        r = df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(rank_col).cast("int").alias(f"rank_{name}"),
+        )
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    score = None
+    for name, _ in ranked:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{name}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term
+    scored = out.withColumn("rrf_score", F.round(score, 6))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            id_col,
+            *[F.col(f"rank_{name}") for name, _ in ranked],
+            "rrf_score",
+            "fused_rank",
+        )
+    )

@@ -190,6 +190,84 @@ def unigram_surprisal(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_nll(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-trained BIGRAM language-model score per document: mean
+    transition surprisal −ln p(w_i | w_{i−1}) with add-one smoothing,
+    p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) — the next step up from
+    :func:`unigram_surprisal` toward the LM-perplexity quality filter of
+    CCNet (Wenzek et al., LREC 2020): documents whose transitions the
+    corpus model finds surprising are noise/rare-token tails, documents
+    that are too predictable are boilerplate; both are standard
+    pre-training culls. (Scores are reported as mean negative log-prob —
+    perplexity is its exp, a monotone display transform.)
+
+    Spark-first shape: bigram pairs come from ONE in-row array transform
+    (no self-join on position — `transform(sequence(1, n−1))` zips each
+    token with its successor inside the row), then (1) one shuffle keyed
+    on (w1,w2) builds the transition counts, (2) prefix counts c(w1)
+    re-aggregate from those counts (bigram-vocab-rate, not corpus-rate),
+    and (3) the scoring pass joins the corpus bigram stream against the
+    model on (w1,w2). The model is bigram-type cardinality (Heaps-law
+    sublinear in corpus size but potentially beyond broadcast at 100 TB),
+    so the join is left to AQE: broadcast when the model is small, shuffle
+    hash join on the same (w1,w2) key otherwise. V is one scalar
+    (distinct-token count) pulled to the driver.
+
+    Determinism: per-bigram surprisal rounds to 8 dp, sums in exact
+    DECIMAL, and the mean rounds in the integer micro-domain (the `davg`
+    convention) — hash-agg order cannot move the result.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(_norm(text_col), " ").alias("tk")
+    )
+    # sequence(1, n-1) REVERSES when n < 2 (Spark infers step −1), so the
+    # pair list must be explicitly emptied for 0/1-token docs.
+    pair_list = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.struct(
+                F.get("tk", i).alias("w1"),
+                F.get("tk", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = toks.select(
+        F.col(id_col), F.explode(pair_list).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)  # model reused by c1 reagg + scoring
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = toks.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w")
+    ).first()[0]
+    if not v:
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"`{id_col}` {id_type}, n_bigrams bigint, avg_bigram_nll double"
+        )
+    s = F.round(
+        -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.lit(float(v)))), 8
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"]).join(c1, "w1").select(F.col(id_col), s.alias("s"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        (
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_bigram_nll"),
+    )
+
+
 def nb_token_quality(
     df,
     label: Column,

@@ -851,6 +851,43 @@ def lm_unigram_surprisal(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LM: bigram transition surprisal — the next step from lm_unigram_surprisal
+# toward CCNet's LM-perplexity quality filter (Wenzek LREC'20): add-one
+# smoothed p(w2|w1), per-doc mean −ln p reported (perplexity = exp of it).
+# Bigram pairs are built IN-ROW (array transform), never a positional
+# self-join; the fold-safe DECIMAL-sum / micro-domain-mean convention makes
+# the hash agg engine-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_bigram_nll",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(2, len(tk) + 1),
+                                   i -> struct_pack(w1 := tk[i-1], w2 := tk[i]))) AS bg
+      FROM tk),
+    p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w) * 1.0 AS v
+              FROM (SELECT UNNEST(tk) AS w FROM tk)),
+    scored AS (
+      SELECT p.doc_id, ROUND(-LN((c2.c2 + 1.0) / (c1.c1 + vocab.v)), 8) AS s
+      FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) * 1000000.0) / 1000000.0
+             AS avg_bigram_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_nll(spark, sf_dir):
+    from ..llmdata.text import bigram_nll
+
+    return bigram_nll(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # text: order-insensitive document fingerprint
 # ---------------------------------------------------------------------------
 @query(
@@ -3367,6 +3404,84 @@ def rag_mmr_rerank(spark, sf_dir):
     q = e.filter(F.col("vec_id") == 0)
     shortlist = brute_force_cosine_topk(q, e, k=20)
     return mmr_rerank(shortlist, e, k=5, lam=0.7)
+
+
+# ---------------------------------------------------------------------------
+# retrieval: Reciprocal Rank Fusion — the hybrid-retrieval combiner that
+# merges the lexical BM25 top-N and the dense cosine top-N by rank alone
+# (Cormack SIGIR'09), no score calibration. Both input lists reuse this
+# file's oracle-proven rankers (rag_bm25_topk CTEs at k=20, sim_cosine_topk
+# CTEs for query vec 0 at k=20); the fused score is the fixed-order
+# two-term sum 1/(60+r_bm25) + 1/(60+r_dense) — IEEE-exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "rag_rrf_fusion",
+    f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    q AS (SELECT UNNEST(['hash', 'join', 'spark', 'dup']) AS term),
+    matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY term),
+    contrib AS (
+      SELECT m.doc_id, m.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl * 1.0 / s.n_docs))) AS c
+      FROM matched m JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s),
+    bscored AS (
+      SELECT doc_id,
+             ROUND(list_reduce(
+               list_transform(list_sort(list(struct_pack(term := term, c := c))), x -> x.c),
+               (a, b) -> a + b), 6) AS score
+      FROM contrib GROUP BY doc_id),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_bm25
+      FROM bscored QUALIFY rank_bm25 <= 20),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM ev WHERE vec_id = 0),
+    dscore AS (
+      SELECT ev.vec_id AS doc_id,
+             ROUND(list_dot_product(qv.q, ev.v) /
+                   (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine
+      FROM ev, qv WHERE ev.vec_id != 0),
+    dense AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS rank_dense
+      FROM dscore QUALIFY rank_dense <= 20),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+             lex.rank_bm25, dense.rank_dense,
+             ROUND(COALESCE(1.0 / (60 + lex.rank_bm25), 0.0)
+                   + COALESCE(1.0 / (60 + dense.rank_dense), 0.0), 6) AS rrf_score
+      FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+    SELECT doc_id, rank_bm25, rank_dense, rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+)
+def rag_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (`llmdata/similarity.py:
+    rrf_fuse`): BM25 lexical top-20 and dense cosine top-20 (query = vec 0)
+    fused by 1/(60+rank) sums. Both retrievers are the repo's oracle-proven
+    rankers; the fusion layer itself touches only their bounded top-N
+    outputs, so the joins and the final window are metadata-rate."""
+    from ..llmdata.similarity import brute_force_cosine_topk, rrf_fuse
+    from ..llmdata.text import bm25_topk
+
+    d = t(spark, sf_dir, "documents")
+    e = t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(d, ["hash", "join", "spark", "dup"], k=20).select(
+        "doc_id", "rank"
+    )
+    dense = brute_force_cosine_topk(
+        e.filter(F.col("vec_id") == 0), e, k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([("bm25", lex), ("dense", dense)], k=10, rrf_k=60)
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,11 @@ BNLJ_ALLOWED = {
     # ANN graph twin: non-equi brute-force recall probe over the broadcast
     # 20-source sample + crossJoin(broadcast(1-row recall aggregate))
     "sim_knn_graph_ann",
+    # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
+    # corpus-stats crossJoin + the dense ranker's non-equi join against the
+    # broadcast single-query vector; the fusion layer itself is equi-joins
+    # over the two bounded top-20 lists
+    "rag_rrf_fusion",
 }
 
 

@@ -930,6 +930,81 @@ def ml_daily_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ML: full-batch logistic regression by unrolled gradient descent — the
+# gradient-based learner next to forest/kmeans, and unlike them ORACLE-
+# CHECKED end to end: each GD step is one map-side-combined aggregation of
+# round-8 gradient contributions (DECIMAL-exact), the 1-row gradient pulls
+# to the driver (the kmeans bounded-collect pattern), and the oracle
+# replays the identical five steps as chained CTEs. Sigmoid inputs/outputs
+# round to 8 dp (clamped off 0/1) so the one libm call (exp) cannot leak
+# last-ulp cross-engine noise into the weights.
+# ---------------------------------------------------------------------------
+def _LOGREG_ORACLE(lr: float = 0.5, steps: int = 5) -> str:
+    def p(w: str) -> str:
+        z = f"ROUND({w}.b + {w}.w1 * f.x1 + {w}.w2 * f.x2, 8)"
+        return (
+            f"LEAST(GREATEST(ROUND(1.0 / (1.0 + EXP(-({z}))), 8), "
+            f"0.00000001), 0.99999999)"
+        )
+
+    head = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mv
+      FROM events GROUP BY 1, 2),
+    feat AS (
+      SELECT ROUND(LN(1.0 + cnt), 8) AS x1, ROUND(mv / 100.0, 8) AS x2,
+             CASE WHEN LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) > cnt
+                  THEN 1.0 ELSE 0.0 END AS y,
+             LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+      FROM daily),
+    f AS (SELECT x1, x2, y FROM feat WHERE nxt IS NOT NULL),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"""
+    body = []
+    for i in range(1, steps + 1):
+        pw = p(f"w{i-1}")
+        body.append(f""",
+    s{i} AS (
+      SELECT CAST(SUM(CAST(ROUND({pw} - f.y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS gb,
+             CAST(SUM(CAST(ROUND(({pw} - f.y) * f.x1, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g1,
+             CAST(SUM(CAST(ROUND(({pw} - f.y) * f.x2, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g2,
+             COUNT(*) AS n
+      FROM f CROSS JOIN w{i-1}),
+    w{i} AS (
+      SELECT w{i-1}.b - {lr} * s{i}.gb / s{i}.n AS b,
+             w{i-1}.w1 - {lr} * s{i}.g1 / s{i}.n AS w1,
+             w{i-1}.w2 - {lr} * s{i}.g2 / s{i}.n AS w2
+      FROM w{i-1} CROSS JOIN s{i})""")
+    pw = p(f"w{steps}")
+    tail = f""",
+    loss AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(ROUND(-(CASE WHEN f.y = 1.0 THEN LN({pw})
+                                              ELSE LN(1.0 - {pw}) END), 8)
+                             AS DECIMAL(28,8))) AS DOUBLE)
+                   / COUNT(*) * 1000000.0) / 1000000.0 AS avg_log_loss
+      FROM f CROSS JOIN w{steps})
+    SELECT ROUND(w{steps}.b, 6) AS bias, ROUND(w{steps}.w1, 6) AS w_x1,
+           ROUND(w{steps}.w2, 6) AS w_x2, loss.n_rows, loss.avg_log_loss
+    FROM w{steps} CROSS JOIN loss"""
+    return head + "".join(body) + tail
+
+
+@query("ml_logreg_gd", _LOGREG_ORACLE())
+def ml_logreg_gd(spark, sf_dir):
+    """Five full-batch GD steps of logistic regression on the daily event
+    frame (`ml/logreg.py`): x1 = ln(1+count), x2 = scaled daily mean,
+    y = next-day-count-up. Returns the trained weights + final average
+    log-loss as one row; every arithmetic step mirrors the oracle's
+    chained CTEs exactly (round-8 sigmoid, DECIMAL gradient sums, IEEE
+    double weight updates)."""
+    from ..ml.logreg import daily_count_features, logreg_gd
+
+    e = t(spark, sf_dir, "events")
+    return logreg_gd(daily_count_features(e), lr=0.5, steps=5)
+
+
+# ---------------------------------------------------------------------------
 # ML: risk banding via exact global moments (M3 core)
 # ---------------------------------------------------------------------------
 @query(

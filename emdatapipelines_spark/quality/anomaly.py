@@ -64,3 +64,57 @@ def concentration_anomaly(df: DataFrame, dim_col: str, threshold: float = 0.5) -
         )
         .withColumn("is_concentrated", F.col("share") > threshold)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier profile via median / MAD — the
+    heavy-tail-safe twin of the z-score check (`data_quality_ops.py`'s
+    extreme-outlier scan, which a single billion-dollar event can blind by
+    inflating the mean and stddev; the median/MAD pair has a 50%
+    breakdown point). A value is flagged when
+    ``|x − median| > k · 1.4826 · MAD`` (1.4826 scales MAD to σ under
+    normality, Hampel's rule).
+
+    Three grouped passes, Spark-first: exact per-group median
+    (one-buffer `percentile`), deviations via a BROADCAST join of the
+    group-cardinality median frame, MAD as the median of deviations, and
+    a final conditional count — group keys are dimension-sized
+    (event-type-grain), so every join broadcasts and only the
+    value-stream aggregations shuffle. At 100 TB swap the exact
+    percentiles for `approx_percentile` (documented divergence) to fold
+    the three passes into sketch merges; the exact form here is the
+    oracle baseline. Both compare operands round to 6 dp so the flag
+    predicate is engine-exact.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(
+        F.percentile("__ad", F.lit(0.5)).alias("__mad")
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    is_out = F.round(F.col("__ad"), 6) > F.round(
+        F.lit(k) * F.lit(1.4826) * F.col("__mad"), 6
+    )
+    return (
+        flagged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(F.max("__med"), 6).alias("median_value"),
+            F.round(F.max("__mad"), 6).alias("mad"),
+            # when/otherwise (not a bare cast-sum) so null values count 0,
+            # matching SQL's CASE WHEN <unknown> THEN 1 ELSE 0
+            F.sum(F.when(is_out, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("outlier_count"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -444,3 +444,38 @@ def tenant_scoped_view(spark, sf_dir):
         "c_custkey", F.col("n_name").alias("scope"), F.col("c_mktsegment").alias("classification")
     )
     return tenant_view(joined, spec, scope_col="scope", classification_col="classification")
+
+
+# ---------------------------------------------------------------------------
+# Q13 — robust per-group outliers via median/MAD (Hampel's rule): the
+# heavy-tail-safe twin of q2's z-score scan. Exact per-group percentiles
+# are the oracle baseline; the 100 TB path swaps in approx_percentile
+# sketches (documented in the operator docstring).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - med.m) AS ad, med.m AS m
+      FROM events e JOIN med USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5) AS md
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(MAX(d.m), 6) AS median_value,
+           ROUND(MAX(mad.md), 6) AS mad,
+           CAST(SUM(CASE WHEN ROUND(d.ad, 6) > ROUND(3.0 * 1.4826 * mad.md, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q13_mad_outliers(spark, sf_dir):
+    from ..quality.anomaly import mad_outliers
+
+    e = t(spark, sf_dir, "events")
+    return mad_outliers(e, "value", ["event_type"], k=3.0)

@@ -9,6 +9,7 @@ from datetime import datetime, timedelta
 from emdatapipelines_spark.quality.anomaly import (
     VolumeBaseline,
     concentration_anomaly,
+    mad_outliers,
     temporal_clustering,
     volume_anomaly,
 )
@@ -50,3 +51,27 @@ def test_concentration_anomaly(spark):
     s = concentration_anomaly(skewed, "state", threshold=0.5).first()
     assert s["top_value"] == "CA" and s["is_concentrated"] and s["share"] == 0.9
     assert not concentration_anomaly(even, "state", threshold=0.5).first()["is_concentrated"]
+
+
+def test_mad_outliers_robust_to_single_extreme(spark):
+    # 49 values near 10 plus one at 1e9: the extreme inflates mean/std so a
+    # z-score scan flags nothing else, but median/MAD still sees the scale
+    # of the bulk — exactly one outlier, and the median/MAD stats are
+    # untouched by the extreme (50% breakdown point).
+    rows = [("a", 10.0 + (i % 7) * 0.5) for i in range(49)] + [("a", 1e9)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = mad_outliers(df, "value", ["event_type"], k=3.0).first()
+    assert out["n_values"] == 50
+    assert out["outlier_count"] == 1
+    assert 10.0 <= out["median_value"] <= 13.0
+    assert out["mad"] <= 1.5
+
+
+def test_mad_outliers_constant_group_flags_any_deviation(spark):
+    # MAD == 0 for a constant group: threshold collapses to 0, so any
+    # deviating value is an outlier and constants are not.
+    rows = [("c", 5.0)] * 20 + [("c", 5.1)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = mad_outliers(df, "value", ["event_type"], k=3.0).first()
+    assert out["mad"] == 0.0
+    assert out["outlier_count"] == 1

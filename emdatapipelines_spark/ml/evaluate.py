@@ -1,0 +1,192 @@
+"""Model-evaluation operators: ROC AUC, decile lift/gains, calibration.
+
+The reference trains simple supervised models (`pipelines/dagster/
+emergency_pipeline/ops/ml_ops.py` — RandomForest fit + a train/test
+accuracy print) but publishes no evaluation surface beyond that single
+accuracy number. This module adds the standard offline-eval trio any
+scored pipeline needs — each expressed so the expensive passes stay
+corpus-distributed and only score-band-cardinality frames ever meet a
+global window:
+
+* :func:`roc_auc` — exact Mann-Whitney/rank-sum AUC. One corpus-rate
+  hash-agg collapses rows to per-distinct-score (pos, neg) counts; the
+  cumulative pass then runs on that per-score frame, whose cardinality is
+  bounded by the score's 6-dp rounding (≤ 1e6 + 1 rows), never by the
+  corpus. Concordance is accumulated in INTEGER arithmetic (2·U as a
+  bigint) so no float-association or partial-agg-order effect can move
+  the result — the only division is the final AUC ratio.
+* :func:`lift_table` — NTILE gains/lift by score decile. Runs on the
+  model's daily-grain feature frame (dimension-sized: types × days); the
+  total order under the NTILE breaks score ties by the full feature
+  tuple + label so bucket boundaries are engine-deterministic even when
+  scores collide.
+* :func:`calibration_bins` — reliability-diagram data over fixed-width
+  probability bins: pure groupBy, shuffle-free of any window, scales to
+  any corpus.
+
+Determinism convention (repo-wide): scores round to 6 dp at creation,
+sums of scores go through DECIMAL, every emitted ratio rounds to 6 dp
+with the same operand order as the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def score_linear(
+    feats: DataFrame,
+    weights: tuple[float, ...] = (-1.0, 0.4, 0.3),
+    feature_cols: tuple[str, ...] = ("x1", "x2"),
+    label_col: str = "y",
+) -> DataFrame:
+    """Attach ``score = round(sigmoid(b0 + Σ bi·xi), 6)`` from a FIXED
+    weight vector — the deterministic stand-in for "a trained model's
+    predictions" that both engines can replay bit-for-bit (6-dp rounding
+    absorbs libm's ≤1-ulp exp() wiggle). Keeps the feature columns so
+    downstream orderings can tie-break on them.
+    """
+    z = F.lit(weights[0])
+    for wi, c in zip(weights[1:], feature_cols):
+        z = z + F.lit(wi) * F.col(c)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return feats.select(
+        score.alias("score"), *(F.col(c) for c in feature_cols), F.col(label_col)
+    )
+
+
+def roc_auc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "y"
+) -> DataFrame:
+    """Exact ROC AUC via the rank-sum identity, ties at mid-rank:
+    ``AUC = Σ_s pos_s·(neg_below_s + ½·neg_s) / (P·N)``.
+
+    The per-score aggregation is the only corpus-rate pass (map-side
+    combined hash-agg). The cumulative window then orders the per-score
+    frame — bounded by score cardinality (6-dp probabilities ⇒ ≤ 1e6+1
+    rows), a metadata-rate sort at any corpus size. The numerator is
+    kept as ``2·U`` in bigint so every engine computes the identical
+    integer; one final double division, rounded to 6 dp.
+    """
+    is_pos = F.col(label_col) == 1.0
+    per = scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(is_pos, F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn(
+        "below", F.coalesce(F.sum("neg").over(w), F.lit(0).cast("bigint"))
+    )
+    tot = cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_scores"),
+        F.sum(F.col("pos") * (F.lit(2) * F.col("below") + F.col("neg")))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    auc = F.round(
+        F.col("u2") * 1.0 / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        "n_distinct_scores",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )
+
+
+def lift_table(
+    scored: DataFrame,
+    n_buckets: int = 10,
+    score_col: str = "score",
+    label_col: str = "y",
+    tiebreak_cols: tuple[str, ...] = ("x1", "x2", "y"),
+) -> DataFrame:
+    """Gains/lift by score bucket: NTILE over score DESC, per-bucket hit
+    rate, lift vs the global base rate, cumulative capture of positives.
+
+    The NTILE's total order tie-breaks equal scores by the feature tuple
+    and label, so rows that straddle a bucket boundary land identically
+    in any engine; remaining ties are full-row duplicates, interchangeable
+    under every emitted aggregate. Intended for dimension-sized scored
+    frames (here: types × days); at corpus scale bucket by
+    approx-quantile score boundaries instead of a global NTILE
+    (documented divergence, same downstream arithmetic).
+    """
+    order = [F.desc(score_col)] + [F.col(c) for c in tiebreak_cols]
+    ranked = scored.withColumn(
+        "bucket", F.ntile(n_buckets).over(Window.orderBy(*order))
+    )
+    per = ranked.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col(label_col) == 1.0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum("n_pos").cast("bigint").alias("p"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("hit_rate"),
+            F.round(
+                (F.col("n_pos") * F.col("total") * F.lit(1.0))
+                / (F.col("n") * F.col("p")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(wc) * 1.0 / F.col("p"), 6
+            ).alias("cum_capture"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Reliability-diagram bins: fixed-width probability buckets, each
+    with count, mean predicted probability (exact-DECIMAL sum of the
+    6-dp scores), observed positive rate, and the |gap| between them.
+    Pure groupBy — no window anywhere — so it runs at full corpus scale
+    unchanged.
+    """
+    bin_col = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    per = scored.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col(score_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_pred"),
+        F.round(
+            F.sum(F.when(F.col(label_col) == 1.0, F.lit(1)).otherwise(F.lit(0)))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_rate"),
+    )
+    return per.select(
+        "bin",
+        "n",
+        "avg_pred",
+        "pos_rate",
+        F.round(F.abs(F.col("avg_pred") - F.col("pos_rate")), 6).alias("calib_gap"),
+    ).orderBy("bin")

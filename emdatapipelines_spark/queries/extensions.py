@@ -3728,3 +3728,125 @@ def dd_substring_dedup(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return substring_dedup_chunks(d, chunk_tokens=20)
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation: AUC / lift / calibration over a fixed linear scorer on the
+# daily feature frame (completes the train half of ml_logreg_gd with the
+# offline-eval surface any scored pipeline ships alongside training —
+# reference's ml_ops.py stops at a single train/test accuracy print).
+# ---------------------------------------------------------------------------
+_SCORED_CTE = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mv
+      FROM events GROUP BY 1, 2),
+    feat AS (
+      SELECT ROUND(LN(1.0 + cnt), 8) AS x1, ROUND(mv / 100.0, 8) AS x2,
+             CASE WHEN LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) > cnt
+                  THEN 1.0 ELSE 0.0 END AS y,
+             LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+      FROM daily),
+    scored AS (
+      SELECT ROUND(1.0 / (1.0 + EXP(-(-1.0 + 0.4 * x1 + 0.3 * x2))), 6) AS score,
+             x1, x2, y
+      FROM feat WHERE nxt IS NOT NULL)"""
+
+
+@query(
+    "ml_auc_ranksum",
+    _SCORED_CTE
+    + """,
+    per AS (
+      SELECT score,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM scored GROUP BY score),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_scores,
+             CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS u2
+      FROM cum)
+    SELECT n_pos, n_neg, n_distinct_scores,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(u2 * 1.0 / (2.0 * n_pos * n_neg), 6) END AS auc
+    FROM tot
+    """,
+)
+def ml_auc_ranksum(spark, sf_dir):
+    """Exact Mann-Whitney AUC of a fixed linear scorer on the logreg
+    feature frame: corpus-rate work is ONE hash-agg to per-distinct-score
+    (pos, neg) counts; the cumulative window runs on that score-band
+    frame (≤1e6+1 rows by the 6-dp rounding), and concordance accumulates
+    as an integer (2·U) so partial-agg order cannot move the result."""
+    from ..ml.evaluate import roc_auc, score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    return roc_auc(score_linear(daily_count_features(e)))
+
+
+@query(
+    "ml_lift_deciles",
+    _SCORED_CTE
+    + """,
+    ranked AS (
+      SELECT score, y,
+             NTILE(10) OVER (ORDER BY score DESC, x1, x2, y) AS bucket
+      FROM scored),
+    per AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(n_pos) AS BIGINT) AS p FROM per)
+    SELECT bucket, n, n_pos,
+           ROUND(n_pos * 1.0 / n, 6) AS hit_rate,
+           ROUND((n_pos * total * 1.0) / (n * p), 6) AS lift,
+           ROUND(SUM(n_pos) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / p, 6) AS cum_capture
+    FROM per CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def ml_lift_deciles(spark, sf_dir):
+    """Gains/lift table by score decile: NTILE over (score DESC, feature
+    tuple, label) so bucket boundaries are engine-deterministic under
+    score ties; per-bucket hit rate, lift vs base rate, and cumulative
+    positive capture, all in the oracle's operand order."""
+    from ..ml.evaluate import lift_table, score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    return lift_table(score_linear(daily_count_features(e)))
+
+
+@query(
+    "ml_calibration_bins",
+    _SCORED_CTE
+    + """,
+    per AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_pred,
+             ROUND(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pos_rate
+      FROM scored GROUP BY 1)
+    SELECT bin, n, avg_pred, pos_rate,
+           ROUND(ABS(avg_pred - pos_rate), 6) AS calib_gap
+    FROM per ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins for the fixed scorer: fixed-width
+    probability buckets via pure groupBy (no window anywhere — corpus-
+    scale unchanged), mean 6-dp prediction summed in exact DECIMAL vs the
+    observed positive rate, plus the absolute calibration gap."""
+    from ..ml.evaluate import calibration_bins, score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    return calibration_bins(score_linear(daily_count_features(e)))

@@ -118,3 +118,68 @@ def mad_outliers(
         )
         .orderBy(*group_cols)
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group Theil-Sen trend estimate: the MEDIAN of all pairwise
+    daily-mean slopes — the robust-regression sibling of
+    :func:`mad_outliers` (a single spiked day can swing an OLS slope
+    arbitrarily; Theil-Sen tolerates ~29% contamination). Mirrors the
+    reference's trend interest (`dbt .../trend_analysis.sql`'s LAG-based
+    deltas) with a breakdown-resistant estimator.
+
+    Scale shape: the corpus-rate pass is ONE hash-agg to the daily grain;
+    the pairwise self-join is quadratic only in days-per-group —
+    calendar-bounded, independent of corpus row count — and shuffles on
+    the group key. Determinism: daily means land in the integer ppm
+    domain (the repo's davg trick), each pairwise slope rounds to an
+    integer ppm/day (exact-integer diff over an exact-integer day gap is
+    ≥ 1/(2·gap) away from any .5 boundary unless exactly on it, where
+    both engines round half away from zero), and the median interpolates
+    two integers — exact in doubles, no rounding tie possible.
+    """
+    daily = df.groupBy(
+        *group_cols, F.col(ts_col).cast("date").alias("__d")
+    ).agg(
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("__ppm")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in group_cols]
+    pairs = (
+        a.join(b, cond)
+        .filter(F.col("a.__d") < F.col("b.__d"))
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in group_cols],
+            F.round(
+                (F.col("b.__ppm") - F.col("a.__ppm"))
+                * 1.0
+                / F.datediff(F.col("b.__d"), F.col("a.__d"))
+            )
+            .cast("bigint")
+            .alias("__slope"),
+        )
+    )
+    n_days = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        pairs.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.percentile("__slope", F.lit(0.5)).alias("trend_slope_ppm"),
+        )
+        .join(F.broadcast(n_days), group_cols)
+        .select(*group_cols, "n_days", "n_pairs", "trend_slope_ppm")
+        .orderBy(*group_cols)
+    )

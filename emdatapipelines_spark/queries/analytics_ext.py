@@ -1046,3 +1046,39 @@ def ts_cusum_changepoints(spark, sf_dir):
         r6(s_t).alias("cusum_stat"),
         (s_t > F.col("h")).alias("changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median of pairwise daily slopes per event type —
+# the breakdown-resistant twin of the LAG-delta trend queries. Corpus-rate
+# work is one daily hash-agg; the pairwise join is calendar-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_theilsen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*) * 1000000.0) AS BIGINT) AS ppm
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(ROUND((b.ppm - a.ppm) * 1.0
+                        / date_diff('day', a.d, b.d)) AS BIGINT) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT p.event_type, nd.n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           quantile_cont(p.slope, 0.5) AS trend_slope_ppm
+    FROM pairs p JOIN nd USING (event_type)
+    GROUP BY p.event_type, nd.n_days
+    ORDER BY p.event_type
+    """,
+)
+def ts_theilsen_trend(spark, sf_dir):
+    from ..quality.anomaly import theil_sen_trend
+
+    e = t(spark, sf_dir, "events")
+    return theil_sen_trend(e, "value", "ts", ["event_type"])

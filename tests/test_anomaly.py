@@ -75,3 +75,28 @@ def test_mad_outliers_constant_group_flags_any_deviation(spark):
     out = mad_outliers(df, "value", ["event_type"], k=3.0).first()
     assert out["mad"] == 0.0
     assert out["outlier_count"] == 1
+
+
+def test_theil_sen_ignores_single_spike(spark):
+    # mv rises exactly 1.0/day except one wild spiked day; the median of
+    # pairwise slopes stays 1e6 ppm/day (OLS would be dragged far off).
+    rows = []
+    for i in range(11):
+        v = 100.0 + i if i != 5 else 10000.0
+        rows.append(("a", datetime(2024, 1, 1 + i), v))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    from emdatapipelines_spark.quality.anomaly import theil_sen_trend
+
+    out = theil_sen_trend(df, "value", "ts", ["event_type"]).first()
+    assert out["n_days"] == 11 and out["n_pairs"] == 55
+    assert out["trend_slope_ppm"] == 1000000.0
+
+
+def test_theil_sen_single_day_group_emits_nothing(spark):
+    from emdatapipelines_spark.quality.anomaly import theil_sen_trend
+
+    df = spark.createDataFrame(
+        [("solo", datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    assert theil_sen_trend(df, "value", "ts", ["event_type"]).count() == 0

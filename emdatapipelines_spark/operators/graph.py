@@ -152,3 +152,48 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         oriented.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"]
     )
     return closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def khop_min_hops(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+) -> DataFrame:
+    """Minimum-hop reachability within ``k`` hops over a directed edge
+    list: returns ``(src, dst, min_hops)`` for every ordered pair
+    connected by a path of length ≤ k — the bounded-depth BFS that a
+    recursive-CTE engine expresses with ``WITH RECURSIVE`` and Spark
+    expresses as k unrolled frontier-expansion joins.
+
+    Each round is ONE shuffle: the previous frontier joins the edge list
+    on its endpoint (hash-partitioned by node), then de-duplicates —
+    per-round `distinct` keeps the frontier a SET, so the intermediate
+    never exceeds |reachable pairs| regardless of how many parallel paths
+    exist (the recursive CTE's UNION ALL enumerates paths; the final MIN
+    collapses them — same result, but the set-per-round form is the one
+    that survives high-fan-out graphs). min_hops falls out for free: a
+    pair first appears in round h ⇔ its shortest path is h, so the final
+    group-min over rounds equals BFS depth. For large k add per-round
+    localCheckpoint (see pagerank_weighted); at k ≤ 4 the plan stays
+    small.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    rounds = [e.withColumn("h", F.lit(1))]
+    frontier = e
+    for i in range(2, k + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(e.alias("g"), F.col("f.d") == F.col("g.s"))
+            .select(F.col("f.s").alias("s"), F.col("g.d").alias("d"))
+            .distinct()
+        )
+        rounds.append(frontier.withColumn("h", F.lit(i)))
+    allr = rounds[0]
+    for r in rounds[1:]:
+        allr = allr.unionByName(r)
+    return (
+        allr.groupBy(F.col("s").alias(src), F.col("d").alias(dst))
+        .agg(F.min("h").cast("int").alias("min_hops"))
+        .orderBy(src, dst)
+    )

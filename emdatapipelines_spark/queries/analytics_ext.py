@@ -1082,3 +1082,71 @@ def ts_theilsen_trend(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return theil_sen_trend(e, "value", "ts", ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability over the SPARSE trade graph (each nation keeps its
+# top-2 trade destinations): Spark = k unrolled frontier joins with
+# per-round set-dedup (operators/graph.py:khop_min_hops); oracle = the
+# recursive CTE a SQL engine would write. min_hops = BFS depth.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_khop_reach",
+    """
+    WITH RECURSIVE flow AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY cn.n_name, sn.n_name),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM flow),
+    e AS (SELECT src, dst FROM ranked WHERE rn <= 2),
+    hops(src, dst, h) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT hops.src, e.dst, hops.h + 1
+      FROM hops JOIN e ON hops.dst = e.src
+      WHERE hops.h < 3)
+    SELECT src, dst, CAST(MIN(h) AS INT) AS min_hops
+    FROM hops GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def gr_khop_reach(spark, sf_dir):
+    """Which nations can a nation's trade reach in ≤3 hops, and how fast?
+    Sparse edges = top-2 destinations per source nation by lineitem flow
+    (dimension-sized after the fact-table hash-agg); reachability via the
+    unrolled-BFS operator. The heavy work — the 5-way fact join — is the
+    same broadcast-dim plan gr_pagerank_trade uses; the BFS rounds touch
+    only the 50-row edge list."""
+    from ..operators.graph import khop_min_hops
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    return khop_min_hops(e, "src", "dst", k=3)

@@ -648,3 +648,46 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def zipf_fit(vocab: DataFrame, cf_col: str = "cf", term_col: str = "term", top_n: int = 500) -> DataFrame:
+    """OLS fit of ln(frequency) against ln(rank) over the top-``top_n``
+    vocabulary terms — the Zipf-law diagnostic corpus curators use to spot
+    degenerate crawls (boilerplate-heavy or deduplicated-to-death corpora
+    bend away from the natural slope ≈ −1).
+
+    Scale shape: the vocabulary frame arrives already aggregated (explode
+    + hash-agg upstream); this fit touches only a TakeOrdered top-n of it,
+    so the ranking window runs on ≤ top_n rows — bounded, never
+    vocab-cardinality. Closed-form moments: x/y and their products round
+    to 8 dp and sum in exact DECIMAL, so the slope/intercept/r² are
+    partial-agg-order-proof; emitted values round to 6 dp in the oracle's
+    operand order.
+    """
+    from pyspark.sql import Window
+
+    top = vocab.orderBy(F.desc(cf_col), F.col(term_col)).limit(top_n)
+    w = Window.orderBy(F.desc(cf_col), F.col(term_col))
+    xy = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rnk").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col(cf_col).cast("double")), 8).alias("y"),
+    )
+    d8 = lambda c: F.sum(c.cast("decimal(28,8)")).cast("double")  # noqa: E731
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        d8(F.col("x")).alias("sx"),
+        d8(F.col("y")).alias("sy"),
+        d8(F.round(F.col("x") * F.col("y"), 8)).alias("sxy"),
+        d8(F.round(F.col("x") * F.col("x"), 8)).alias("sxx"),
+        d8(F.round(F.col("y") * F.col("y"), 8)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    )

@@ -3850,3 +3850,46 @@ def ml_calibration_bins(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return calibration_bins(score_linear(daily_count_features(e)))
+
+
+# ---------------------------------------------------------------------------
+# LM analysis: Zipf-law fit over the top-500 vocabulary — ln(cf) vs
+# ln(rank) closed-form OLS (llmdata/text.py:zipf_fit). A healthy natural
+# corpus fits slope ≈ -1 with high r²; boilerplate-heavy crawls don't.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_zipf_slope",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS_SQL}) AS term FROM documents),
+    vocab AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks GROUP BY term),
+    top AS (SELECT term, cf, ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS rnk
+            FROM vocab ORDER BY cf DESC, term LIMIT 500),
+    xy AS (SELECT ROUND(LN(CAST(rnk AS DOUBLE)), 8) AS x,
+                  ROUND(LN(CAST(cf AS DOUBLE)), 8) AS y
+           FROM top),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(ROUND(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(ROUND(y * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS syy
+          FROM xy)
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def lm_zipf_slope(spark, sf_dir):
+    from ..llmdata.text import zipf_fit
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    return zipf_fit(vocab, top_n=500)

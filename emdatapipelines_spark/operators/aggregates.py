@@ -94,3 +94,68 @@ def windowed_agg(
         .withColumn("window_end", F.col("time_window.end"))
         .drop("time_window")
     )
+
+
+def basket_association_rules(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    baskets — the market-basket co-occurrence miner, here asking "which
+    event types fire together for the same user on the same day".
+
+    Scale shape: one distinct() collapses the corpus to (basket, item)
+    rows; item supports are a hash-agg; the pair join is a self-join ON
+    THE BASKET KEY, so its blow-up is quadratic only in items-per-basket
+    (bounded by the item vocabulary, e.g. ~10 event types), never in
+    baskets. Supports broadcast onto the pair frame (item-vocabulary
+    cardinality). All three metrics stay in the oracle's exact operand
+    order: counts are bigint; each ratio is a single double division
+    rounded to 6 dp. Top-k by (lift DESC, antecedent, consequent) — a
+    total order, so the cut is engine-deterministic.
+    """
+    items = df.select(
+        *[F.col(c) for c in basket_cols], F.col(item_col).alias("__it")
+    ).distinct()
+    n_baskets = items.select(*basket_cols).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    supp = items.groupBy(F.col("__it").alias("it")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("it_cnt")
+    )
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in basket_cols]
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), cond)
+        .filter(F.col("a.__it") < F.col("b.__it"))
+        .groupBy(
+            F.col("a.__it").alias("antecedent"),
+            F.col("b.__it").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+    )
+    ca = supp.select(F.col("it").alias("antecedent"), F.col("it_cnt").alias("ca"))
+    cb = supp.select(F.col("it").alias("consequent"), F.col("it_cnt").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            F.round(F.col("pair_cnt") * 1.0 / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_cnt") * 1.0 / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_cnt") * F.col("n_baskets") * F.lit(1.0))
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(top_k)
+    )

@@ -388,3 +388,40 @@ def grouped_holt_chunked(
         r6(chained["b"]).alias("trend"),
         r6(chained["l"] + chained["b"]).alias("forecast_1"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_cols: list[str],
+    window_rows: int = 7,
+) -> Column:
+    """Rolling exact median over the trailing ``window_rows`` rows per
+    group — the robust twin of w4's trailing mean (one outlier day moves
+    a trailing mean by outlier/window; the median ignores it entirely).
+
+    Spark has no percentile-as-window-function (INVALID_WINDOW_SPEC_FOR_
+    AGGREGATION_FUNC), so the window collects its ≤ window_rows values
+    into an array (bounded by the FRAME, not the group — constant memory
+    per row at any scale), sorts it, and indexes the middle; even frames
+    average the two middle elements, matching quantile_cont's linear
+    interpolation at 0.5 exactly. Feed integer-domain values (ppm means)
+    so that average is an exact .0/.5 double on every engine.
+
+    Returns the median Column (callers attach it with withColumn).
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    n = F.size(arr)
+    mid_hi = (n / 2 + 1).cast("int")  # n even: upper middle; n odd: middle
+    mid_lo = ((n + 1) / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(arr, mid_lo).cast("double")
+    ).otherwise(
+        (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / F.lit(2.0)
+    )

@@ -1150,3 +1150,125 @@ def gr_khop_reach(spark, sf_dir):
     )
     e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     return khop_min_hops(e, "src", "dst", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day exact median of daily means per event type — robust twin
+# of the trailing-mean window (operators/windows.py:rolling_median;
+# Spark lacks percentile-as-window, so the bounded frame is collected,
+# sorted, and indexed — constant memory per row).
+# ---------------------------------------------------------------------------
+@query(
+    "w14_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*) * 1000000.0) AS BIGINT) AS ppm
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, ppm,
+           quantile_cont(ppm, 0.5) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_median_ppm
+    FROM daily
+    ORDER BY event_type, day
+    """,
+)
+def w14_rolling_median(spark, sf_dir):
+    from ..operators.windows import rolling_median
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("ppm")
+    )
+    med = rolling_median(daily, "ppm", "day", ["event_type"], window_rows=7)
+    return daily.withColumn("rolling_median_ppm", med).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew diagnostic over lineitem's supplier key: Gini, hottest-
+# key share, p99/p50 — the pre-flight numbers for salting/AQE decisions
+# (quality/profile.py:key_skew_profile; rank-sum computed on the distinct-
+# count frame, never a key-cardinality window).
+# ---------------------------------------------------------------------------
+@query(
+    "a29_key_skew_gini",
+    """
+    WITH c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1),
+    per AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m FROM c GROUP BY cnt),
+    cum AS (SELECT cnt, m,
+                   COALESCE(SUM(m) OVER (ORDER BY cnt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+            FROM per),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                   CAST(SUM(m * cnt) AS BIGINT) AS s,
+                   CAST(SUM(cnt * (m * b + (m * (m + 1)) // 2)) AS BIGINT) AS t,
+                   CAST(MAX(cnt) AS BIGINT) AS maxc
+            FROM cum),
+    q AS (SELECT quantile_cont(cnt, 0.5) AS p50_cnt,
+                 quantile_cont(cnt, 0.99) AS p99_cnt
+          FROM c)
+    SELECT n AS n_keys, s AS total_rows,
+           ROUND((2 * t - (n + 1) * s) * 1.0 / (n * s), 6) AS gini,
+           ROUND(maxc * 1.0 / s, 6) AS top_share,
+           p50_cnt, p99_cnt,
+           ROUND(p99_cnt / p50_cnt, 6) AS skew_ratio
+    FROM tot CROSS JOIN q
+    """,
+)
+def a29_key_skew_gini(spark, sf_dir):
+    from ..quality.profile import key_skew_profile
+
+    l = t(spark, sf_dir, "lineitem")
+    return key_skew_profile(l, "l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules over (user, day) baskets of event types
+# (operators/aggregates.py:basket_association_rules): which behaviors
+# co-occur beyond chance (lift > 1), top-20 by lift.
+# ---------------------------------------------------------------------------
+@query(
+    "a30_assoc_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+           FROM (SELECT DISTINCT user_id, d FROM items)),
+    supp AS (SELECT event_type AS it, CAST(COUNT(*) AS BIGINT) AS it_cnt
+             FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(COUNT(*) AS BIGINT) AS pair_cnt
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT antecedent, consequent, pair_cnt,
+           ROUND(pair_cnt * 1.0 / nb.n_baskets, 6) AS support,
+           ROUND(pair_cnt * 1.0 / ca.it_cnt, 6) AS confidence,
+           ROUND((pair_cnt * nb.n_baskets * 1.0) / (ca.it_cnt * cb.it_cnt), 6) AS lift
+    FROM pairs
+    JOIN supp ca ON ca.it = pairs.antecedent
+    JOIN supp cb ON cb.it = pairs.consequent
+    CROSS JOIN nb
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+)
+def a30_assoc_rules(spark, sf_dir):
+    from ..operators.aggregates import basket_association_rules
+
+    e = t(spark, sf_dir, "events")
+    return basket_association_rules(
+        e.select("user_id", F.col("ts").cast("date").alias("d"), "event_type"),
+        ["user_id", "d"],
+        "event_type",
+        top_k=20,
+    )

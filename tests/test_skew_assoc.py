@@ -1,0 +1,80 @@
+"""Hand-computed checks: key-skew Gini profile, association-rule lift,
+rolling median window.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.operators.aggregates import basket_association_rules
+from emdatapipelines_spark.operators.windows import rolling_median
+from emdatapipelines_spark.quality.profile import key_skew_profile
+
+
+def test_gini_uniform_keys_is_near_zero(spark):
+    # 4 keys x 5 rows each: perfectly equal counts -> Gini 0.
+    rows = [(k,) for k in "abcd" for _ in range(5)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").first()
+    assert r["n_keys"] == 4 and r["total_rows"] == 20
+    assert r["gini"] == 0.0 and r["top_share"] == 0.25
+    assert r["skew_ratio"] == 1.0
+
+
+def test_gini_concentrated_key(spark):
+    # counts [1, 1, 1, 97]: sorted ranks 1..4, S=100
+    # T = 1*1 + 2*1 + 3*1 + 4*97 = 394; G = (2*394 - 5*100)/(4*100) = 0.72
+    rows = [("a",), ("b",), ("c",)] + [("hot",)] * 97
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").first()
+    assert r["gini"] == 0.72 and r["top_share"] == 0.97
+
+
+def test_gini_equal_count_block_formula(spark):
+    # counts [1,1,2,2]: T = (1+2)*1 + (3+4)*2 = 17; S=6, n=4
+    # G = (34 - 30)/24 = 0.166667 — exercises the m>1 rank-block path.
+    rows = [("a",), ("b",), ("c",), ("c",), ("d",), ("d",)]
+    r = key_skew_profile(spark.createDataFrame(rows, "k string"), "k").first()
+    assert r["gini"] == 0.166667
+
+
+def test_assoc_rules_lift(spark):
+    # 4 baskets; x,y always together (2 baskets), z alone in the others.
+    # lift(x,y) = (2 * 4) / (2 * 2) = 2.0; no (x,z) pair exists.
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "z"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b int, it string")
+    out = basket_association_rules(df, ["b"], "it").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["antecedent"], r["consequent"]) == ("x", "y")
+    assert r["pair_cnt"] == 2 and r["support"] == 0.5
+    assert r["confidence"] == 1.0 and r["lift"] == 2.0
+
+
+def test_assoc_rules_duplicate_item_rows_collapse(spark):
+    # the same item twice in one basket must count once (distinct guard)
+    rows = [(1, "x"), (1, "x"), (1, "y")]
+    r = basket_association_rules(spark.createDataFrame(rows, "b int, it string"), ["b"], "it").first()
+    assert r["pair_cnt"] == 1 and r["lift"] == 1.0
+
+
+def test_rolling_median_odd_even_frames(spark):
+    rows = [("g", datetime(2024, 1, 1 + i), v) for i, v in enumerate([10, 2, 30, 4, 50])]
+    df = spark.createDataFrame(rows, "g string, d timestamp, v bigint")
+    med = rolling_median(df, "v", "d", ["g"], window_rows=3)
+    out = [r["m"] for r in df.withColumn("m", med).orderBy("d").collect()]
+    # frames: [10]->10; [10,2]->6; [10,2,30]->10; [2,30,4]->4; [30,4,50]->30
+    assert out == [10.0, 6.0, 10.0, 4.0, 30.0]
+
+
+def test_rolling_median_outlier_resistant_vs_mean(spark):
+    rows = [("g", datetime(2024, 1, 1 + i), v) for i, v in enumerate([5, 5, 1000, 5, 5])]
+    df = spark.createDataFrame(rows, "g string, d timestamp, v bigint")
+    med = rolling_median(df, "v", "d", ["g"], window_rows=5)
+    last = df.withColumn("m", med).orderBy("d").collect()[-1]
+    assert last["m"] == 5.0  # the 1000 spike never surfaces

@@ -89,6 +89,12 @@ BNLJ_ALLOWED = {
     # broadcast single-query vector; the fusion layer itself is equi-joins
     # over the two bounded top-20 lists
     "rag_rrf_fusion",
+    # 1-row scalar broadcasts: the decile frame joins the 1-row totals
+    # aggregate; the skew profile joins the 1-row p50/p99 aggregate; the
+    # rule pairs join the 1-row basket-count aggregate
+    "ml_lift_deciles",
+    "a29_key_skew_gini",
+    "a30_assoc_rules",
 }
 
 

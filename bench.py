@@ -64,6 +64,24 @@ def _time_passes(spark, fn, sf_dir: str, passes: int) -> list[float]:
     return out
 
 
+def _host_calibration() -> float:
+    """Fixed single-core pure-python loop (~0.5s on a healthy core),
+    timed best-of-3. Round 7 found two same-code same-fixture bench runs
+    3h apart disagreeing by a UNIFORM 1.19× (pure scans and fresh-JVM
+    isolates of untouched queries included) — shared-host speed drift.
+    Every artifact now carries this scalar so cross-artifact deltas can
+    be separated into host drift (calibration moved too) vs real plan
+    changes (calibration steady)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(3_000_000):
+            x += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def run_one(name: str, sf_dir: str, passes: int) -> int:
     """Single-query mode (used by --isolate subprocesses): fresh JVM, one
     same-query warmup, then ``passes`` timed passes; prints min/median."""
@@ -78,6 +96,7 @@ def run_one(name: str, sf_dir: str, passes: int) -> int:
                 "query": name,
                 "min_sec": round(min(times), 4),
                 "median_sec": round(statistics.median(times), 4),
+                "host_calib_sec": _host_calibration(),
             }
         )
     )
@@ -161,6 +180,7 @@ def main() -> int:
         "passes": passes,
         "per_query_stat": "min_of_warm_passes",
         "median_pass": medians,
+        "host_calib_sec": _host_calibration(),
     }
     if passes > 1:
         line["cold_pass"] = cold

@@ -1272,3 +1272,70 @@ def a30_assoc_rules(spark, sf_dir):
         "event_type",
         top_k=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between event-type daily series — the robust
+# twin of ts_corr_pairs (Pearson on raw counts is dragged by one spiked
+# hour; rank-transform first and monotone outliers lose their leverage).
+# Ranks use the average-rank tie convention: RANK() + (ties-1)/2.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_spearman_corr",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+                        / COUNT(*) * 1000000.0) AS BIGINT) AS ppm
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, d,
+             RANK() OVER (PARTITION BY event_type ORDER BY ppm)
+               + (COUNT(*) OVER (PARTITION BY event_type, ppm) - 1) / 2.0 AS rk
+      FROM daily)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           ROUND(corr(a.rk, b.rk), 4) AS spearman_rho,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM ranked a JOIN ranked b
+      ON a.d = b.d AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def ts_spearman_corr(spark, sf_dir):
+    """Rank-transform correlation: daily ppm means rank within each type
+    (calendar-bounded partitions; average-rank ties so the statistic is
+    permutation-deterministic), then the same day-keyed pair join +
+    corr aggregate as ts_corr_pairs — one extra window over the
+    dimension-sized daily frame buys outlier robustness."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1000000.0)
+        )
+        .cast("bigint")
+        .alias("ppm")
+    )
+    wr = Window.partitionBy("event_type").orderBy("ppm")
+    wt = Window.partitionBy("event_type", "ppm")
+    ranked = daily.withColumn(
+        "rk",
+        F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0,
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"), F.col("d").alias("da"), F.col("rk").alias("rka")
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"), F.col("d").alias("db"), F.col("rk").alias("rkb")
+    )
+    return (
+        a.join(b, (F.col("da") == F.col("db")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("rka", "rkb"), 4).alias("spearman_rho"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("type_a", "type_b")
+    )

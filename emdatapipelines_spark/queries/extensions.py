@@ -3893,3 +3893,62 @@ def lm_zipf_slope(spark, sf_dir):
     )
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
     return zipf_fit(vocab, top_n=500)
+
+
+# ---------------------------------------------------------------------------
+# text: per-document lexical diversity — type-token ratio + hapax share,
+# the statistical-diversity quality signals next to tx_quality's surface
+# heuristics (low TTR ⇒ boilerplate/template text; high hapax share on a
+# long doc ⇒ OCR noise or mojibake).
+# ---------------------------------------------------------------------------
+@query(
+    "tx_lexical_diversity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(COUNT(*) * 1.0 / SUM(tf), 6) AS ttr,
+           ROUND(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS hapax_share
+    FROM tf GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def tx_lexical_diversity(spark, sf_dir):
+    """Two hash-aggs over the exploded token stream (map-side combined;
+    the (doc, term) grain is the same frame TF-IDF builds), everything
+    else integer arithmetic with single 6-dp ratio divisions — no window,
+    no UDF, corpus-scale unchanged."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("tf") == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_hapax"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.sum("tf"), 6).alias("ttr"),
+            F.round(
+                F.sum(F.when(F.col("tf") == 1, F.lit(1)).otherwise(F.lit(0)))
+                * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_share"),
+        )
+        .orderBy("doc_id")
+    )

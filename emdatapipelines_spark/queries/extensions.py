@@ -3952,3 +3952,30 @@ def tx_lexical_diversity(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T2 companion — sliding 1h/15m window counts (batch twin of the streaming
+# hopping-window aggregate; tumbling is st_tumbling_1h). Each event expands
+# into window/slide = 4 rows before the map-side combine.
+# ---------------------------------------------------------------------------
+@query(
+    "st_sliding_1h_15m",
+    """
+    SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+           event_type, CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM (
+      SELECT event_type, ts,
+             time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS ws
+      FROM events, UNNEST([0, 1, 2, 3]) AS u(k))
+    WHERE ts < ws + INTERVAL '1 hour'
+    GROUP BY 1, 2, 3
+    """,
+)
+def st_sliding_1h_15m(spark, sf_dir):
+    from ..streaming.windows import sliding_window_counts
+
+    return sliding_window_counts(
+        t(spark, sf_dir, "events"), "ts", "1 hour", "15 minutes",
+        ["event_type"], watermark=None,
+    )

@@ -40,6 +40,41 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    slide_duration: str,
+    group_cols: list[str],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """T2 companion — SLIDING (hopping) window count by group: each event
+    lands in window/slide overlapping windows (e.g. 4 for 1h/15m). Same
+    batch≡streaming duality as tumbling_window_counts — the identical
+    ``window(ts, size, slide)`` expression runs under a watermark on a
+    stream and as a plain expand+hash-agg in batch. Scale shape: Spark's
+    Expand multiplies rows by the overlap factor BEFORE the map-side
+    combine, so the shuffle still carries one row per (window × group ×
+    mapper) — the blow-up is bounded by window/slide, a plan constant.
+    """
+    src = df
+    if watermark and df.isStreaming:
+        src = df.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.window(F.col(ts_col), window_duration, slide_duration).alias("w"),
+            *group_cols,
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "event_count",
+        )
+    )
+
+
 def session_window_counts(
     df: DataFrame,
     ts_col: str,

@@ -479,3 +479,95 @@ def q13_mad_outliers(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return mad_outliers(e, "value", ["event_type"], k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Q14 — chi-square independence of event mix vs weekday + Cramér's V
+# (quality/stats.py:chi2_independence). Contingency agg is the only
+# corpus-rate pass; everything downstream is cell-cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS INT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rm AS (SELECT x, CAST(SUM(o) AS BIGINT) AS nx FROM cells GROUP BY x),
+    cm AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ny FROM cells GROUP BY y),
+    shape AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS r,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS c,
+                     (SELECT CAST(SUM(o) AS BIGINT) FROM cells) AS n),
+    grid AS (
+      SELECT rm.x, cm.y, rm.nx, cm.ny, COALESCE(cells.o, 0) AS o
+      FROM rm CROSS JOIN cm LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y),
+    stat AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               (o - (nx * ny * 1.0) / shape.n) * (o - (nx * ny * 1.0) / shape.n)
+               / ((nx * ny * 1.0) / shape.n), 8) AS DECIMAL(28,8))) AS DOUBLE) AS chi2_raw
+      FROM grid CROSS JOIN shape)
+    SELECT n, r, c,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(chi2_raw, 6) AS chi2,
+           ROUND(SQRT(chi2_raw / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM shape CROSS JOIN stat
+    """,
+)
+def q14_chi2_independence(spark, sf_dir):
+    from ..quality.stats import chi2_independence
+
+    e = t(spark, sf_dir, "events")
+    return chi2_independence(
+        e.select("event_type", (F.weekday("ts") + 1).alias("dow")),
+        "event_type",
+        "dow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A32 — mutual information between event type and weekday (nats) with
+# marginal entropies and min-normalized NMI (quality/stats.py).
+# ---------------------------------------------------------------------------
+@query(
+    "a32_mutual_information",
+    """
+    WITH cells AS (
+      SELECT event_type AS x, CAST(isodow(ts) AS INT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rm AS (SELECT x, CAST(SUM(o) AS BIGINT) AS nx FROM cells GROUP BY x),
+    cm AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ny FROM cells GROUP BY y),
+    nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               (o * 1.0 / nn.n) * LN((o * nn.n * 1.0) / (nx * ny)), 8)
+             AS DECIMAL(28,8))) AS DOUBLE) AS mi_raw
+      FROM cells JOIN rm USING (x) JOIN cm USING (y) CROSS JOIN nn),
+    hx AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(nx * 1.0 / nn.n) * LN(nx * 1.0 / nn.n), 8)
+             AS DECIMAL(28,8))) AS DOUBLE) AS hx_raw
+      FROM rm CROSS JOIN nn),
+    hy AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(ny * 1.0 / nn.n) * LN(ny * 1.0 / nn.n), 8)
+             AS DECIMAL(28,8))) AS DOUBLE) AS hy_raw
+      FROM cm CROSS JOIN nn)
+    SELECT nn.n,
+           ROUND(mi_raw, 6) AS mi_nats,
+           ROUND(hx_raw, 6) AS h_x,
+           ROUND(hy_raw, 6) AS h_y,
+           CASE WHEN LEAST(hx_raw, hy_raw) > 0
+                THEN ROUND(mi_raw / LEAST(hx_raw, hy_raw), 6) END AS nmi
+    FROM nn CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def a32_mutual_information(spark, sf_dir):
+    from ..quality.stats import mutual_information
+
+    e = t(spark, sf_dir, "events")
+    return mutual_information(
+        e.select("event_type", (F.weekday("ts") + 1).alias("dow")),
+        "event_type",
+        "dow",
+    )

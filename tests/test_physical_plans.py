@@ -95,6 +95,10 @@ BNLJ_ALLOWED = {
     "ml_lift_deciles",
     "a29_key_skew_gini",
     "a30_assoc_rules",
+    # contingency statistics: margin×margin grid rebuild (cell-cardinality
+    # cross of two tiny margin frames) + 1-row stat broadcasts
+    "q14_chi2_independence",
+    "a32_mutual_information",
 }
 
 

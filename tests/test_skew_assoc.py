@@ -78,3 +78,26 @@ def test_rolling_median_outlier_resistant_vs_mean(spark):
     med = rolling_median(df, "v", "d", ["g"], window_rows=5)
     last = df.withColumn("m", med).orderBy("d").collect()[-1]
     assert last["m"] == 5.0  # the 1000 spike never surfaces
+
+
+def test_chi2_perfect_dependence_and_independence(spark):
+    from emdatapipelines_spark.quality.stats import chi2_independence, mutual_information
+
+    # perfectly dependent 2x2: x == y; chi2 = n, V = 1
+    dep = spark.createDataFrame([("a", "a")] * 10 + [("b", "b")] * 10, "x string, y string")
+    r = chi2_independence(dep, "x", "y").first()
+    assert r["n"] == 20 and r["dof"] == 1
+    assert r["chi2"] == 20.0 and r["cramers_v"] == 1.0
+
+    # independent uniform 2x2: chi2 = 0
+    ind = spark.createDataFrame(
+        [("a", "u"), ("a", "v"), ("b", "u"), ("b", "v")] * 5, "x string, y string"
+    )
+    r2 = chi2_independence(ind, "x", "y").first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+    # MI: dependent -> MI = ln 2, NMI = 1; independent -> 0
+    m = mutual_information(dep, "x", "y").first()
+    assert abs(m["mi_nats"] - 0.693147) < 1e-5 and m["nmi"] == 1.0
+    m2 = mutual_information(ind, "x", "y").first()
+    assert m2["mi_nats"] == 0.0 and m2["nmi"] == 0.0

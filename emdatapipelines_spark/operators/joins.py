@@ -8,7 +8,7 @@ a cartesian product.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 
@@ -222,3 +222,75 @@ def fuzzy_name_pairs(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b").cast("int")
     ).filter(F.col("dist") <= max_dist)
+
+
+def touch_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_seconds: int = 3600,
+) -> DataFrame:
+    """First-touch / last-touch marketing attribution: for every
+    conversion event, find the earliest and latest touch event by the
+    same user in the preceding ``lookback_seconds`` — WITHOUT a range
+    join (whose matched-pair count is quadratic per hot user). One
+    shuffle on the user key, then a single sorted range-frame window
+    pass: every row evaluates ``rangeBetween(-lookback, -1)`` over
+    integer epoch-seconds, touches contribute a SORTABLE padded string
+    ``sec|event_id|type`` (min = first touch, max = last touch — the
+    unique event id makes same-second ties deterministic), and
+    conversion rows read the extremes at their own position. Output is
+    conversion-grain; conversions with no touch in the window keep NULL
+    attribution (unattributed, not dropped).
+
+    The padded-string encoding (not a struct min) is deliberate: both
+    engines order strings identically, while struct MIN/MAX comparability
+    differs across engines.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    is_touch = F.col(type_col).isin(*touch_types)
+    code = F.concat_ws(
+        "|",
+        F.lpad(sec.cast("string"), 10, "0"),
+        F.lpad(F.col(id_col).cast("string"), 12, "0"),
+        F.col(type_col),
+    )
+    base = events.filter(
+        F.col(type_col).isin(conversion_type, *touch_types)
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ets"),
+        sec.alias("s"),
+        F.when(is_touch, code).alias("tcode"),
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("s")
+        .rangeBetween(-lookback_seconds, -1)
+    )
+    attributed = base.select(
+        "u",
+        "eid",
+        "etype",
+        "ets",
+        F.min("tcode").over(w).alias("first_code"),
+        F.max("tcode").over(w).alias("last_code"),
+        F.count("tcode").over(w).cast("bigint").alias("n_touches"),
+    ).filter(F.col("etype") == conversion_type)
+    part = lambda c, i: F.split(F.col(c), r"\|").getItem(i)  # noqa: E731
+    return attributed.select(
+        F.col("eid").alias("purchase_id"),
+        F.col("u").alias("user_id"),
+        F.col("ets").alias("purchase_ts"),
+        "n_touches",
+        part("first_code", 1).cast("bigint").alias("first_touch_id"),
+        part("first_code", 2).alias("first_touch_type"),
+        part("last_code", 1).cast("bigint").alias("last_touch_id"),
+        part("last_code", 2).alias("last_touch_type"),
+    ).orderBy("purchase_id")

@@ -1339,3 +1339,72 @@ def ts_spearman_corr(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Share-of-parent rollup: nation revenue as a share of its region and of
+# the total — the OLAP percent-of-parent measure every drill-down grid
+# shows. Corpus-rate work is the fact-side hash-agg; both share windows
+# run on the 25-row nation frame.
+# ---------------------------------------------------------------------------
+@query(
+    "a33_share_of_parent",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS nation_rev
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name),
+    w AS (
+      SELECT region, nation, nation_rev,
+             SUM(nation_rev) OVER (PARTITION BY region) AS region_rev,
+             SUM(nation_rev) OVER () AS total_rev
+      FROM rev)
+    SELECT region, nation,
+           ROUND(nation_rev * 100.0) / 100.0 AS nation_rev,
+           ROUND(nation_rev / region_rev, 6) AS share_of_region,
+           ROUND(nation_rev / total_rev, 6) AS share_of_total
+    FROM w ORDER BY region, nation
+    """,
+)
+def a33_share_of_parent(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    # both windows run on the 25-row nation-grain frame — never corpus rows
+    return rev.select(
+        "region",
+        "nation",
+        # integer-domain rounding (davg convention): round(x*100)/100 —
+        # round-to-integer of doubles < 2^52 cannot hit a repr-vs-binary tie
+        (F.round(F.col("nation_rev") * F.lit(100.0)) / F.lit(100.0)).alias(
+            "nation_rev"
+        ),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(wt), 6).alias(
+            "share_of_total"
+        ),
+    ).orderBy("region", "nation")

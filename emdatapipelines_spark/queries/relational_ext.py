@@ -1416,3 +1416,47 @@ def a15_pivot_daily_matrix(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0, kinds)
     )
+
+
+# ---------------------------------------------------------------------------
+# J14 — first/last-touch attribution inside a 1h lookback, WITHOUT a range
+# join (operators/joins.py:touch_attribution): one user-keyed shuffle +
+# one range-frame window over epoch seconds; touches carry a sortable
+# padded sec|id|type string so MIN = first touch and MAX = last touch
+# deterministically even on same-second ties.
+# ---------------------------------------------------------------------------
+@query(
+    "j14_attribution",
+    """
+    WITH base AS (
+      SELECT user_id AS u, event_id AS eid, event_type AS etype, ts AS ets,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CASE WHEN event_type IN ('view', 'click') THEN
+               lpad(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR), 10, '0')
+               || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+               || '|' || event_type
+             END AS tcode
+      FROM events
+      WHERE event_type IN ('purchase', 'view', 'click')),
+    w AS (
+      SELECT u, eid, etype, ets,
+             MIN(tcode) OVER win AS first_code,
+             MAX(tcode) OVER win AS last_code,
+             CAST(COUNT(tcode) OVER win AS BIGINT) AS n_touches
+      FROM base
+      WINDOW win AS (PARTITION BY u ORDER BY s
+                     RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING))
+    SELECT eid AS purchase_id, u AS user_id, ets AS purchase_ts, n_touches,
+           -- NULLIF: duckdb split_part yields '' on NULL input where spark yields NULL
+           CAST(NULLIF(split_part(first_code, '|', 2), '') AS BIGINT) AS first_touch_id,
+           NULLIF(split_part(first_code, '|', 3), '') AS first_touch_type,
+           CAST(NULLIF(split_part(last_code, '|', 2), '') AS BIGINT) AS last_touch_id,
+           NULLIF(split_part(last_code, '|', 3), '') AS last_touch_type
+    FROM w WHERE etype = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def j14_attribution(spark, sf_dir):
+    from ..operators.joins import touch_attribution
+
+    return touch_attribution(t(spark, sf_dir, "events"))

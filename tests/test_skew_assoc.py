@@ -101,3 +101,38 @@ def test_chi2_perfect_dependence_and_independence(spark):
     assert abs(m["mi_nats"] - 0.693147) < 1e-5 and m["nmi"] == 1.0
     m2 = mutual_information(ind, "x", "y").first()
     assert m2["mi_nats"] == 0.0 and m2["nmi"] == 0.0
+
+
+def test_touch_attribution_first_last_and_window_edge(spark):
+    from datetime import datetime
+    from emdatapipelines_spark.operators.joins import touch_attribution
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 12, 0, 0).replace(
+            hour=12 + (sec // 3600), minute=(sec % 3600) // 60, second=sec % 60
+        )
+
+    rows = [
+        # user 1: view at t+0, click at t+100, purchase at t+200
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(100), 1, "click", 0.0, "{}"),
+        (3, at(200), 1, "purchase", 0.0, "{}"),
+        # user 2: touch exactly 3601s before purchase -> OUTSIDE window
+        (4, at(0), 2, "click", 0.0, "{}"),
+        (5, at(3601), 2, "purchase", 0.0, "{}"),
+        # user 3: touch at the same second as purchase -> excluded (-1 bound)
+        (6, at(500), 3, "view", 0.0, "{}"),
+        (7, at(500), 3, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    out = {r["purchase_id"]: r for r in touch_attribution(df).collect()}
+    r1 = out[3]
+    assert r1["first_touch_id"] == 1 and r1["first_touch_type"] == "view"
+    assert r1["last_touch_id"] == 2 and r1["last_touch_type"] == "click"
+    assert r1["n_touches"] == 2
+    assert out[5]["n_touches"] == 0 and out[5]["first_touch_id"] is None
+    assert out[7]["n_touches"] == 0  # same-second touch excluded by -1 bound

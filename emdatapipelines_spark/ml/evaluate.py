@@ -190,3 +190,120 @@ def calibration_bins(
         "pos_rate",
         F.round(F.abs(F.col("avg_pred") - F.col("pos_rate")), 6).alias("calib_gap"),
     ).orderBy("bin")
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str = "y",
+) -> DataFrame:
+    """Weight of Evidence per category + the feature's Information Value —
+    the credit-scoring-era categorical-relevance encoding that still runs
+    ahead of every scorecard/GBM feature cut:
+    ``WOE_c = ln((pos_c/P)/(neg_c/N))``, ``IV = Σ (pos_c/P − neg_c/N)·WOE_c``.
+
+    One corpus-rate hash-agg to per-category (pos, neg); totals broadcast
+    back; the IV window runs over the category-cardinality frame. Zero
+    cells yield NULL WOE (ln 0 is undefined; the caller decides between
+    Laplace smoothing and dropping — silently smoothing would change the
+    statistic). NULL-WOE categories contribute nothing to IV, mirroring
+    SQL's SUM-skips-NULL.
+    """
+    is_pos = F.col(label_col) == 1.0
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.sum(F.when(is_pos, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(is_pos, F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("n"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    woe_raw = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.log(
+            (F.col("n_pos") * 1.0 / F.col("p"))
+            / (F.col("n_neg") * 1.0 / F.col("n"))
+        ),
+    )
+    contrib = (F.col("n_pos") * 1.0 / F.col("p") - F.col("n_neg") * 1.0 / F.col("n")) * woe_raw
+    w = Window.partitionBy()
+    return (
+        j.withColumn("__woe_raw", woe_raw)
+        .withColumn("__contrib", F.round(contrib, 8))
+        .select(
+            "category",
+            "n_pos",
+            "n_neg",
+            F.round(F.col("__woe_raw"), 6).alias("woe"),
+            F.round(
+                F.sum(F.col("__contrib").cast("decimal(28,8)"))
+                .over(w)
+                .cast("double"),
+                6,
+            ).alias("iv"),
+        )
+        .orderBy("category")
+    )
+
+
+def average_precision(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    step interpolation, tied scores treated as one atomic block — the
+    standard AP):
+
+    ``AP = (1/P) Σ_s pos_s · precision_at(s)`` over distinct scores s in
+    descending order, ``precision_at(s) = cum_pos_s / cum_n_s``.
+
+    The corpus-rate pass is ONE hash-agg to per-distinct-score (pos,
+    neg); the cumulative window then runs on that score-band frame
+    (≤ 1e6+1 rows under 6-dp scores). Every per-threshold term is kept
+    in the INTEGER domain — ``floor(pos·cum_pos·scale / cum_n)`` via
+    integer division — so partial-agg order and float association cannot
+    move the sum; total truncation error is < n_distinct/(scale·P),
+    invisible at the emitted 6-dp. The final value is likewise floored
+    to ppm (``Σ div (P·1e6)``) and exactly represented as a double.
+    Requires ``pos_s·cum_pos_s·scale`` within int64 (fine up to ~3M
+    positives at the default scale; drop ``scale`` for larger corpora).
+    """
+    is_pos = F.col(label_col) == 1.0
+    per = scored.groupBy(F.col(score_col).alias("score")).agg(
+        F.sum(F.when(is_pos, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(is_pos, F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "pos",
+        F.sum("pos").over(w).alias("cum_pos"),
+        (F.sum("pos").over(w) + F.sum("neg").over(w)).alias("cum_n"),
+    )
+    term = F.expr(f"(pos * cum_pos * CAST({scale} AS BIGINT)) div cum_n")
+    tot = cum.select(
+        "pos",
+        "cum_pos",
+        (F.col("cum_n") - F.col("cum_pos")).alias("__neg_cum"),
+        term.alias("__t"),
+    ).agg(
+        F.max("cum_pos").cast("bigint").alias("n_pos"),
+        F.max(F.col("__neg_cum")).cast("bigint").alias("n_neg"),
+        F.sum("__t").cast("bigint").alias("__s"),
+    )
+    ap_ppm = F.expr("__s div (n_pos * CAST(1000000 AS BIGINT))")
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_pos") > 0, ap_ppm / F.lit(1000000.0)).alias("avg_precision"),
+    )

@@ -197,3 +197,48 @@ def khop_min_hops(
         .agg(F.min("h").cast("int").alias("min_hops"))
         .orderBy(src, dst)
     )
+
+
+def label_propagation_min(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous min-label propagation for ``iterations`` rounds over an
+    UNDIRECTED view of the edge list: every node starts labeled with its
+    own id, and each round takes ``min(own label, neighbors' labels)``.
+    Returns ``(node, community)`` — after k rounds two nodes share a
+    community iff they are within the same k-hop-bounded component, the
+    deterministic (min-tiebreak) variant of Raghavan-style label
+    propagation that a SQL engine writes as k unrolled CTEs.
+
+    Each round is ONE hash shuffle: the node-label frame joins the
+    symmetrized adjacency on the neighbor endpoint and group-mins by
+    node (map-side combined), then a left join folds isolated nodes back
+    with their own label. The adjacency is built once; labels are the
+    only frame that iterates, so every superstep moves |edges| rows into
+    |nodes| groups — the same Pregel shape as :func:`pagerank_weighted`.
+    For large k add per-round ``localCheckpoint``; at k ≤ 4 the unrolled
+    plan stays small.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = fwd.unionByName(rev)
+    adj = sym.filter(F.col("u") != F.col("v")).distinct()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    lbl = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(iterations):
+        nb_min = (
+            adj.join(lbl.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        lbl = (
+            lbl.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+    return lbl.select("node", F.col("lbl").alias("community"))

@@ -1408,3 +1408,175 @@ def a33_share_of_parent(spark, sf_dir):
             "share_of_total"
         ),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily count series at lags 1..7 per
+# event type — the seasonality diagnostic next to ts_seasonal_residuals.
+# ACF_k here is the Pearson correlation of the (x_t, x_{t+k}) pair set
+# (pairs matched by CALENDAR day, not row adjacency, so missing days
+# cannot misalign the lag), with every moment accumulated as an exact
+# bigint over the integer counts; the only float ops are the final
+# sqrt/divide, one IEEE expression both engines evaluate bit-identically.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_acf",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    lags(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    pairs AS (
+      SELECT a.event_type, l.k, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.k),
+    m AS (
+      SELECT event_type, k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, CAST(k AS INT) AS lag_days, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS acf
+    FROM m ORDER BY event_type, lag_days
+    """,
+)
+def ts_acf(spark, sf_dir):
+    """ACF at lags 1..7 of the per-type daily count series. Corpus-rate
+    work is the daily hash-agg; the lag self-join runs on the
+    dimension-sized (type, day) frame × 7 lag rows, partitioned by
+    event_type. Integer moments (bigint Σx, Σx², Σxy) make the statistic
+    partial-agg-order-proof; exact up to |n·Σxy| < 2^53 (~sf100 for this
+    fixture), past which widen to decimal."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = daily.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(7)))
+    ).alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.expr("date_add(a.d, k)")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "k",
+            F.col("a.cnt").alias("x"),
+            F.col("b.cnt").alias("y"),
+        )
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("acf"),
+    ).orderBy("event_type", "lag_days")
+
+
+# ---------------------------------------------------------------------------
+# Community detection on the sparse nation trade graph: k=3 rounds of
+# synchronous min-label propagation (operators/graph.py:
+# label_propagation_min) — the deterministic variant of Raghavan label
+# propagation; oracle = the same three rounds unrolled as CTEs.
+# ---------------------------------------------------------------------------
+_LP_EDGES_CTE = """
+    WITH flow AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY cn.n_name, sn.n_name),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM flow),
+    e AS (SELECT src, dst FROM ranked WHERE rn <= 2),
+    adj AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL SELECT dst AS u, src AS v FROM e) z
+      WHERE u <> v),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj)"""
+
+_LP_ROUND = """
+    l{i} AS (
+      SELECT p.node,
+             LEAST(p.lbl, COALESCE(MIN(q.lbl), p.lbl)) AS lbl
+      FROM l{j} p
+      LEFT JOIN adj a ON a.u = p.node
+      LEFT JOIN l{j} q ON q.node = a.v
+      GROUP BY p.node, p.lbl)"""
+
+
+@query(
+    "gr_label_prop",
+    _LP_EDGES_CTE
+    + ","
+    + ",".join(_LP_ROUND.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT node, lbl AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+    FROM l3 ORDER BY node
+    """,
+)
+def gr_label_prop(spark, sf_dir):
+    """Trade-graph communities after 3 min-label rounds. The heavy 5-way
+    fact join is the same broadcast-dim plan as gr_pagerank_trade; the
+    propagation rounds touch only the ~50-row edge list (one node-keyed
+    shuffle per round at any graph size)."""
+    from ..operators.graph import label_propagation_min
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    lbl = label_propagation_min(e, iterations=3)
+    return lbl.withColumn(
+        "community_size",
+        F.count(F.lit(1)).over(Window.partitionBy("community")).cast("bigint"),
+    ).orderBy("node")

@@ -3979,3 +3979,113 @@ def st_sliding_1h_15m(spark, sf_dir):
         t(spark, sf_dir, "events"), "ts", "1 hour", "15 minutes",
         ["event_type"], watermark=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# ML: Weight of Evidence + Information Value of event_type against the
+# next-day-up label (ml/evaluate.py:woe_iv) — the categorical-relevance
+# pre-screen next to the AUC/lift/calibration eval surface.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_woe_iv",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    feat AS (
+      SELECT event_type,
+             CASE WHEN LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) > cnt
+                  THEN 1.0 ELSE 0.0 END AS y,
+             LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+      FROM daily),
+    f AS (SELECT event_type, y FROM feat WHERE nxt IS NOT NULL),
+    per AS (
+      SELECT event_type AS category,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM f GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p, CAST(SUM(n_neg) AS BIGINT) AS n FROM per),
+    j AS (
+      SELECT category, n_pos, n_neg,
+             CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN LN((n_pos * 1.0 / tot.p) / (n_neg * 1.0 / tot.n)) END AS woe_raw,
+             ROUND((n_pos * 1.0 / tot.p - n_neg * 1.0 / tot.n)
+                   * (CASE WHEN n_pos > 0 AND n_neg > 0
+                           THEN LN((n_pos * 1.0 / tot.p) / (n_neg * 1.0 / tot.n)) END),
+                   8) AS contrib
+      FROM per CROSS JOIN tot)
+    SELECT category, n_pos, n_neg,
+           ROUND(woe_raw, 6) AS woe,
+           ROUND(CAST((SELECT SUM(CAST(contrib AS DECIMAL(28,8))) FROM j) AS DOUBLE), 6) AS iv
+    FROM j ORDER BY category
+    """,
+)
+def ml_woe_iv(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..ml.evaluate import woe_iv
+
+    e = t(spark, sf_dir, "events")
+    # daily_count_features drops the type column, so rebuild the
+    # (event_type, y) frame at daily grain with the type kept
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    f = (
+        daily.withColumn("nxt", F.lead("cnt").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.col("nxt") > F.col("cnt"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        )
+    )
+    return woe_iv(f, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# ML: exact average precision (PR-AUC, step interpolation) of the fixed
+# linear scorer — integer-domain companion to ml_auc_ranksum
+# (ml/evaluate.py:average_precision): every per-threshold term is a
+# bigint floor division, so no float association can move the sum.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_pr_auc",
+    _SCORED_CTE
+    + """,
+    per AS (
+      SELECT score,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM scored GROUP BY score),
+    cum AS (
+      SELECT pos,
+             SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             SUM(pos + neg) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+      FROM per),
+    tot AS (
+      SELECT CAST(MAX(cum_pos) AS BIGINT) AS n_pos,
+             CAST(MAX(cum_n - cum_pos) AS BIGINT) AS n_neg,
+             CAST(SUM((pos * cum_pos * CAST(1000000000000 AS BIGINT)) // cum_n)
+                  AS BIGINT) AS s
+      FROM cum)
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0
+                THEN (s // (n_pos * CAST(1000000 AS BIGINT))) / 1000000.0
+           END AS avg_precision
+    FROM tot
+    """,
+)
+def ml_pr_auc(spark, sf_dir):
+    """Average precision of the fixed linear scorer on the daily feature
+    frame: one corpus-rate hash-agg to per-distinct-score counts, a
+    cumulative window over the score-band frame, per-threshold terms as
+    bigint floor divisions (``pos·cum_pos·1e12 div cum_n``) summed
+    exactly, and a final floor-to-ppm — bit-identical in any engine."""
+    from ..ml.evaluate import average_precision, score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    return average_precision(score_linear(daily_count_features(e)))

@@ -77,3 +77,53 @@ def test_score_linear_is_6dp_sigmoid(spark):
     # sigmoid(-1.0) = 0.268941...
     assert r["score"] == 0.268941
     assert set(r.asDict()) == {"score", "x1", "x2", "y"}
+
+
+def test_woe_iv_hand_computed(spark):
+    from emdatapipelines_spark.ml.evaluate import woe_iv
+
+    # category a: 3 pos / 1 neg; category b: 1 pos / 3 neg; P = N = 4
+    # WOE_a = ln((3/4)/(1/4)) = ln 3; WOE_b = ln((1/4)/(3/4)) = -ln 3
+    # IV = (3/4-1/4)*ln3 + (1/4-3/4)*(-ln3) = ln 3 ≈ 1.098612
+    rows = [("a", 1.0)] * 3 + [("a", 0.0)] + [("b", 1.0)] + [("b", 0.0)] * 3
+    out = {r["category"]: r for r in woe_iv(
+        spark.createDataFrame(rows, "category string, y double"), "category"
+    ).collect()}
+    assert abs(out["a"]["woe"] - 1.098612) < 1e-5
+    assert abs(out["b"]["woe"] + 1.098612) < 1e-5
+    assert abs(out["a"]["iv"] - 1.098612) < 1e-5
+
+
+def test_woe_zero_cell_is_null_and_skipped_in_iv(spark):
+    from emdatapipelines_spark.ml.evaluate import woe_iv
+
+    rows = [("pure", 1.0)] * 2 + [("mixed", 1.0), ("mixed", 0.0), ("mixed", 0.0)]
+    out = {r["category"]: r for r in woe_iv(
+        spark.createDataFrame(rows, "category string, y double"), "category"
+    ).collect()}
+    assert out["pure"]["woe"] is None
+    assert out["mixed"]["iv"] is not None  # IV still defined from mixed cell
+
+
+def test_average_precision_hand_computed(spark):
+    from emdatapipelines_spark.ml.evaluate import average_precision
+
+    # scores desc: 0.9(+), 0.8(-), 0.7(+), 0.6(-)
+    # AP = 1/2 * (1*1/1 + 1*2/3) = 0.833333 (floored at ppm)
+    rows = [(0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 0.0)]
+    r = average_precision(
+        spark.createDataFrame(rows, "score double, y double")
+    ).collect()[0]
+    assert r["n_pos"] == 2 and r["n_neg"] == 2
+    assert abs(r["avg_precision"] - 0.833333) < 2e-6
+
+
+def test_average_precision_tied_scores_atomic_block(spark):
+    from emdatapipelines_spark.ml.evaluate import average_precision
+
+    # one score block: 2 pos + 2 neg tied -> precision 0.5 for all mass
+    rows = [(0.5, 1.0), (0.5, 1.0), (0.5, 0.0), (0.5, 0.0)]
+    r = average_precision(
+        spark.createDataFrame(rows, "score double, y double")
+    ).collect()[0]
+    assert abs(r["avg_precision"] - 0.5) < 2e-6

@@ -99,6 +99,7 @@ BNLJ_ALLOWED = {
     # cross of two tiny margin frames) + 1-row stat broadcasts
     "q14_chi2_independence",
     "a32_mutual_information",
+    "ml_woe_iv",  # 1-row P/N totals broadcast onto the category frame
 }
 
 

@@ -691,3 +691,31 @@ def zipf_fit(vocab: DataFrame, cf_col: str = "cf", term_col: str = "term", top_n
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
         F.round((num * num) / (den * deny), 6).alias("r2"),
     )
+
+
+def flesch_reading_ease(col="text") -> Column:
+    """Flesch reading-ease proxy, fully column-expression (zero UDF):
+
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``
+
+    with words = whitespace tokens, sentences = runs of ``[.!?]``
+    (floored at 1 so fragments still score), syllables ≈ runs of
+    ``[aeiouy]`` in the lowercased text — the standard vowel-group
+    approximation (exact syllabification needs a dictionary; the
+    approximation is monotone-consistent for ranking/filtering, which is
+    what a corpus-quality cut needs). NULL when the text has no words.
+    Every operation is an exact integer count followed by one fixed
+    IEEE expression, so any engine computes the identical double.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(col)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"([.!?]+)"), 1)), F.lit(1)
+    )
+    syllables = F.size(F.regexp_extract_all(F.lower(c), F.lit(r"([aeiouy]+)"), 1))
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+    )

@@ -425,3 +425,56 @@ def rolling_median(
     ).otherwise(
         (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / F.lit(2.0)
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    partition_cols: list[str],
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Merge overlapping/touching intervals per partition — the
+    gaps-and-islands form for RANGES (the point-event form is
+    w8's day-index islands): an interval starts a new island iff its
+    start exceeds the running max of all previous ends; the island id is
+    the cumulative count of such starts.
+
+    Returns one row per merged island: partition cols, ``island_start``,
+    ``island_end`` (min start / max end in the island), ``n_merged``.
+
+    Two window passes + one hash-agg, all over the SAME partition keys —
+    Catalyst reuses a single Exchange, so cost is one shuffle of the
+    interval frame regardless of corpus size (per-key history must fit a
+    task, the usual sessionize contract; salt long-lived keys upstream
+    if a single key's intervals exceed a partition). Numeric or date
+    interval bounds both work; ``order_tiebreak`` makes the running
+    order total so results are engine-deterministic under tied starts.
+    """
+    order = [F.col(start_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w_prev = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max(F.col(end_col)).over(w_prev)
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_island = df.withColumn("__new", is_new).withColumn(
+        "__island", F.sum("__new").over(w_run)
+    )
+    return (
+        with_island.groupBy(*partition_cols, "__island")
+        .agg(
+            F.min(start_col).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        )
+        .drop("__island")
+    )

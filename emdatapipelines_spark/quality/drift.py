@@ -54,3 +54,63 @@ def _whole():
     from pyspark.sql import Window
 
     return Window.partitionBy()
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: Column | str,
+    group_expr: Column,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the rows where
+    ``group_expr`` is true (sample 1) and false (sample 2):
+    ``D = max_v |F1(v) - F2(v)|`` over the pooled distinct values.
+
+    Everything up to the final division stays in the INTEGER domain:
+    per-distinct-value counts (the only corpus-rate pass, a map-side
+    combined hash-agg), cumulative counts over the distinct-VALUE frame,
+    and the scaled gap ``|k1·n2 - k2·n1|`` as an exact bigint — so the
+    argmax row is engine-deterministic (ties broken by smallest value)
+    and ``D = gap/(n1·n2)`` is one IEEE division. The unpartitioned
+    window runs on the distinct-value frame only; use a discretized or
+    naturally low-cardinality measure (here: 50 quantity levels) so that
+    frame stays metadata-rate at any corpus size.
+
+    Returns one row: (n1, n2, at_value, ks_d).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    per = df.groupBy(v.alias("v")).agg(
+        F.sum(F.when(group_expr, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(group_expr, F.lit(0)).otherwise(F.lit(1)))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    tot = cum.agg(
+        F.max("k1").cast("bigint").alias("n1"),
+        F.max("k2").cast("bigint").alias("n2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.col("v").cast("double").alias("at_value"),
+        F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")).alias("__dn"),
+    )
+    return (
+        d.orderBy(F.desc("__dn"), F.asc("at_value"))
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            "at_value",
+            (F.col("__dn").cast("double") / (F.col("n1").cast("double") * F.col("n2").cast("double"))).alias("ks_d"),
+        )
+    )

@@ -4089,3 +4089,50 @@ def ml_pr_auc(spark, sf_dir):
 
     e = t(spark, sf_dir, "events")
     return average_precision(score_linear(daily_count_features(e)))
+
+
+# ---------------------------------------------------------------------------
+# Text: Flesch reading-ease proxy per document (llmdata/text.py:
+# flesch_reading_ease) — the readability axis of the quality surface
+# next to tx_quality/tx_gopher_rules; vowel-group syllable approximation,
+# zero UDF, one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_readability",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH({_NORM_SQL}) = 0 THEN 0
+                  ELSE len(string_split({_NORM_SQL}, ' ')) END AS words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      FROM documents)
+    SELECT doc_id, CAST(words AS INT) AS words,
+           CAST(sentences AS INT) AS sentences,
+           CAST(syllables AS INT) AS syllables,
+           CASE WHEN words > 0
+                THEN 206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words)
+           END AS flesch
+    FROM base ORDER BY doc_id
+    """,
+)
+def tx_readability(spark, sf_dir):
+    """Per-doc Flesch reading ease: integer word/sentence/vowel-group
+    counts via codegen regex, one fixed IEEE expression — map-only, no
+    shuffle beyond the final presentation sort."""
+    from ..llmdata.text import flesch_reading_ease, token_count
+
+    d = t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count("text").cast("int").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(c, F.lit(r"([.!?]+)"), 1)), F.lit(1)
+        ).cast("int").alias("sentences"),
+        F.size(F.regexp_extract_all(F.lower(c), F.lit(r"([aeiouy]+)"), 1))
+        .cast("int")
+        .alias("syllables"),
+        flesch_reading_ease("text").alias("flesch"),
+    ).orderBy("doc_id")

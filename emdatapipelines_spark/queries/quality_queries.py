@@ -571,3 +571,47 @@ def a32_mutual_information(spark, sf_dir):
         "event_type",
         "dow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (quality/drift.py:ks_two_sample):
+# returned vs accepted lineitems compared on the 50-level quantity
+# distribution — the distributional companion to q11's PSI. Integer-domain
+# gap |k1*n2 - k2*n1| makes the argmax engine-deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_ks_test",
+    """
+    WITH per AS (
+      SELECT l_quantity AS v,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A')
+      GROUP BY 1),
+    cum AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k2
+      FROM per),
+    d AS (
+      SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+             CAST(v AS DOUBLE) AS at_value,
+             CAST(ABS(k1 * t.n2 - k2 * t.n1) AS BIGINT) AS dn
+      FROM cum CROSS JOIN (SELECT MAX(k1) AS n1, MAX(k2) AS n2 FROM cum) t)
+    SELECT n1, n2, at_value,
+           CAST(dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+    FROM d ORDER BY dn DESC, at_value LIMIT 1
+    """,
+)
+def q15_ks_test(spark, sf_dir):
+    """KS statistic between returned ('R') and accepted ('A') lineitem
+    quantity distributions: one corpus-rate hash-agg to the 50-row
+    distinct-value frame, cumulative window + bigint gap there, one row
+    out."""
+    from ..quality.drift import ks_two_sample
+
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "A"))
+    return ks_two_sample(l, "l_quantity", F.col("l_returnflag") == "R")

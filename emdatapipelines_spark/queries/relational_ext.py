@@ -1460,3 +1460,75 @@ def j14_attribution(spark, sf_dir):
     from ..operators.joins import touch_attribution
 
     return touch_attribution(t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval coalescing (operators/windows.py:coalesce_intervals):
+# each event opens a 30-minute activity interval; merge overlaps per type
+# into maximal islands — the range form of gaps-and-islands (w8 is the
+# point form, w6 the gap-timeout form). All bounds in epoch microseconds
+# (bigint) so island extents are exact integers in any engine.
+# ---------------------------------------------------------------------------
+@query(
+    "j15_interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT event_type, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e
+      FROM events),
+    m AS (
+      SELECT event_type, s, e,
+             MAX(e) OVER (PARTITION BY event_type ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme,
+             CASE WHEN MAX(e) OVER (PARTITION BY event_type ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY event_type ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw,
+             event_id
+      FROM iv),
+    isl AS (
+      SELECT event_type, s, e,
+             SUM(nw) OVER (PARTITION BY event_type ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m),
+    merged AS (
+      SELECT event_type, island, MIN(s) AS island_start, MAX(e) AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS n_merged
+      FROM isl GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(n_merged) AS BIGINT) AS n_events,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+           CAST(MAX(n_merged) AS BIGINT) AS max_island_events
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+)
+def j15_interval_coalesce(spark, sf_dir):
+    """Merge each type's 30-minute event intervals into maximal islands,
+    then roll up island count, total covered time, and the largest
+    island. One event_type-keyed shuffle feeds both window passes and
+    the island agg (Exchange reuse); bounds stay bigint microseconds so
+    coverage sums are exact."""
+    from ..operators.windows import coalesce_intervals
+
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.lit(1800000000).cast("bigint")).alias("e"),
+    )
+    merged = coalesce_intervals(
+        iv, "s", "e", ["event_type"], order_tiebreak=["event_id"]
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum("n_merged").cast("bigint").alias("n_events"),
+            F.sum(F.col("island_end") - F.col("island_start")).cast("bigint").alias("covered_us"),
+            F.max("n_merged").cast("bigint").alias("max_island_events"),
+        )
+        .orderBy("event_type")
+    )

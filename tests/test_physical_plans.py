@@ -100,6 +100,7 @@ BNLJ_ALLOWED = {
     "q14_chi2_independence",
     "a32_mutual_information",
     "ml_woe_iv",  # 1-row P/N totals broadcast onto the category frame
+    "q15_ks_test",  # 1-row (n1, n2) totals broadcast onto the 50-value frame
 }
 
 

@@ -1580,3 +1580,91 @@ def gr_label_prop(spark, sf_dir):
         "community_size",
         F.count(F.lit(1)).over(Window.partitionBy("community")).cast("bigint"),
     ).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the sparse trade graph: Pearson correlation of
+# endpoint degrees over the symmetrized edge list (each undirected edge
+# contributes both orientations — the standard simplification of Newman
+# 2002's remaining-degree coefficient). Integer moments in bigint; the
+# only float ops are the final sqrt/divide.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_degree_assortativity",
+    _LP_EDGES_CTE
+    + """,
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj a JOIN deg du ON du.node = a.u JOIN deg dv ON dv.node = a.v),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs)
+    SELECT n AS n_directed_edges,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS assortativity
+    FROM m
+    """,
+)
+def gr_degree_assortativity(spark, sf_dir):
+    """Do high-degree nations trade with high-degree nations? Heavy work
+    is the same 5-way broadcast-dim fact join every gr_* query shares;
+    the degree join and moment agg run on the ~50-row edge frame. At any
+    graph size this is |edges| rows through two node-keyed broadcast-able
+    joins + one scalar agg."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    adj = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    pairs = (
+        adj.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "x"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "y"), "v")
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("assortativity"),
+    )

@@ -4136,3 +4136,172 @@ def tx_readability(spark, sf_dir):
         .alias("syllables"),
         flesch_reading_ease("text").alias("flesch"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# retrieval: NDCG@10 of the BM25 ranking against a term-coverage relevance
+# label (rel = distinct query terms present in the doc). The position
+# discounts 1/log2(rank+1) are baked in as exact ppb-integer LITERALS
+# (rank ≤ 10 ⇒ ten constants), so both discounted sums are exact bigints
+# — no transcendental evaluation can diverge between engines (Java
+# Math.log and C libm differ by 1 ulp at ln 3, measured on this fixture).
+# ---------------------------------------------------------------------------
+#: round(1e9 * ln2/ln(k+1)) for k = 1..10 — the NDCG discount ladder.
+_NDCG_W_PPB = [
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+]
+
+
+@query(
+    "rag_ndcg",
+    f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    q AS (SELECT UNNEST(['hash', 'join', 'spark', 'dup']) AS term),
+    matched AS (SELECT tf.* FROM tf JOIN q USING (term)),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM matched GROUP BY term),
+    contrib AS (
+      SELECT m.doc_id, m.term,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * m.tf * (1.2 + 1.0)
+               / (m.tf + 1.2 * (0.25 + 0.75 * l.dl / (s.sum_dl * 1.0 / s.n_docs))) AS c
+      FROM matched m JOIN dfreq d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             ROUND(list_reduce(
+               list_transform(list_sort(list(struct_pack(term := term, c := c))), x -> x.c),
+               (a, b) -> a + b), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS rel
+      FROM contrib GROUP BY doc_id),
+    w(rnk, ppb) AS (VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_NDCG_W_PPB))}),
+    topk AS (
+      SELECT doc_id, rel,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= 10),
+    dcg AS (
+      SELECT CAST(SUM(t.rel * w.ppb) AS BIGINT) AS v,
+             CAST(SUM(t.rel) AS BIGINT) AS rel_in_topk
+      FROM topk t JOIN w ON w.rnk = t.rnk),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rnk
+      FROM scored QUALIFY rnk <= 10),
+    idcg AS (
+      SELECT CAST(SUM(i.rel * w.ppb) AS BIGINT) AS v
+      FROM ideal i JOIN w ON w.rnk = i.rnk)
+    SELECT dcg.v AS dcg_ppb, idcg.v AS idcg_ppb,
+           CAST(dcg.v AS DOUBLE) / idcg.v AS ndcg_at_10, dcg.rel_in_topk
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def rag_ndcg(spark, sf_dir):
+    """NDCG@10 of BM25: the ranking comes from the oracle-proven
+    bm25_topk operator (WindowGroupLimit-bounded top-10); relevance is
+    ranker-independent (distinct query terms per doc), and its ideal
+    top-10 is likewise a rank-filtered window. Discounted gains are
+    Σ rel·w_ppb in exact bigint (w = the ppb discount ladder above);
+    the only float op is the final NDCG division."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm, bm25_topk
+
+    d = t(spark, sf_dir, "documents")
+    terms = ["hash", "join", "spark", "dup"]
+    w_arr = F.array(*[F.lit(v).cast("bigint") for v in _NDCG_W_PPB])
+    topk = bm25_topk(d, terms, k=10).select(
+        F.col("n_terms_matched").cast("bigint").alias("rel"),
+        F.col("rank").alias("rnk"),
+    )
+    rel_all = (
+        d.select("doc_id", F.explode(F.split(_norm("text"), " ")).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    gain = lambda df: F.sum(  # noqa: E731
+        F.col("rel") * F.element_at(w_arr, F.col("rnk").cast("int"))
+    ).cast("bigint")
+    dcg = topk.agg(
+        gain(topk).alias("dcg_ppb"),
+        F.sum("rel").cast("bigint").alias("rel_in_topk"),
+    )
+    ideal = rel_all.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id"))),
+    ).filter(F.col("rnk") <= 10)
+    idcg = ideal.agg(gain(ideal).alias("idcg_ppb"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_ppb",
+        "idcg_ppb",
+        (F.col("dcg_ppb").cast("double") / F.col("idcg_ppb")).alias("ndcg_at_10"),
+        "rel_in_topk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML: confusion matrix + precision/recall/F1 at a threshold ladder over
+# the fixed linear scorer — the operating-point companion to the
+# threshold-free ml_auc_ranksum/ml_pr_auc. Counts are bigints; each
+# emitted metric is ONE integer-ratio division (F1 via 2tp/(2tp+fp+fn)),
+# so nothing depends on float association.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_confusion_thresholds",
+    _SCORED_CTE
+    + """,
+    th(threshold) AS (VALUES (0.3), (0.5), (0.7)),
+    cm AS (
+      SELECT th.threshold,
+             CAST(SUM(CASE WHEN score >= th.threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score >= th.threshold AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score < th.threshold AND y <> 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(SUM(CASE WHEN score < th.threshold AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM scored CROSS JOIN th GROUP BY th.threshold)
+    SELECT threshold, tp, fp, tn, fn,
+           CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec_at,
+           CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall_at,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1_at
+    FROM cm ORDER BY threshold
+    """,
+)
+def ml_confusion_thresholds(spark, sf_dir):
+    """Confusion counts + P/R/F1 at thresholds {0.3, 0.5, 0.7}: the
+    scored frame is hit once, the threshold fan-out is an explode over
+    three literals (stays in codegen — no join), and the rollup is one
+    hash-agg keyed by threshold."""
+    from ..ml.evaluate import score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    scored = score_linear(daily_count_features(e))
+    fan = scored.withColumn(
+        "threshold", F.explode(F.array(F.lit(0.3), F.lit(0.5), F.lit(0.7)))
+    )
+    hit = F.col("score") >= F.col("threshold")
+    pos = F.col("y") == 1.0
+    cm = fan.groupBy("threshold").agg(
+        F.sum(F.when(hit & pos, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(hit & ~pos, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(~hit & ~pos, 1).otherwise(0)).cast("bigint").alias("tn"),
+        F.sum(F.when(~hit & pos, 1).otherwise(0)).cast("bigint").alias("fn"),
+    )
+    return cm.select(
+        "threshold",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("prec_at"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall_at"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+               (2 * F.col("tp")).cast("double")
+               / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1_at"),
+    ).orderBy("threshold")

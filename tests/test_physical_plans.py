@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "a32_mutual_information",
     "ml_woe_iv",  # 1-row P/N totals broadcast onto the category frame
     "q15_ks_test",  # 1-row (n1, n2) totals broadcast onto the 50-value frame
+    "rag_ndcg",  # BM25's 1-row stats crossJoins + the 1-row DCG x IDCG join
 }
 
 

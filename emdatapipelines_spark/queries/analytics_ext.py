@@ -1668,3 +1668,106 @@ def gr_degree_assortativity(spark, sf_dir):
             num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation with FIXED band thresholds (the shuffle-free
+# form: a global NTILE would funnel a billion-customer frame through one
+# sort at 100 TB — fixed business bands score each customer map-side
+# after the per-customer rollup, the same reasoning as ml_risk_bands).
+# Anchor date pinned so recency is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "a34_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             datediff('day', MAX(o_orderdate), DATE '1998-08-01') AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN rec_days <= 90 THEN 5 WHEN rec_days <= 365 THEN 4
+                  WHEN rec_days <= 730 THEN 3 WHEN rec_days <= 1460 THEN 2
+                  ELSE 1 END AS r_band,
+             CASE WHEN freq >= 30 THEN 5 WHEN freq >= 20 THEN 4
+                  WHEN freq >= 10 THEN 3 WHEN freq >= 5 THEN 2
+                  ELSE 1 END AS f_band,
+             CASE WHEN mon >= 3000000 THEN 5 WHEN mon >= 1500000 THEN 4
+                  WHEN mon >= 750000 THEN 3 WHEN mon >= 250000 THEN 2
+                  ELSE 1 END AS m_band,
+             freq, mon
+      FROM rfm),
+    seg AS (
+      SELECT o_custkey, r_band, f_band, m_band, freq, mon,
+             CASE WHEN r_band >= 4 AND f_band >= 4 AND m_band >= 4 THEN 'CHAMPION'
+                  WHEN r_band >= 4 AND f_band >= 3 THEN 'LOYAL'
+                  WHEN r_band >= 4 THEN 'RECENT'
+                  WHEN f_band >= 4 THEN 'AT_RISK_HIGH_VALUE'
+                  WHEN r_band <= 2 AND f_band <= 2 THEN 'HIBERNATING'
+                  ELSE 'NEEDS_ATTENTION' END AS segment
+      FROM scored)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(freq) AS BIGINT) AS total_orders,
+           CAST(CAST(SUM(mon) AS DECIMAL(28,2)) AS DOUBLE) AS total_monetary,
+           CAST(MIN(r_band) AS INT) AS min_r, CAST(MAX(r_band) AS INT) AS max_r
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def a34_rfm_segments(spark, sf_dir):
+    """Per-customer recency/frequency/monetary rollup (one custkey
+    hash-agg over orders), fixed-threshold band scoring (map-side CASE,
+    no global sort), segment CASE ladder, and a segment-keyed rollup.
+    Monetary stays decimal end-to-end."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("1998-08-01").cast("date"), F.max("o_orderdate")).alias("rec_days"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"),
+    )
+    r_band = (
+        F.when(F.col("rec_days") <= 90, 5)
+        .when(F.col("rec_days") <= 365, 4)
+        .when(F.col("rec_days") <= 730, 3)
+        .when(F.col("rec_days") <= 1460, 2)
+        .otherwise(1)
+    )
+    f_band = (
+        F.when(F.col("freq") >= 30, 5)
+        .when(F.col("freq") >= 20, 4)
+        .when(F.col("freq") >= 10, 3)
+        .when(F.col("freq") >= 5, 2)
+        .otherwise(1)
+    )
+    m_band = (
+        F.when(F.col("mon") >= 3000000, 5)
+        .when(F.col("mon") >= 1500000, 4)
+        .when(F.col("mon") >= 750000, 3)
+        .when(F.col("mon") >= 250000, 2)
+        .otherwise(1)
+    )
+    scored = rfm.select(
+        "freq", "mon", r_band.alias("r_band"), f_band.alias("f_band"), m_band.alias("m_band")
+    )
+    segment = (
+        F.when((F.col("r_band") >= 4) & (F.col("f_band") >= 4) & (F.col("m_band") >= 4), "CHAMPION")
+        .when((F.col("r_band") >= 4) & (F.col("f_band") >= 3), "LOYAL")
+        .when(F.col("r_band") >= 4, "RECENT")
+        .when(F.col("f_band") >= 4, "AT_RISK_HIGH_VALUE")
+        .when((F.col("r_band") <= 2) & (F.col("f_band") <= 2), "HIBERNATING")
+        .otherwise("NEEDS_ATTENTION")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("freq").cast("bigint").alias("total_orders"),
+            F.sum("mon").cast("decimal(28,2)").cast("double").alias("total_monetary"),
+            F.min("r_band").cast("int").alias("min_r"),
+            F.max("r_band").cast("int").alias("max_r"),
+        )
+        .orderBy("segment")
+    )

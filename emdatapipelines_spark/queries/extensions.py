@@ -4305,3 +4305,64 @@ def ml_confusion_thresholds(spark, sf_dir):
                (2 * F.col("tp")).cast("double")
                / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1_at"),
     ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# LM: out-of-vocabulary rate of a held-out split against the training
+# split's vocabulary — the train/eval hygiene stat every tokenizer/LM
+# pipeline reports (and the cheap leak detector: an implausibly LOW OOV
+# rate flags split contamination). Split = doc_id mod 10 (8/2), the same
+# hash-split convention as llm_kfold_split.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_oov_rate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    vocab AS (
+      SELECT DISTINCT term FROM toks WHERE doc_id % 10 < 8),
+    held AS (SELECT lang, term FROM toks WHERE doc_id % 10 >= 8),
+    flags AS (
+      SELECT h.lang, h.term, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM held h LEFT JOIN vocab v ON v.term = h.term)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN term END) AS BIGINT) AS n_distinct_oov,
+           CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM flags GROUP BY lang ORDER BY lang
+    """,
+)
+def lm_oov_rate(spark, sf_dir):
+    """Held-out OOV per language: train tokens collapse to a distinct
+    vocab (hash-agg), held-out tokens left-join it on the term key (AQE
+    picks shuffle vs broadcast by vocab size), then one lang-keyed
+    rollup; the rate is a single integer-ratio division."""
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(_norm("text"), " ")).alias("term")
+    )
+    vocab = (
+        toks.filter(F.col("doc_id") % 10 < 8).select("term").distinct()
+        .withColumn("__in_vocab", F.lit(1))
+    )
+    held = toks.filter(F.col("doc_id") % 10 >= 8)
+    flags = held.join(vocab, "term", "left").select(
+        "lang",
+        "term",
+        F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("oov") == 1, F.col("term"))
+            ).cast("bigint").alias("n_distinct_oov"),
+            (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -1771,3 +1771,80 @@ def a34_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-horizon closeness centrality: Σ 1/min_hops over nodes reachable
+# in ≤3 hops (harmonic closeness truncated at the BFS depth — the form
+# that stays computable with k frontier joins at any graph size). The
+# reciprocal sum is kept EXACT by scaling to the lcm: hops ∈ {1,2,3} ⇒
+# 6/min_hops ∈ {6,3,2}, summed as bigint.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_closeness_k3",
+    """
+    WITH RECURSIVE flow AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY cn.n_name, sn.n_name),
+    ranked AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+      FROM flow),
+    e AS (SELECT src, dst FROM ranked WHERE rn <= 2),
+    hops(src, dst, h) AS (
+      SELECT src, dst, 1 FROM e
+      UNION ALL
+      SELECT hops.src, e.dst, hops.h + 1
+      FROM hops JOIN e ON hops.dst = e.src
+      WHERE hops.h < 3),
+    mh AS (SELECT src, dst, MIN(h) AS min_hops FROM hops GROUP BY src, dst)
+    SELECT src AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(SUM(6 // min_hops) AS BIGINT) AS closeness_x6
+    FROM mh GROUP BY src ORDER BY node
+    """,
+)
+def gr_closeness_k3(spark, sf_dir):
+    """Truncated harmonic closeness over the sparse trade graph: reuses
+    the khop_min_hops unrolled BFS (operators/graph.py), then one
+    src-keyed rollup of the lcm-scaled reciprocals — everything after
+    the shared 5-way fact join touches only the ~50-row edge closure."""
+    from ..operators.graph import khop_min_hops
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    mh = khop_min_hops(e, "src", "dst", k=3)
+    return (
+        mh.groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
+            F.sum(F.expr("6 div min_hops")).cast("bigint").alias("closeness_x6"),
+        )
+        .orderBy("node")
+    )

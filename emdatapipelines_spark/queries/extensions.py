@@ -4366,3 +4366,152 @@ def lm_oov_rate(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: weighted priority sampling (Ohlsson sequential Poisson / Duffield-
+# Lund-Thorup priority sampling): inclusion priority = u/w with u a
+# deterministic md5-derived uniform and w = n_chars, keep the k smallest.
+# Longer docs get proportionally higher selection odds — the
+# length-weighted corpus draw next to llm_stratified_k's equal-rate one.
+# u = (13 md5 hex digits)/2^52 is EXACT in double arithmetic, so the
+# ranking is reproducible bit-for-bit in any engine — no RNG state, no
+# transcendental keys (pow/ln A-ES keys can flip on 1-ulp libm gaps).
+# ---------------------------------------------------------------------------
+@query(
+    "llm_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                        range(1, 14)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 13 - p[2])))
+               / 4503599627370496.0 AS u
+      FROM documents),
+    pri AS (
+      SELECT doc_id, weight, u / weight AS priority FROM keyed)
+    SELECT doc_id, weight, priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INT) AS rank
+    FROM pri
+    QUALIFY rank <= 50
+    """,
+)
+def llm_weighted_sample(spark, sf_dir):
+    """Top-50 priority sample, length-weighted. Map-only key derivation
+    (hex fold stays exact: every partial sum < 2^53), then a rank-filter
+    window Spark executes as WindowGroupLimit — per-partition partial
+    top-k, no global materialized sort."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    hexarr = F.array(*[F.lit(c) for c in "0123456789abcdef"])
+    hv = F.aggregate(
+        F.slice(F.split(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), ""), 1, 13),
+        F.lit(0.0),
+        lambda acc, c: acc * 16 + (F.array_position(hexarr, c) - 1),
+    )
+    pri = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (hv / F.lit(4503599627370496.0) / F.col("n_chars").cast("bigint")).alias("priority"),
+    )
+    w = Window.orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: top collocations — bigrams ranked by PMI. Since ln is monotone,
+# the ranking (and the emitted statistic) uses the RAW lift ratio
+# p(ab)/(p(a)p(b)) = (c_ab/M)·(N/c_a)·(N/c_b): exact integer counts
+# through a fixed-order chain of IEEE divisions — no transcendental, so
+# the ordering can never flip on a libm ulp. min-count floor 5.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_collocations",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    uni AS (SELECT UNNEST(tk) AS w FROM toks),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM toks),
+    bcnt AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM big GROUP BY bg HAVING COUNT(*) >= 5),
+    tot AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM big) AS n_big),
+    lifted AS (
+      SELECT b.bg AS bigram, b.c_ab, ca.c AS c_a, cb.c AS c_b,
+             (CAST(b.c_ab AS DOUBLE) / t.n_big)
+               * (CAST(t.n_uni AS DOUBLE) / ca.c)
+               * (CAST(t.n_uni AS DOUBLE) / cb.c) AS lift
+      FROM bcnt b
+      JOIN ucnt ca ON ca.w = string_split(b.bg, ' ')[1]
+      JOIN ucnt cb ON cb.w = string_split(b.bg, ' ')[2]
+      CROSS JOIN tot t)
+    SELECT bigram, c_ab, c_a, c_b, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, bigram) AS INT) AS rank
+    FROM lifted
+    QUALIFY rank <= 20
+    """,
+)
+def tx_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by lift. Corpus-rate passes are the
+    unigram and bigram hash-aggs (bigrams built with two shifted-slice
+    zip_withs, no per-window allocation); the lift join runs on the
+    min-count-floored bigram frame against the unigram counts (two
+    term-keyed joins AQE can broadcast), and the top-20 is a
+    WindowGroupLimit rank filter."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(_norm("text"), " ")
+    tk = d.select(toks.alias("tk"))
+    uni = tk.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    out_len = F.greatest(F.size(F.col("tk")) - 1, F.lit(0))
+    bg_arr = F.zip_with(
+        F.slice(F.col("tk"), 1, out_len),
+        F.slice(F.col("tk"), 2, out_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = tk.select(F.explode(bg_arr).alias("bg"))
+    bcnt = (
+        big.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni")).crossJoin(
+        big.agg(F.count(F.lit(1)).cast("bigint").alias("n_big"))
+    )
+    lifted = (
+        bcnt.withColumn("a_w", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("b_w", F.split(F.col("bg"), " ").getItem(1))
+        .join(ucnt.select(F.col("w").alias("a_w"), F.col("c").alias("c_a")), "a_w")
+        .join(ucnt.select(F.col("w").alias("b_w"), F.col("c").alias("c_b")), "b_w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            (
+                (F.col("c_ab").cast("double") / F.col("n_big"))
+                * (F.col("n_uni").cast("double") / F.col("c_a"))
+                * (F.col("n_uni").cast("double") / F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("bigram"))
+    return (
+        lifted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )

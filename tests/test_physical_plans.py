@@ -102,6 +102,7 @@ BNLJ_ALLOWED = {
     "ml_woe_iv",  # 1-row P/N totals broadcast onto the category frame
     "q15_ks_test",  # 1-row (n1, n2) totals broadcast onto the 50-value frame
     "rag_ndcg",  # BM25's 1-row stats crossJoins + the 1-row DCG x IDCG join
+    "tx_collocations",  # 1-row (n_uni, n_big) totals broadcast onto bigrams
 }
 
 

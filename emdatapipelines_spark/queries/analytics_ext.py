@@ -1848,3 +1848,113 @@ def gr_closeness_k3(spark, sf_dir):
         )
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly growth accounting (new / retained / resurrected / churned users
+# + quick ratio) — the standard product-analytics decomposition of user
+# movement, the companion mart to a20_retention_cohorts. All statuses
+# derive from ONE user-partitioned window pass over the distinct
+# (user, week) activity frame; churn is attributed to the week AFTER the
+# last active week, horizon-capped at the observed max week.
+# ---------------------------------------------------------------------------
+@query(
+    "a35_growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    seq AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM act),
+    horizon AS (SELECT MAX(wk) AS max_wk FROM act),
+    status AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_wk = wk - 7 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN wk <> first_wk AND (prev_wk IS NULL OR prev_wk < wk - 7)
+                  THEN 1 ELSE 0 END AS is_resurrected,
+             0 AS is_churned
+      FROM seq
+      UNION ALL
+      SELECT wk + 7 AS wk, 0, 0, 0, 1
+      FROM seq CROSS JOIN horizon
+      WHERE (next_wk IS NULL OR next_wk > wk + 7) AND wk + 7 <= horizon.max_wk)
+    SELECT wk,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_resurrected) AS BIGINT) AS n_resurrected,
+           CAST(SUM(is_churned) AS BIGINT) AS n_churned,
+           CASE WHEN SUM(is_churned) > 0
+                THEN CAST(SUM(is_new) + SUM(is_resurrected) AS DOUBLE) / SUM(is_churned)
+           END AS quick_ratio
+    FROM status GROUP BY wk ORDER BY wk
+    """,
+)
+def a35_growth_accounting(spark, sf_dir):
+    """New/retained/resurrected/churned per ISO week. Corpus-rate work:
+    the distinct (user, week) collapse; then lag/lead/min share one
+    user-partitioned sort (single Exchange), the churn branch re-keys
+    rows one week forward, and the rollup is week-keyed. Quick ratio =
+    (new + resurrected) / churned, one division."""
+    e = t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("wk")
+    w_all = Window.partitionBy("user_id")
+    seq = act.select(
+        "wk",
+        F.lag("wk").over(w_seq).alias("prev_wk"),
+        F.lead("wk").over(w_seq).alias("next_wk"),
+        F.min("wk").over(w_all).alias("first_wk"),
+    )
+    horizon = act.agg(F.max("wk").alias("max_wk"))
+    status = seq.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), 1).otherwise(0).alias("is_new"),
+        F.when(F.col("prev_wk") == F.date_sub(F.col("wk"), 7), 1)
+        .otherwise(0)
+        .alias("is_retained"),
+        F.when(
+            (F.col("wk") != F.col("first_wk"))
+            & (F.col("prev_wk").isNull() | (F.col("prev_wk") < F.date_sub(F.col("wk"), 7))),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_resurrected"),
+        F.lit(0).alias("is_churned"),
+    ).unionByName(
+        seq.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add(F.col("wk"), 7)))
+            & (F.date_add(F.col("wk"), 7) <= F.col("max_wk"))
+        )
+        .select(
+            F.date_add(F.col("wk"), 7).alias("wk"),
+            F.lit(0).alias("is_new"),
+            F.lit(0).alias("is_retained"),
+            F.lit(0).alias("is_resurrected"),
+            F.lit(1).alias("is_churned"),
+        )
+    )
+    agg = status.groupBy("wk").agg(
+        F.sum("is_new").cast("bigint").alias("n_new"),
+        F.sum("is_retained").cast("bigint").alias("n_retained"),
+        F.sum("is_resurrected").cast("bigint").alias("n_resurrected"),
+        F.sum("is_churned").cast("bigint").alias("n_churned"),
+    )
+    return agg.select(
+        "wk",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churned",
+        F.when(
+            F.col("n_churned") > 0,
+            (F.col("n_new") + F.col("n_resurrected")).cast("double") / F.col("n_churned"),
+        ).alias("quick_ratio"),
+    ).orderBy("wk")

@@ -4515,3 +4515,73 @@ def tx_collocations(spark, sf_dir):
         lifted.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# text: term burstiness — variance-to-mean ratio (index of dispersion) of
+# per-document term counts over the WHOLE corpus (absent docs count as
+# zero, which leaves Σx and Σx² untouched — only N enters). Bursty terms
+# (VMR >> 1) are topical/content words; VMR ≈ 1 is Poisson background —
+# the Church-Gale burstiness signal used for keyword/stopword triage.
+# Integer moments; one final division.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_burstiness",
+    f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    m AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM tf GROUP BY term HAVING COUNT(*) >= 10),
+    scored AS (
+      SELECT term, df, sc AS total_count,
+             CAST(n.n_docs * scc - sc * sc AS DOUBLE) / (n.n_docs * sc) AS vmr
+      FROM m CROSS JOIN n)
+    SELECT term, df, total_count, vmr,
+           CAST(ROW_NUMBER() OVER (ORDER BY vmr DESC, term) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def tx_burstiness(spark, sf_dir):
+    """Top-20 burstiest terms (highest dispersion of per-doc counts).
+    Corpus-rate passes: token explode + (doc, term) hash-agg; the moment
+    rollup runs per term with a min-df floor, the 1-row doc count is
+    broadcast, and the top-20 is a WindowGroupLimit rank filter."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(_norm("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("sc"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("scc"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+    scored = m.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        F.col("sc").alias("total_count"),
+        (
+            (F.col("n_docs") * F.col("scc") - F.col("sc") * F.col("sc")).cast("double")
+            / (F.col("n_docs") * F.col("sc"))
+        ).alias("vmr"),
+    )
+    w = Window.orderBy(F.desc("vmr"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+    )

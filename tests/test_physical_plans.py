@@ -103,6 +103,8 @@ BNLJ_ALLOWED = {
     "q15_ks_test",  # 1-row (n1, n2) totals broadcast onto the 50-value frame
     "rag_ndcg",  # BM25's 1-row stats crossJoins + the 1-row DCG x IDCG join
     "tx_collocations",  # 1-row (n_uni, n_big) totals broadcast onto bigrams
+    "tx_burstiness",  # 1-row doc-count broadcast onto the term frame
+    "a35_growth_accounting",  # 1-row horizon max-week broadcast
 }
 
 

@@ -4585,3 +4585,170 @@ def tx_burstiness(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ops: multiwindow SLO burn-rate alerting (the Google-SRE fast+slow
+# window policy) over the same request log a27/a28 roll up: page when
+# BOTH the 24h and 7d error rates burn the 95%-availability budget
+# faster than their thresholds — the fast window catches the spike, the
+# slow window suppresses flappy pages. Counts bigint; each rate is one
+# division; burn = rate / 0.05 (exact double constant).
+# ---------------------------------------------------------------------------
+@query(
+    "a36_slo_burn",
+    f"""
+    WITH log AS ({_LOG_SQL}),
+    agg AS (
+      SELECT endpoint,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-31 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_fast,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-31 00:00:00' AND NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS err_fast,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' AND NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS err_slow
+      FROM log WHERE ts < TIMESTAMP '2024-02-01 00:00:00' GROUP BY endpoint),
+    rated AS (
+      SELECT endpoint, n_fast, err_fast, n_slow, err_slow,
+             CASE WHEN n_fast > 0 THEN CAST(err_fast AS DOUBLE) / n_fast END AS rate_fast,
+             CASE WHEN n_slow > 0 THEN CAST(err_slow AS DOUBLE) / n_slow END AS rate_slow
+      FROM agg)
+    SELECT endpoint, n_fast, err_fast, n_slow, err_slow,
+           rate_fast / 0.05 AS burn_fast,
+           rate_slow / 0.05 AS burn_slow,
+           COALESCE(rate_fast / 0.05 > 2.0 AND rate_slow / 0.05 > 1.0, FALSE) AS page
+    FROM rated ORDER BY endpoint
+    """,
+)
+def a36_slo_burn(spark, sf_dir):
+    """Fast (24h) + slow (7d) burn rates per endpoint at the pinned eval
+    instant: one conditional hash-agg over the log, map-side combined;
+    the alert predicate is pure column arithmetic."""
+    log = _request_log(spark, sf_dir)
+    fast0 = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    slow0 = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    agg = (
+        log.filter(F.col("ts") < now)
+        .groupBy("endpoint")
+        .agg(
+            F.sum(F.when(F.col("ts") >= fast0, 1).otherwise(0)).cast("bigint").alias("n_fast"),
+            F.sum(F.when((F.col("ts") >= fast0) & ~F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("err_fast"),
+            F.sum(F.when(F.col("ts") >= slow0, 1).otherwise(0)).cast("bigint").alias("n_slow"),
+            F.sum(F.when((F.col("ts") >= slow0) & ~F.col("ok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("err_slow"),
+        )
+    )
+    rate_fast = F.when(
+        F.col("n_fast") > 0, F.col("err_fast").cast("double") / F.col("n_fast")
+    )
+    rate_slow = F.when(
+        F.col("n_slow") > 0, F.col("err_slow").cast("double") / F.col("n_slow")
+    )
+    burn_fast = rate_fast / F.lit(0.05)
+    burn_slow = rate_slow / F.lit(0.05)
+    return agg.select(
+        "endpoint",
+        "n_fast",
+        "err_fast",
+        "n_slow",
+        "err_slow",
+        burn_fast.alias("burn_fast"),
+        burn_slow.alias("burn_slow"),
+        F.coalesce((burn_fast > 2.0) & (burn_slow > 1.0), F.lit(False)).alias("page"),
+    ).orderBy("endpoint")
+
+
+# ---------------------------------------------------------------------------
+# text: sequential filter-cascade attrition (the CCNet/RefinedWeb-style
+# funnel report): apply the quality rules IN ORDER and attribute each
+# kill to the FIRST rule that fires — the report a corpus curation run
+# publishes so rule tuning has per-stage evidence, built from the same
+# gopher signal expressions tx_gopher_rules proves. One codegen scan,
+# one 1-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_filter_funnel",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    sig AS (
+      SELECT doc_id, text, norm,
+             CASE WHEN length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS n_words,
+             string_split(norm, ' ') AS toks
+      FROM base),
+    ratios AS (
+      SELECT doc_id, n_words,
+             ROUND((length(norm) - greatest(n_words - 1, 0)) * 1.0
+                   / greatest(n_words, 1), 6) AS mean_word_len,
+             ROUND((length(regexp_replace(text, '[^#]', '', 'g'))
+                    + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))
+                   * 1.0 / greatest(n_words, 1), 6) AS symbol_ratio,
+             ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                   * 1.0 / greatest(n_words, 1), 6) AS alpha_word_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  w -> list_contains(toks, w))) AS INT) AS required_hits
+      FROM sig),
+    flags AS (
+      SELECT n_words BETWEEN 10 AND 100000 AS r1,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r2,
+             symbol_ratio <= 0.1 AS r3,
+             alpha_word_frac >= 0.8 AS r4,
+             required_hits >= 1 AS r5
+      FROM ratios)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS killed_wordcount,
+           CAST(SUM(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS killed_meanlen,
+           CAST(SUM(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS killed_symbol,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS killed_alpha,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS killed_required,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS survival_rate
+    FROM flags
+    """,
+)
+def tx_filter_funnel(spark, sf_dir):
+    """First-failing-rule attrition across the 5-stage quality cascade
+    (word count → mean word length → symbol ratio → alpha fraction →
+    required words), reusing gopher_rules' codegen signal expressions;
+    the whole funnel is one scan into a single-row conditional agg."""
+    from ..llmdata.text import gopher_rules
+
+    d = t(spark, sf_dir, "documents")
+    sig = gopher_rules("text", min_words=10, min_required_words=1)
+    flagged = d.select(
+        ((sig["n_words"] >= 10) & (sig["n_words"] <= 100000)).alias("r1"),
+        ((sig["mean_word_len"] >= 3.0) & (sig["mean_word_len"] <= 10.0)).alias("r2"),
+        (sig["symbol_ratio"] <= 0.1).alias("r3"),
+        (sig["alpha_word_frac"] >= 0.8).alias("r4"),
+        (sig["required_hits"] >= 1).alias("r5"),
+    )
+    surv = F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4") & F.col("r5")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(~F.col("r1"), 1).otherwise(0)).cast("bigint").alias("killed_wordcount"),
+        F.sum(F.when(F.col("r1") & ~F.col("r2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("killed_meanlen"),
+        F.sum(F.when(F.col("r1") & F.col("r2") & ~F.col("r3"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("killed_symbol"),
+        F.sum(F.when(F.col("r1") & F.col("r2") & F.col("r3") & ~F.col("r4"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("killed_alpha"),
+        F.sum(
+            F.when(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4") & ~F.col("r5"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("killed_required"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+        (
+            F.sum(F.when(surv, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+        ).alias("survival_rate"),
+    )

@@ -127,3 +127,43 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+def column_entropy(df: DataFrame, col: Column | str, name: str) -> DataFrame:
+    """Shannon entropy profile of one column: H = Σ −p·ln p over the
+    distinct-value frame, with cardinality, normalized entropy
+    H/ln(cardinality) (1 = uniform, 0 = constant), and the modal share.
+    The profiling signal schema-drift/anonymization monitors track per
+    column (a near-zero entropy column is constant or broken; a
+    max-entropy id-like column is a join key or a PII candidate).
+
+    Corpus-rate work is one hash-agg to value counts; every ln term is
+    rounded to 8 dp and summed in DECIMAL (the a32/q14 convention that
+    makes transcendental sums engine-exact); modal share is an integer
+    ratio.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    per = df.groupBy(c.alias("v")).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = per.agg(F.sum("cnt").cast("bigint").alias("n_tot"))
+    j = per.crossJoin(F.broadcast(tot))
+    p_v = F.col("cnt") / F.col("n_tot")
+    return j.agg(
+        F.lit(name).alias("column_name"),
+        F.max("n_tot").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("cardinality"),
+        F.round(_dsum8(-p_v * F.log(p_v)), 6).alias("entropy_nats"),
+        F.max("cnt").cast("bigint").alias("modal_count"),
+    ).select(
+        "column_name",
+        "n",
+        "cardinality",
+        "entropy_nats",
+        F.when(
+            F.col("cardinality") > 1,
+            F.round(
+                F.col("entropy_nats") / F.log(F.col("cardinality").cast("double")), 6
+            ),
+        ).alias("norm_entropy"),
+        (F.col("modal_count").cast("double") / F.col("n")).alias("modal_share"),
+    )
+

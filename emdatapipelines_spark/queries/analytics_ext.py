@@ -1958,3 +1958,63 @@ def a35_growth_accounting(spark, sf_dir):
             (F.col("n_new") + F.col("n_resurrected")).cast("double") / F.col("n_churned"),
         ).alias("quick_ratio"),
     ).orderBy("wk")
+
+
+# ---------------------------------------------------------------------------
+# Running-peak max drawdown of each type's daily cumulative value — the
+# largest peak-to-trough fall of the running total (the risk stat every
+# monitoring/finance mart carries). Daily sums land in the integer cent
+# domain (decimal → bigint cents) so running peak, trough, and drawdown
+# are exact integers at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "w15_max_drawdown",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, d,
+             SUM(cents) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      FROM daily),
+    dd AS (
+      SELECT event_type, d, bal,
+             MAX(bal) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cum)
+    SELECT event_type,
+           CAST(MAX(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(bal) AS BIGINT) AS final_peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dd GROUP BY event_type ORDER BY event_type
+    """,
+)
+def w15_max_drawdown(spark, sf_dir):
+    """Max drawdown per type: one daily hash-agg (corpus-rate), then two
+    stacked windows + the rollup all on the same event_type partitioning
+    (one Exchange, Catalyst reuses it). Cents stay bigint throughout."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        (F.sum(F.col("value").cast("decimal(28,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn("bal", F.sum("cents").over(w_run)).withColumn(
+        "peak", F.max("bal").over(w_run)
+    )
+    return (
+        dd.groupBy("event_type")
+        .agg(
+            F.max(F.col("peak") - F.col("bal")).cast("bigint").alias("max_drawdown_cents"),
+            F.max("bal").cast("bigint").alias("final_peak_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

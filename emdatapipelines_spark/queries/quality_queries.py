@@ -615,3 +615,63 @@ def q15_ks_test(spark, sf_dir):
 
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("R", "A"))
     return ks_two_sample(l, "l_quantity", F.col("l_returnflag") == "R")
+
+
+# ---------------------------------------------------------------------------
+# Per-column entropy profile (quality/stats.py:column_entropy): the
+# schema-health signal drift monitors track — constant columns (H→0),
+# id-like columns (norm H→1), and modal concentration, across four
+# representative columns of the events table.
+# ---------------------------------------------------------------------------
+_ENT_COL_SQL = """
+      SELECT '{name}' AS column_name,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS cardinality,
+             ROUND(CAST(SUM(CAST(ROUND(
+               -(cnt * 1.0 / t.n_tot) * LN(cnt * 1.0 / t.n_tot), 8)
+             AS DECIMAL(28,8))) AS DOUBLE), 6) AS entropy_nats,
+             CAST(MAX(cnt) AS BIGINT) AS modal_count
+      FROM (SELECT {expr} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1) p
+      CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM events) t
+      GROUP BY t.n_tot"""
+
+
+@query(
+    "q16_entropy_profile",
+    f"""
+    WITH raw AS (
+      {_ENT_COL_SQL.format(name="event_type", expr="event_type")}
+      UNION ALL
+      {_ENT_COL_SQL.format(name="weekday", expr="CAST(isodow(ts) AS INT)")}
+      UNION ALL
+      {_ENT_COL_SQL.format(name="user_bucket", expr="user_id % 100")}
+      UNION ALL
+      {_ENT_COL_SQL.format(name="value_decade", expr="CAST(FLOOR(value / 100) AS BIGINT)")}
+    )
+    SELECT column_name, n, cardinality, entropy_nats,
+           CASE WHEN cardinality > 1
+                THEN ROUND(entropy_nats / LN(CAST(cardinality AS DOUBLE)), 6)
+           END AS norm_entropy,
+           CAST(modal_count AS DOUBLE) / n AS modal_share
+    FROM raw ORDER BY column_name
+    """,
+)
+def q16_entropy_profile(spark, sf_dir):
+    """Entropy, normalized entropy, and modal share for event_type,
+    ISO weekday, user bucket, and value decade — each column is one
+    value-count hash-agg + a 1-row total broadcast; ln terms follow the
+    8-dp-round-then-decimal-sum convention shared with a32/q14."""
+    from ..quality.stats import column_entropy
+
+    e = t(spark, sf_dir, "events")
+    parts = [
+        column_entropy(e, "event_type", "event_type"),
+        column_entropy(e, (F.weekday("ts") + 1).cast("int"), "weekday"),
+        column_entropy(e, F.col("user_id") % 100, "user_bucket"),
+        column_entropy(e, F.floor(F.col("value") / 100).cast("bigint"), "value_decade"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("column_name")

@@ -44,3 +44,18 @@ def test_ks_disjoint_samples_one(spark):
     r = ks_two_sample(df, "v", F.col("g") == "x").collect()[0]
     assert r["ks_d"] == 1.0
     assert r["at_value"] == 2.0  # smallest value achieving the max gap
+
+
+def test_column_entropy_constant_and_uniform(spark):
+    from emdatapipelines_spark.quality.stats import column_entropy
+
+    const = spark.createDataFrame([("a",)] * 8, "v string")
+    r = column_entropy(const, "v", "c").collect()[0]
+    assert r["entropy_nats"] == 0.0 and r["norm_entropy"] is None
+    assert r["modal_share"] == 1.0
+
+    uni = spark.createDataFrame([(str(i % 4),) for i in range(8)], "v string")
+    r = column_entropy(uni, "v", "u").collect()[0]
+    # uniform over 4 values: H = ln 4, normalized = 1
+    assert abs(r["entropy_nats"] - 1.386294) < 1e-5
+    assert r["norm_entropy"] == 1.0

@@ -105,6 +105,7 @@ BNLJ_ALLOWED = {
     "tx_collocations",  # 1-row (n_uni, n_big) totals broadcast onto bigrams
     "tx_burstiness",  # 1-row doc-count broadcast onto the term frame
     "a35_growth_accounting",  # 1-row horizon max-week broadcast
+    "q16_entropy_profile",  # four 1-row column-total broadcasts
 }
 
 

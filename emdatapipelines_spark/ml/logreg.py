@@ -143,3 +143,56 @@ def logreg_gd(
         F.round(F.lit(w[i + 1]), 6).alias(f"w_{c}") for i, c in enumerate(names)
     ]
     return out.select(*sel, "n_rows", "avg_log_loss")
+
+
+def ridge_closed_form_2d(
+    feats: DataFrame,
+    target: str = "y",
+    lam: float = 0.01,
+) -> DataFrame:
+    """Closed-form ridge regression on the 2-feature frame — the
+    no-iteration linear model: β = (XᵀX + λI)⁻¹ Xᵀy solved with the
+    explicit 2×2 inverse, so the whole fit is ONE distributed moment
+    pass + scalar algebra (the shape that beats iterative GD outright
+    whenever the normal equations fit in a register file — here, always).
+
+    Determinism: features arrive 8-dp-rounded (daily_count_features), so
+    casting to DECIMAL(18,8) is exact and every moment (Σx², Σxy, …) is
+    an exact decimal — partial-agg order cannot move a bit. The 2×2
+    solve is a fixed IEEE expression on those exact moments; training
+    MSE re-walks the frame once with the broadcast β, per-row squared
+    residuals 8-dp-rounded into a decimal sum (the a32 convention).
+    """
+    yv = F.col(target).cast("decimal(18,0)")
+    x1 = F.col("x1").cast("decimal(18,8)")
+    x2 = F.col("x2").cast("decimal(18,8)")
+    m = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x1 * x1).cast("double").alias("a"),
+        F.sum(x1 * x2).cast("double").alias("b"),
+        F.sum(x2 * x2).cast("double").alias("c"),
+        F.sum(x1 * yv).cast("double").alias("d"),
+        F.sum(x2 * yv).cast("double").alias("e"),
+    )
+    det = (F.col("a") + F.lit(lam)) * (F.col("c") + F.lit(lam)) - F.col("b") * F.col("b")
+    beta = m.select(
+        "n",
+        (((F.col("c") + F.lit(lam)) * F.col("d") - F.col("b") * F.col("e")) / det).alias("b1"),
+        (((F.col("a") + F.lit(lam)) * F.col("e") - F.col("b") * F.col("d")) / det).alias("b2"),
+    )
+    scored = feats.crossJoin(F.broadcast(beta))
+    resid = F.col(target) - (F.col("b1") * F.col("x1") + F.col("b2") * F.col("x2"))
+    return (
+        scored.groupBy("n", "b1", "b2")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.round(resid * resid, 8).cast("decimal(28,8)")).cast("double")
+                    / F.max("n")
+                    * F.lit(1000000.0)
+                )
+                / F.lit(1000000.0)
+            ).alias("mse")
+        )
+        .select("n", "b1", "b2", "mse")
+    )

@@ -4752,3 +4752,84 @@ def tx_filter_funnel(spark, sf_dir):
             F.sum(F.when(surv, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
         ).alias("survival_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML: closed-form ridge regression (normal equations, explicit 2x2
+# inverse) predicting tomorrow's event count from today's features — the
+# no-iteration linear-model companion to ml_logreg_gd's unrolled GD: one
+# exact-decimal moment pass + scalar algebra + one MSE re-walk.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_ridge_2d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mv
+      FROM events GROUP BY 1, 2),
+    feat AS (
+      SELECT ROUND(LN(1.0 + cnt) * 10000) / 10000.0 AS x1,
+             ROUND(mv / 100.0 * 10000) / 10000.0 AS x2,
+             LEAD(cnt) OVER (PARTITION BY event_type ORDER BY d) AS y
+      FROM daily),
+    f AS (SELECT x1, x2, y FROM feat WHERE y IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(x1 AS DECIMAL(18,8))) AS DOUBLE) AS a,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(x2 AS DECIMAL(18,8))) AS DOUBLE) AS b,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,8)) * CAST(x2 AS DECIMAL(18,8))) AS DOUBLE) AS c,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS d,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,8)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS e
+      FROM f),
+    beta AS (
+      SELECT n,
+             ((c + 0.01) * d - b * e)
+               / ((a + 0.01) * (c + 0.01) - b * b) AS b1,
+             ((a + 0.01) * e - b * d)
+               / ((a + 0.01) * (c + 0.01) - b * b) AS b2
+      FROM m)
+    SELECT beta.n, beta.b1, beta.b2,
+           ROUND(CAST(SUM(CAST(ROUND(
+             (f.y - (beta.b1 * f.x1 + beta.b2 * f.x2))
+             * (f.y - (beta.b1 * f.x1 + beta.b2 * f.x2)), 8)
+           AS DECIMAL(28,8))) AS DOUBLE) / MAX(beta.n) * 1000000.0) / 1000000.0 AS mse
+    FROM f CROSS JOIN beta
+    GROUP BY beta.n, beta.b1, beta.b2
+    """,
+)
+def ml_ridge_2d(spark, sf_dir):
+    """Ridge fit on the daily feature frame with y = next-day count.
+    Features are 8-dp-rounded so DECIMAL casts are exact and every
+    XᵀX / Xᵀy moment is an exact decimal sum; the solve is register
+    algebra on the 1-row moment frame; MSE re-walks the frame with the
+    broadcast β."""
+    from pyspark.sql import Window
+
+    from ..ml.logreg import ridge_closed_form_2d
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("mv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    feats = (
+        daily.withColumn("y", F.lead("cnt").over(w))
+        .filter(F.col("y").isNotNull())
+        .select(
+            # safe scaled-round (round(x*1e4)/1e4): plain round(double, nd)
+            # diverges cross-engine on shortest-repr ties, which the exact
+            # decimal moments would amplify into the solve
+            (F.round(F.log(F.lit(1.0) + F.col("cnt")) * 10000) / F.lit(10000.0)).alias("x1"),
+            (F.round(F.col("mv") / F.lit(100.0) * 10000) / F.lit(10000.0)).alias("x2"),
+            "y",
+        )
+    )
+    return ridge_closed_form_2d(feats)

@@ -127,3 +127,15 @@ def test_average_precision_tied_scores_atomic_block(spark):
         spark.createDataFrame(rows, "score double, y double")
     ).collect()[0]
     assert abs(r["avg_precision"] - 0.5) < 2e-6
+
+
+def test_ridge_recovers_exact_linear_relation(spark):
+    from emdatapipelines_spark.ml.logreg import ridge_closed_form_2d
+
+    # y = 2*x1 + 3*x2 exactly; tiny lambda barely shrinks
+    rows = [(1.0, 0.0, 2), (0.0, 1.0, 3), (1.0, 1.0, 5), (2.0, 1.0, 7)]
+    r = ridge_closed_form_2d(
+        spark.createDataFrame(rows, "x1 double, x2 double, y long"), lam=1e-6
+    ).collect()[0]
+    assert abs(r["b1"] - 2.0) < 1e-3 and abs(r["b2"] - 3.0) < 1e-3
+    assert r["mse"] < 1e-5 and r["n"] == 4

@@ -106,6 +106,7 @@ BNLJ_ALLOWED = {
     "tx_burstiness",  # 1-row doc-count broadcast onto the term frame
     "a35_growth_accounting",  # 1-row horizon max-week broadcast
     "q16_entropy_profile",  # four 1-row column-total broadcasts
+    "ml_ridge_2d",  # 1-row beta broadcast for the MSE re-walk
 }
 
 

@@ -2018,3 +2018,51 @@ def w15_max_drawdown(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline / Pareto frontier (operators/sorts.py:skyline_2d): which
+# suppliers are undominated on (total quantity shipped, net revenue)?
+# Engine = the window formulation (one sort of the supplier-cardinality
+# frame, no self-join); oracle = the literal NOT EXISTS dominance
+# definition, so the two sides prove each other from independent forms.
+# ---------------------------------------------------------------------------
+@query(
+    "o7_skyline",
+    """
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                  * 100 AS DECIMAL(28,0)) AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, total_qty, revenue_cents
+    FROM s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s d
+      WHERE (d.total_qty > s.total_qty AND d.revenue_cents >= s.revenue_cents)
+         OR (d.total_qty = s.total_qty AND d.revenue_cents > s.revenue_cents))
+    ORDER BY total_qty DESC, l_suppkey
+    """,
+)
+def o7_skyline(spark, sf_dir):
+    """Supplier Pareto frontier. The corpus-rate pass is the suppkey
+    hash-agg; the skyline windows run on the supplier-cardinality frame
+    (at larger scales, prefilter to per-cell local skylines first — the
+    operator docstring's distributive decomposition)."""
+    from ..operators.sorts import skyline_2d
+
+    l = t(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+        (
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)"))
+            * 100
+        )
+        .cast("decimal(28,0)")
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return skyline_2d(s, "total_qty", "revenue_cents").orderBy(
+        F.desc("total_qty"), F.asc("l_suppkey")
+    )

@@ -4833,3 +4833,103 @@ def ml_ridge_2d(spark, sf_dir):
         )
     )
     return ridge_closed_form_2d(feats)
+
+
+# ---------------------------------------------------------------------------
+# sketch: Count-Min (Cormode-Muthukrishnan 2005) over the token stream —
+# depth 4 × width 256, md5-derived row hashes so both engines build the
+# IDENTICAL sketch. The probe block reports estimate vs true count for
+# the BM25 query terms; CMS guarantees estimate ≥ truth, and the emitted
+# overcount column lets the driver row-hash that invariant. Mergeable by
+# construction: per-partition partial counters are plain (d, bucket)
+# partial sums — the same re-aggregation story as the HLL/KMV entries.
+# ---------------------------------------------------------------------------
+@query(
+    "sk_count_min",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS_SQL}) AS term FROM documents),
+    fan AS (
+      SELECT term, d,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(d AS VARCHAR) || ':' || term), 1, 4), ''),
+                        range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT)
+               % 256 AS bucket
+      FROM toks CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS d) ds),
+    cms AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM fan GROUP BY d, bucket),
+    probes AS (SELECT UNNEST(['hash', 'join', 'spark', 'dup',
+                              'data', 'the', 'pipeline', 'quality']) AS term),
+    pb AS (
+      SELECT p.term, ds.d,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(ds.d AS VARCHAR) || ':' || p.term), 1, 4), ''),
+                        range(1, 5)),
+               p2 -> (list_position({_HEX}, p2[1]) - 1) * power(16, 4 - p2[2]))) AS BIGINT)
+               % 256 AS bucket
+      FROM probes p CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS d) ds),
+    est AS (
+      SELECT pb.term, MIN(COALESCE(cms.cnt, 0)) AS cms_estimate
+      FROM pb LEFT JOIN cms ON cms.d = pb.d AND cms.bucket = pb.bucket
+      GROUP BY pb.term),
+    truth AS (
+      SELECT probes.term, CAST(COALESCE(tc.c, 0) AS BIGINT) AS true_count
+      FROM probes LEFT JOIN (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY term) tc USING (term))
+    SELECT truth.term, truth.true_count,
+           CAST(est.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(est.cms_estimate - truth.true_count AS BIGINT) AS overcount
+    FROM truth JOIN est USING (term) ORDER BY term
+    """,
+)
+def sk_count_min(spark, sf_dir):
+    """Count-Min sketch build + probe. The token stream fans out ×4
+    (explode over depths — map-side combine collapses each task to
+    ≤1024 partial counters before the shuffle, so the exchange moves
+    sketch-sized data, not the corpus), probes join the 1024-row counter
+    table, estimate = min over depths. overcount ≥ 0 is the CMS
+    guarantee the oracle row-hash pins."""
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    hexarr = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
+
+    def bucket(depth_col, term_col):
+        key = F.md5(F.concat(depth_col.cast("string"), F.lit(":"), term_col))
+        hv = F.aggregate(
+            F.slice(F.split(F.substring(key, 1, 4), ""), 1, 4),
+            F.lit(0.0),
+            lambda acc, ch: acc * 16 + (F.array_position(hexarr, ch) - 1),
+        )
+        return (hv.cast("bigint") % 256).alias("bucket")
+
+    toks = d.select(F.explode(F.split(_norm("text"), " ")).alias("term"))
+    fan = toks.withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(3)))).select(
+        "term", "d", bucket(F.col("d"), F.col("term"))
+    )
+    cms = fan.groupBy("d", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    terms = ["hash", "join", "spark", "dup", "data", "the", "pipeline", "quality"]
+    probes = spark.createDataFrame([(x,) for x in terms], "term string")
+    pb = probes.withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(3)))).select(
+        "term", "d", bucket(F.col("d"), F.col("term"))
+    )
+    est = (
+        pb.join(cms, ["d", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    truth = probes.join(tc, "term", "left").select(
+        "term", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("true_count")
+    )
+    return (
+        truth.join(est, "term")
+        .select(
+            "term",
+            "true_count",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("true_count")).cast("bigint").alias("overcount"),
+        )
+        .orderBy("term")
+    )

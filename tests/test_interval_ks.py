@@ -59,3 +59,16 @@ def test_column_entropy_constant_and_uniform(spark):
     # uniform over 4 values: H = ln 4, normalized = 1
     assert abs(r["entropy_nats"] - 1.386294) < 1e-5
     assert r["norm_entropy"] == 1.0
+
+
+def test_skyline_2d_dominance(spark):
+    from emdatapipelines_spark.operators.sorts import skyline_2d
+
+    rows = [
+        ("a", 10, 1), ("b", 8, 5), ("c", 8, 3),   # c dominated by b (same x)
+        ("d", 5, 5),                               # dominated by b (8>=5, 5>=5, strict x)
+        ("e", 1, 9), ("f", 10, 1),                 # f ties a exactly -> both kept
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    out = sorted(r["k"] for r in skyline_2d(df, "x", "y").collect())
+    assert out == ["a", "b", "e", "f"]

@@ -4933,3 +4933,230 @@ def sk_count_min(spark, sf_dir):
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch: Bloom-filter prejoin (k=3 hashes, m=4096 bits) — the classic
+# shuffle-avoidance prefilter: build the filter from the decontamination
+# benchmark's terms, test every corpus term against it map-side, and
+# report candidates vs exact membership. Bloom guarantees ZERO false
+# negatives (missed_true = 0 is pinned in the oracle hash) and the
+# false-positive count quantifies the wasted-work rate a real prejoin
+# would pay. md5-derived bit positions ⇒ engine-identical filter.
+# ---------------------------------------------------------------------------
+@query(
+    "sk_bloom_prefilter",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({_TOKS_SQL}) AS term FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT UNNEST({_TOKS_SQL}) AS term FROM documents) z GROUP BY term),
+    bits AS (
+      SELECT DISTINCT
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(k AS VARCHAR) || '#' || term), 1, 4), ''),
+                        range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT)
+               % 4096 AS bit
+      FROM bench CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) ks),
+    probe AS (
+      SELECT c.term, c.n_occurrences, ks.k,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(ks.k AS VARCHAR) || '#' || c.term), 1, 4), ''),
+                        range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT)
+               % 4096 AS bit
+      FROM corpus c CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) ks),
+    hits AS (
+      SELECT term, MIN(n_occurrences) AS n_occurrences,
+             CAST(SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS k_hits
+      FROM probe LEFT JOIN bits ON bits.bit = probe.bit
+      GROUP BY term),
+    flagged AS (
+      SELECT h.term, h.n_occurrences, h.k_hits = 3 AS bloom_pass,
+             b.term IS NOT NULL AS truly_in_bench
+      FROM hits h LEFT JOIN bench b ON b.term = h.term)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_terms,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN truly_in_bench THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT truly_in_bench THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN truly_in_bench AND NOT bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS missed_true
+    FROM flagged
+    """,
+)
+def sk_bloom_prefilter(spark, sf_dir):
+    """Bloom build (benchmark slice, ~1% of docs) + map-rate probe of
+    every distinct corpus term. The bit table is ≤4096 rows — broadcast
+    by AQE — so the probe never shuffles the corpus; the exact-membership
+    comparison quantifies the FP rate and pins zero false negatives."""
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    hexarr = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
+
+    def bit(k_col, term_col):
+        key = F.md5(F.concat(k_col.cast("string"), F.lit("#"), term_col))
+        hv = F.aggregate(
+            F.slice(F.split(F.substring(key, 1, 4), ""), 1, 4),
+            F.lit(0.0),
+            lambda acc, ch: acc * 16 + (F.array_position(hexarr, ch) - 1),
+        )
+        return (hv.cast("bigint") % 4096).alias("bit")
+
+    toks = d.select("doc_id", F.explode(F.split(_norm("text"), " ")).alias("term"))
+    bench = toks.filter(F.col("doc_id") % 97 == 0).select("term").distinct()
+    corpus = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(2)))
+    bits = bench.withColumn("k", ks).select(bit(F.col("k"), F.col("term"))).distinct()
+    probe = corpus.withColumn("k", ks).select(
+        "term", "n_occurrences", bit(F.col("k"), F.col("term"))
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left")
+        .groupBy("term")
+        .agg(
+            F.min("n_occurrences").alias("n_occurrences"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("int").alias("k_hits"),
+        )
+    )
+    flagged = hits.join(
+        bench.withColumn("__in", F.lit(1)), "term", "left"
+    ).select(
+        (F.col("k_hits") == 3).alias("bloom_pass"),
+        F.col("__in").isNotNull().alias("truly_in_bench"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_terms"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("truly_in_bench"), 1).otherwise(0)).cast("bigint").alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("truly_in_bench"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("truly_in_bench") & ~F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("missed_true"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML: 2-D PCA in closed form — leading eigenpair of the covariance of
+# the quantized daily features: one exact-decimal moment pass (the
+# ml_ridge_2d convention), then the quadratic-formula eigensolve and an
+# orientation-fixed eigenvector, all scalar IEEE algebra (*, -, /, sqrt
+# are correctly rounded, so identical moment bits ⇒ identical output
+# bits in any engine).
+# ---------------------------------------------------------------------------
+@query(
+    "ml_pca_2d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mv
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT ROUND(LN(1.0 + cnt) * 10000) / 10000.0 AS x1,
+             ROUND(mv / 100.0 * 10000) / 10000.0 AS x2
+      FROM daily),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,4)) * CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS s12
+      FROM f),
+    cov AS (
+      SELECT n,
+             (n * s11 - s1 * s1) / (CAST(n AS DOUBLE) * n) AS cxx,
+             (n * s22 - s2 * s2) / (CAST(n AS DOUBLE) * n) AS cyy,
+             (n * s12 - s1 * s2) / (CAST(n AS DOUBLE) * n) AS cxy
+      FROM m),
+    eig AS (
+      SELECT n, cxx, cyy, cxy,
+             ((cxx + cyy) + SQRT((cxx + cyy) * (cxx + cyy)
+               - 4.0 * (cxx * cyy - cxy * cxy))) / 2.0 AS l1
+      FROM cov),
+    vec AS (
+      SELECT n, l1,
+             CASE WHEN cxy <> 0.0 THEN cxy ELSE CASE WHEN cxx >= cyy THEN 1.0 ELSE 0.0 END END AS u1,
+             CASE WHEN cxy <> 0.0 THEN l1 - cxx ELSE CASE WHEN cxx >= cyy THEN 0.0 ELSE 1.0 END END AS u2,
+             cxx + cyy AS tr
+      FROM eig)
+    SELECT n, l1 AS lambda1,
+           CASE WHEN tr > 0.0 THEN l1 / tr END AS explained_ratio,
+           (CASE WHEN u1 < 0.0 OR (u1 = 0.0 AND u2 < 0.0) THEN -u1 ELSE u1 END)
+             / SQRT(u1 * u1 + u2 * u2) AS v1,
+           (CASE WHEN u1 < 0.0 OR (u1 = 0.0 AND u2 < 0.0) THEN -u2 ELSE u2 END)
+             / SQRT(u1 * u1 + u2 * u2) AS v2
+    FROM vec
+    """,
+)
+def ml_pca_2d(spark, sf_dir):
+    """Leading principal component of (log-count, scaled mean-value):
+    corpus-rate work is the daily hash-agg; moments are exact decimals
+    over the 1e-4-grid features; the eigensolve is six IEEE ops on the
+    1-row moment frame. Eigenvector orientation pinned to v1 ≥ 0."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("mv"),
+    )
+    f = daily.select(
+        (F.round(F.log(F.lit(1.0) + F.col("cnt")) * 10000) / F.lit(10000.0)).alias("x1"),
+        (F.round(F.col("mv") / F.lit(100.0) * 10000) / F.lit(10000.0)).alias("x2"),
+    )
+    d1 = F.col("x1").cast("decimal(18,4)")
+    d2 = F.col("x2").cast("decimal(18,4)")
+    m = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d1).cast("double").alias("s1"),
+        F.sum(d2).cast("double").alias("s2"),
+        F.sum(d1 * d1).cast("double").alias("s11"),
+        F.sum(d2 * d2).cast("double").alias("s22"),
+        F.sum(d1 * d2).cast("double").alias("s12"),
+    )
+    nn = F.col("n").cast("double") * F.col("n")
+    cov = m.select(
+        "n",
+        ((F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")) / nn).alias("cxx"),
+        ((F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")) / nn).alias("cyy"),
+        ((F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")) / nn).alias("cxy"),
+    )
+    tr = F.col("cxx") + F.col("cyy")
+    l1 = (
+        tr
+        + F.sqrt(tr * tr - F.lit(4.0) * (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")))
+    ) / F.lit(2.0)
+    eig = cov.select("n", "cxx", "cyy", "cxy", l1.alias("l1"))
+    u1 = F.when(
+        F.col("cxy") != 0.0, F.col("cxy")
+    ).otherwise(F.when(F.col("cxx") >= F.col("cyy"), F.lit(1.0)).otherwise(F.lit(0.0)))
+    u2 = F.when(
+        F.col("cxy") != 0.0, F.col("l1") - F.col("cxx")
+    ).otherwise(F.when(F.col("cxx") >= F.col("cyy"), F.lit(0.0)).otherwise(F.lit(1.0)))
+    vec = eig.select(
+        "n",
+        "l1",
+        u1.alias("u1"),
+        u2.alias("u2"),
+        (F.col("cxx") + F.col("cyy")).alias("tr"),
+    )
+    flip = (F.col("u1") < 0.0) | ((F.col("u1") == 0.0) & (F.col("u2") < 0.0))
+    norm = F.sqrt(F.col("u1") * F.col("u1") + F.col("u2") * F.col("u2"))
+    return vec.select(
+        "n",
+        F.col("l1").alias("lambda1"),
+        F.when(F.col("tr") > 0.0, F.col("l1") / F.col("tr")).alias("explained_ratio"),
+        (F.when(flip, -F.col("u1")).otherwise(F.col("u1")) / norm).alias("v1"),
+        (F.when(flip, -F.col("u2")).otherwise(F.col("u2")) / norm).alias("v2"),
+    )

@@ -224,7 +224,12 @@ def label_propagation_min(
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    sym = fwd.unionByName(rev)
+    # materialize the (possibly expensive) edge derivation ONCE — adj, nodes,
+    # and every propagation round all consume it, and without truncation
+    # Spark re-evaluates the whole upstream subtree per consumer while the
+    # plan snowballs (the pagerank / connected-components device). One
+    # checkpoint of the symmetrized list, both views derived from it cheaply.
+    sym = fwd.unionByName(rev).localCheckpoint(eager=True)
     adj = sym.filter(F.col("u") != F.col("v")).distinct()
     nodes = sym.select(F.col("u").alias("node")).distinct()
     lbl = nodes.withColumn("lbl", F.col("node"))
@@ -242,3 +247,51 @@ def label_propagation_min(
             )
         )
     return lbl.select("node", F.col("lbl").alias("community"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded k-core peeling over an UNDIRECTED view of the edge list:
+    ``rounds`` synchronous passes, each dropping every node whose degree
+    in the SURVIVING subgraph is < k (Matula-Beck peeling, fixed-round
+    form — the semantics a SQL engine states as ``rounds`` unrolled
+    CTEs; on graphs whose peel sequence stabilizes within ``rounds``
+    this IS the k-core). Returns ``(node, degree)`` for survivors, with
+    degree measured in the surviving subgraph.
+
+    Each round = one degree hash-agg over the surviving adjacency + two
+    semi-joins pruning the edge list — node-keyed shuffles of frames
+    that only ever SHRINK. For peel-to-fixpoint at scale, loop rounds
+    with a localCheckpoint every few passes (the connected-components
+    pattern); the fixed-round form keeps plans bounded and the oracle
+    expressible.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # one eager materialization of the symmetrized edge list: each peel round
+    # consumes adj three times (degree agg + two semi-joins), so an
+    # untruncated lineage would re-derive the upstream join pyramid 3x/round
+    adj = (
+        fwd.unionByName(rev)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("u")
+        adj = (
+            adj.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .select("u", "v")
+        )
+    return (
+        adj.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("int").alias("degree"))
+        .orderBy("node")
+    )

@@ -2066,3 +2066,60 @@ def o7_skyline(spark, sf_dir):
     return skyline_2d(s, "total_qty", "revenue_cents").orderBy(
         F.desc("total_qty"), F.asc("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling (operators/graph.py:kcore_peel): the densest
+# backbone of the trade graph — 3 synchronous rounds dropping nodes
+# whose surviving degree < 3; oracle = the same rounds unrolled. Every
+# round's frames only shrink, so the Pregel cost is bounded by round 1.
+# ---------------------------------------------------------------------------
+_KC_ROUND = """
+    k{i} AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS c FROM adj{j} GROUP BY u) z WHERE c >= 3),
+    adj{i} AS (
+      SELECT a.u, a.v FROM adj{j} a
+      JOIN k{i} x ON x.u = a.u
+      JOIN k{i} y ON y.u = a.v)"""
+
+
+@query(
+    "gr_kcore",
+    _LP_EDGES_CTE
+    + ","
+    + "adj0 AS (SELECT u, v FROM adj),"
+    + ",".join(_KC_ROUND.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT u AS node, CAST(COUNT(*) AS INT) AS degree
+    FROM adj3 GROUP BY u ORDER BY node
+    """,
+)
+def gr_kcore(spark, sf_dir):
+    """3-core survivors (after 3 peel rounds) of the sparse trade graph
+    with their surviving degrees. The heavy 5-way fact join is shared
+    with the other gr_* queries; each peel round is one degree hash-agg
+    + two semi-joins over the shrinking ~50-row edge frame."""
+    from ..operators.graph import kcore_peel
+
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    return kcore_peel(e, k=3, rounds=3)

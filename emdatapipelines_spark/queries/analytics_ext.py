@@ -2123,3 +2123,127 @@ def gr_kcore(spark, sf_dir):
     )
     e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     return kcore_peel(e, k=3, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau statistic over the lag-1..7 autocorrelations —
+# "is this series white noise?", the standard residual-diagnostic next
+# to ts_acf (whose pair-Pearson ACF variant it reuses; documented
+# divergence from the textbook shared-mean ACF). Q = n(n+2)·Σ r_k²/(n−k)
+# with the 7-term sum as an ORDERED fold (k-sorted list_reduce /
+# F.aggregate), so float association is pinned; non-estimable lags
+# (zero variance / no pairs) are skipped like SQL SUM skips NULL.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_ljungbox",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+    lags(k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+    pairs AS (
+      SELECT a.event_type, l.k, a.cnt AS x, b.cnt AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.k),
+    m AS (
+      SELECT event_type, k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2),
+    acf AS (
+      SELECT event_type, k,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS r
+      FROM m),
+    terms AS (
+      SELECT acf.event_type, acf.k,
+             acf.r * acf.r / (nd.n_days - acf.k) AS t,
+             nd.n_days
+      FROM acf JOIN nd USING (event_type)
+      WHERE acf.r IS NOT NULL AND nd.n_days > acf.k),
+    folded AS (
+      SELECT event_type, MAX(n_days) AS n_days,
+             CAST(COUNT(*) AS INT) AS n_lags,
+             list_reduce(
+               list_transform(list_sort(list(struct_pack(k := k, t := t))), x -> x.t),
+               (a, b) -> a + b) AS s
+      FROM terms GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days, n_lags,
+           n_days * (n_days + 2) * s AS q_ljungbox
+    FROM folded ORDER BY event_type
+    """,
+)
+def ts_ljungbox(spark, sf_dir):
+    """Ljung-Box Q per event type from the same integer-moment ACF
+    pipeline as ts_acf; the only float steps are the per-lag r_k (fixed
+    IEEE expressions) and the 7-term ordered fold."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    a = daily.withColumn("k", F.explode(F.sequence(F.lit(1), F.lit(7)))).alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.expr("date_add(a.d, k)")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        "k",
+        F.col("a.cnt").alias("x"),
+        F.col("b.cnt").alias("y"),
+    )
+    m = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = m.select(
+        "event_type",
+        "k",
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double") / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("r"),
+    )
+    terms = (
+        acf.join(nd, "event_type")
+        .filter(F.col("r").isNotNull() & (F.col("n_days") > F.col("k")))
+        .select(
+            "event_type",
+            "k",
+            (F.col("r") * F.col("r") / (F.col("n_days") - F.col("k"))).alias("t"),
+            "n_days",
+        )
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).cast("int").alias("n_lags"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("k", "t"))), lambda x: x["t"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "n_lags",
+        (F.col("n_days") * (F.col("n_days") + 2) * F.col("s")).alias("q_ljungbox"),
+    ).orderBy("event_type")

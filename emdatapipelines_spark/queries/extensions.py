@@ -5160,3 +5160,193 @@ def ml_pca_2d(spark, sf_dir):
         (F.when(flip, -F.col("u1")).otherwise(F.col("u1")) / norm).alias("v1"),
         (F.when(flip, -F.col("u2")).otherwise(F.col("u2")) / norm).alias("v2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM: conditional entropy of the bigram model — H(w2|w1) = H(bigram) −
+# H(unigram), the entropy-rate estimate that complements lm_bigram_nll
+# (NLL scores a held-out set; this is the corpus's own information
+# rate). Both entropies follow the 8-dp-round-then-decimal-sum ln
+# convention (a32/q16), computed off the same token scan.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_conditional_entropy",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    uni AS (SELECT UNNEST(tk) AS w FROM toks),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    un AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ucnt),
+    hu AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(c * 1.0 / un.n) * LN(c * 1.0 / un.n), 8) AS DECIMAL(28,8))) AS DOUBLE) AS h
+      FROM ucnt CROSS JOIN un),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i + 1])) AS bg
+      FROM toks),
+    bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg),
+    bn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bcnt),
+    hb AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               -(c * 1.0 / bn.n) * LN(c * 1.0 / bn.n), 8) AS DECIMAL(28,8))) AS DOUBLE) AS h
+      FROM bcnt CROSS JOIN bn)
+    SELECT un.n AS n_unigrams, bn.n AS n_bigrams,
+           hu.h AS h_unigram_nats,
+           hb.h AS h_bigram_nats,
+           hb.h - hu.h AS h_conditional_nats
+    FROM un CROSS JOIN bn CROSS JOIN hu CROSS JOIN hb
+    """,
+)
+def lm_conditional_entropy(spark, sf_dir):
+    """Entropy rate H(w2|w1) via the chain rule on unigram/bigram count
+    frames: two hash-aggs off one token scan, 1-row total broadcasts,
+    8-dp-rounded ln terms summed in decimal."""
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(_norm("text"), " ")
+    tk = d.select(toks.alias("tk"))
+    uni = tk.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    out_len = F.greatest(F.size(F.col("tk")) - 1, F.lit(0))
+    bg_arr = F.zip_with(
+        F.slice(F.col("tk"), 1, out_len),
+        F.slice(F.col("tk"), 2, out_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bcnt = tk.select(F.explode(bg_arr).alias("bg")).groupBy("bg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    def entropy(cnts):
+        tot = cnts.agg(F.sum("c").cast("bigint").alias("n"))
+        j = cnts.crossJoin(F.broadcast(tot))
+        p = F.col("c") / F.col("n")
+        return j.groupBy("n").agg(
+            F.sum(F.round(-p * F.log(p), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("h")
+        )
+
+    hu = entropy(ucnt).select(F.col("n").alias("n_unigrams"), F.col("h").alias("hu"))
+    hb = entropy(bcnt).select(F.col("n").alias("n_bigrams"), F.col("h").alias("hb"))
+    # the decimal sums are k*1e-8 multiples: re-rounding them to 6 dp
+    # lands exactly on .xxxxxx5 midpoints whenever k%100 == 50 (the a7 tie
+    # class) — emit the raw doubles instead; bits match because both
+    # engines cast the identical exact decimal
+    return hu.crossJoin(F.broadcast(hb)).select(
+        "n_unigrams",
+        "n_bigrams",
+        F.col("hu").alias("h_unigram_nats"),
+        F.col("hb").alias("h_bigram_nats"),
+        (F.col("hb") - F.col("hu")).alias("h_conditional_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML: leave-one-out 5-NN classification accuracy on the daily feature
+# frame — can (log-count, scaled mean) separate event types? The frame
+# is (types × days) at ANY corpus scale, so the all-pairs evaluation is
+# dimension-sized forever; distances are exact bigints on the 1e-4
+# feature grid, so neighbor ranking can never flip on float noise.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_knn_eval",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)/COUNT(*) * 1000000.0) / 1000000.0 AS mv
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type, d,
+             CAST(ROUND(LN(1.0 + cnt) * 10000) AS BIGINT) AS x,
+             CAST(ROUND(mv / 100.0 * 10000) AS BIGINT) AS y
+      FROM daily),
+    nbr AS (
+      SELECT a.event_type AS true_type, a.d AS ad, b.event_type AS vote,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.event_type, a.d
+               ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y),
+                        b.event_type, b.d) AS rnk
+      FROM pts a JOIN pts b
+        ON NOT (a.event_type = b.event_type AND a.d = b.d)),
+    top5 AS (SELECT true_type, ad, vote FROM nbr WHERE rnk <= 5),
+    votes AS (
+      SELECT true_type, ad, vote, COUNT(*) AS nv FROM top5 GROUP BY 1, 2, 3),
+    pred AS (
+      SELECT true_type, ad, vote AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY true_type, ad
+                                ORDER BY nv DESC, vote) AS pr
+      FROM votes QUALIFY pr = 1)
+    SELECT true_type AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN predicted = true_type THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = true_type THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY true_type ORDER BY event_type
+    """,
+)
+def ml_knn_eval(spark, sf_dir):
+    """LOO 5-NN accuracy per type: all-pairs over the (types × days)
+    frame (bounded by calendar, not corpus), integer-grid distances,
+    deterministic neighbor and majority tie-breaks, one rollup."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,4)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+            )
+            / F.lit(1000000.0)
+        ).alias("mv"),
+    )
+    pts = daily.select(
+        "event_type",
+        "d",
+        F.round(F.log(F.lit(1.0) + F.col("cnt")) * 10000).cast("bigint").alias("x"),
+        F.round(F.col("mv") / F.lit(100.0) * 10000).cast("bigint").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dist = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    w_nbr = Window.partitionBy("a.event_type", "a.d").orderBy(
+        dist, F.col("b.event_type"), F.col("b.d")
+    )
+    nbr = (
+        a.join(
+            b,
+            ~((F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") == F.col("b.d"))),
+        )
+        .select(
+            F.col("a.event_type").alias("true_type"),
+            F.col("a.d").alias("ad"),
+            F.col("b.event_type").alias("vote"),
+            F.row_number().over(w_nbr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    votes = nbr.groupBy("true_type", "ad", "vote").agg(F.count(F.lit(1)).alias("nv"))
+    w_pred = Window.partitionBy("true_type", "ad").orderBy(F.desc("nv"), F.asc("vote"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w_pred))
+        .filter(F.col("pr") == 1)
+        .select("true_type", F.col("vote").alias("predicted"))
+    )
+    hit = F.when(F.col("predicted") == F.col("true_type"), 1).otherwise(0)
+    return (
+        pred.groupBy("true_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+        .select(
+            F.col("true_type").alias("event_type"), "n_points", "n_correct", "accuracy"
+        )
+        .orderBy("event_type")
+    )

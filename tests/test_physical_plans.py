@@ -107,6 +107,8 @@ BNLJ_ALLOWED = {
     "a35_growth_accounting",  # 1-row horizon max-week broadcast
     "q16_entropy_profile",  # four 1-row column-total broadcasts
     "ml_ridge_2d",  # 1-row beta broadcast for the MSE re-walk
+    "lm_conditional_entropy",  # 1-row unigram/bigram total broadcasts
+    "ml_knn_eval",  # all-pairs over the calendar-bounded (types x days) frame
 }
 
 

@@ -2247,3 +2247,56 @@ def ts_ljungbox(spark, sf_dir):
         "n_lags",
         (F.col("n_days") * (F.col("n_days") + 2) * F.col("s")).alias("q_ljungbox"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (o-family): global top-10 orders by price with AT
+# MOST 2 per customer — the result-diversification constraint every
+# leaderboard/search surface needs (plain top-k lets one hot entity
+# monopolize the list). Two stacked rank filters, both of which Spark
+# executes as WindowGroupLimit (per-partition partial top-k): no global
+# materialized sort at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "o8_diverse_topk",
+    """
+    WITH percust AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS cr
+      FROM orders QUALIFY cr <= 2),
+    ranked AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, cr,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM percust QUALIFY rnk <= 10)
+    SELECT CAST(rnk AS INT) AS rank, o_orderkey, o_custkey, o_totalprice,
+           CAST(cr AS INT) AS nth_of_customer
+    FROM ranked ORDER BY rank
+    """,
+)
+def o8_diverse_topk(spark, sf_dir):
+    """Per-customer cap (≤2) then global top-10: the customer window
+    prunes to ≤2 rows/customer map-side, the global window prunes to 10
+    — both WindowGroupLimit, so the exchange carries only candidates."""
+    o = t(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    percust = (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("cr", F.row_number().over(w_cust))
+        .filter(F.col("cr") <= 2)
+    )
+    w_all = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        percust.withColumn("rnk", F.row_number().over(w_all))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("rnk").cast("int").alias("rank"),
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("cr").cast("int").alias("nth_of_customer"),
+        )
+        .orderBy("rank")
+    )

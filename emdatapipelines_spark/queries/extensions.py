@@ -5350,3 +5350,81 @@ def ml_knn_eval(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# LM: next-word lookup table — top-3 continuations per head word for the
+# 30 most frequent heads, with the conditional probability as an exact
+# integer ratio. The materialized bigram table an autocomplete /
+# fast-decode layer serves; both rank filters are WindowGroupLimit.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_next_word_topk",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS tk FROM documents),
+    big AS (
+      SELECT UNNEST(list_transform(range(1, len(tk)),
+                    i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS p
+      FROM toks),
+    bc AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM big GROUP BY 1, 2),
+    heads AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS head_count,
+             ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, w1) AS hr
+      FROM bc GROUP BY w1 QUALIFY hr <= 30),
+    nxt AS (
+      SELECT bc.w1, bc.w2, bc.c, heads.head_count,
+             ROW_NUMBER() OVER (PARTITION BY bc.w1 ORDER BY bc.c DESC, bc.w2) AS nr
+      FROM bc JOIN heads USING (w1) QUALIFY nr <= 3)
+    SELECT w1, w2, c AS pair_count, head_count,
+           CAST(c AS DOUBLE) / head_count AS p_next,
+           CAST(nr AS INT) AS rank_within_head
+    FROM nxt ORDER BY w1, rank_within_head
+    """,
+)
+def lm_next_word_topk(spark, sf_dir):
+    """Top-3 next words for the 30 commonest heads: bigram hash-agg
+    (corpus-rate), head top-30 and per-head top-3 both as
+    WindowGroupLimit rank filters, conditional probability as one
+    integer-ratio division."""
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.split(_norm("text"), " ").alias("tk"))
+    out_len = F.greatest(F.size(F.col("tk")) - 1, F.lit(0))
+    pairs = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, out_len),
+                F.slice(F.col("tk"), 2, out_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_head = Window.orderBy(F.desc("head_count"), F.asc("w1"))
+    heads = (
+        bc.groupBy("w1")
+        .agg(F.sum("c").cast("bigint").alias("head_count"))
+        .withColumn("hr", F.row_number().over(w_head))
+        .filter(F.col("hr") <= 30)
+        .select("w1", "head_count")
+    )
+    w_nxt = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    return (
+        bc.join(heads, "w1")
+        .withColumn("nr", F.row_number().over(w_nxt))
+        .filter(F.col("nr") <= 3)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("pair_count"),
+            "head_count",
+            (F.col("c").cast("double") / F.col("head_count")).alias("p_next"),
+            F.col("nr").cast("int").alias("rank_within_head"),
+        )
+        .orderBy("w1", "rank_within_head")
+    )

@@ -2033,15 +2033,15 @@ def w15_max_drawdown(spark, sf_dir):
     WITH s AS (
       SELECT l_suppkey,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
-                  * 100 AS DECIMAL(28,0)) AS BIGINT) AS revenue_cents
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4)))
+                  * 10000 AS BIGINT) AS revenue_x10000
       FROM lineitem GROUP BY l_suppkey)
-    SELECT l_suppkey, total_qty, revenue_cents
+    SELECT l_suppkey, total_qty, revenue_x10000
     FROM s
     WHERE NOT EXISTS (
       SELECT 1 FROM s d
-      WHERE (d.total_qty > s.total_qty AND d.revenue_cents >= s.revenue_cents)
-         OR (d.total_qty = s.total_qty AND d.revenue_cents > s.revenue_cents))
+      WHERE (d.total_qty > s.total_qty AND d.revenue_x10000 >= s.revenue_x10000)
+         OR (d.total_qty = s.total_qty AND d.revenue_x10000 > s.revenue_x10000))
     ORDER BY total_qty DESC, l_suppkey
     """,
 )
@@ -2055,15 +2055,17 @@ def o7_skyline(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     s = l.groupBy("l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+        # x10000 (1e-4-dollar units): the 4-dp decimal sum scales to an
+        # EXACT integer — a x100 cents cast hit a real half-cent tie at sf1
+        # (Spark HALF_UP vs DuckDB's cast rounding disagreed by 1)
         (
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,4)"))
-            * 100
+            * 10000
         )
-        .cast("decimal(28,0)")
         .cast("bigint")
-        .alias("revenue_cents"),
+        .alias("revenue_x10000"),
     )
-    return skyline_2d(s, "total_qty", "revenue_cents").orderBy(
+    return skyline_2d(s, "total_qty", "revenue_x10000").orderBy(
         F.desc("total_qty"), F.asc("l_suppkey")
     )
 
@@ -2299,4 +2301,84 @@ def o8_diverse_topk(spark, sf_dir):
             F.col("cr").cast("int").alias("nth_of_customer"),
         )
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves: customers cohorted by first-order year; cumulative
+# revenue per cohort across cohort age (years since first order) — the
+# lifetime-value mart behind every retention dashboard, the revenue twin
+# of a20's user-count cohorts. Money stays decimal; the cumulative pass
+# runs on the (cohort × age) frame, never the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "a37_cohort_ltv",
+    """
+    WITH first_order AS (
+      SELECT o_custkey, MIN(EXTRACT(YEAR FROM o_orderdate)) AS cohort_year
+      FROM orders GROUP BY o_custkey),
+    facts AS (
+      SELECT f.cohort_year,
+             EXTRACT(YEAR FROM o.o_orderdate) - f.cohort_year AS age_years,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey),
+    cell AS (
+      SELECT CAST(cohort_year AS INT) AS cohort_year,
+             CAST(age_years AS INT) AS age_years,
+             CAST(SUM(rev) AS DECIMAL(28,2)) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM facts GROUP BY 1, 2),
+    sized AS (
+      SELECT cohort_year, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+      FROM first_order GROUP BY 1)
+    SELECT c.cohort_year, c.age_years, c.n_orders, s.cohort_customers,
+           CAST(c.rev AS DOUBLE) AS period_revenue,
+           CAST(CAST(SUM(c.rev) OVER (PARTITION BY c.cohort_year ORDER BY c.age_years
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS DOUBLE)
+             AS cumulative_revenue
+    FROM cell c JOIN sized s USING (cohort_year)
+    ORDER BY cohort_year, age_years
+    """,
+)
+def a37_cohort_ltv(spark, sf_dir):
+    """First-order-year cohorts → (cohort, age) revenue cells → running
+    LTV. Corpus-rate work: the first-order agg and one fact re-join
+    (both custkey-keyed, AQE broadcast-able dim side); the cumulative
+    window touches only the years×years cell frame. Decimal end-to-end,
+    cast double only at emission."""
+    o = t(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    facts = o.join(first, "o_custkey").select(
+        F.col("cohort_year"),
+        (F.year("o_orderdate") - F.col("cohort_year")).alias("age_years"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cell = facts.groupBy(
+        F.col("cohort_year").cast("int").alias("cohort_year"),
+        F.col("age_years").cast("int").alias("age_years"),
+    ).agg(
+        F.sum("rev").cast("decimal(28,2)").alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    sized = first.groupBy(F.col("cohort_year").cast("int").alias("cohort_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_customers")
+    )
+    w_run = (
+        Window.partitionBy("cohort_year")
+        .orderBy("age_years")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(sized, "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "n_orders",
+            "cohort_customers",
+            F.col("rev").cast("double").alias("period_revenue"),
+            F.sum("rev").over(w_run).cast("decimal(28,2)").cast("double").alias("cumulative_revenue"),
+        )
+        .orderBy("cohort_year", "age_years")
     )

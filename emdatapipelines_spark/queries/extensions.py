@@ -5428,3 +5428,142 @@ def lm_next_word_topk(spark, sf_dir):
         )
         .orderBy("w1", "rank_within_head")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup: ORACLE-CHECKED MinHash estimate — the production family
+# (dd_minhash_lsh) uses xxhash64, which no oracle engine shares, so it
+# is registered rows-only; THIS query re-derives 16 MinHash components
+# from md5 (the a24 hex-fold) on both sides and compares the estimate
+# against exact Jaccard on the proven ≥0.5 pair set. Every emitted
+# number is an integer (ppm / match counts), so the accuracy profile of
+# the MinHash estimator itself is now hash-verified: est_ppm =
+# matches·62500, err_ppm = est − exact.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_minhash_estimate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 2)),
+                       i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             (c.common * CAST(1000000 AS BIGINT))
+               // (sa.set_size + sb.set_size - c.common) AS jaccard_ppm
+      FROM common c
+      JOIN sizes sa ON c.id_a = sa.doc_id
+      JOIN sizes sb ON c.id_b = sb.doc_id
+      WHERE 2 * c.common >= sa.set_size + sb.set_size - c.common),
+    sig AS (
+      SELECT doc_id, s.i,
+             MIN(CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(s.i AS VARCHAR) || '|' || shingle), 1, 13), ''),
+                        range(1, 14)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 13 - p[2]))) AS BIGINT)) AS mh
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 16)) AS i) s
+      GROUP BY doc_id, s.i),
+    est AS (
+      SELECT p.id_a, p.id_b, p.jaccard_ppm,
+             CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS INT) AS mh_matches
+      FROM pairs p
+      JOIN sig x ON x.doc_id = p.id_a
+      JOIN sig y ON y.doc_id = p.id_b AND y.i = x.i
+      GROUP BY p.id_a, p.id_b, p.jaccard_ppm)
+    SELECT id_a, id_b, jaccard_ppm, mh_matches,
+           CAST(mh_matches AS BIGINT) * 62500 AS mh_est_ppm,
+           CAST(mh_matches AS BIGINT) * 62500 - jaccard_ppm AS err_ppm
+    FROM est ORDER BY id_a, id_b
+    """,
+)
+def dd_minhash_estimate(spark, sf_dir):
+    """16-component md5 MinHash vs exact Jaccard on the ≥0.5 pairs: the
+    shingle frame feeds both the exact pipeline (shingle-keyed equi-join)
+    and the signature build (×16 seed fan-out collapsing to doc×16 rows
+    map-side); the estimate compare touches only pair×16 rows. Integer
+    threshold (2·common ≥ union) and ppm outputs keep every value exact."""
+    from ..llmdata.dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    hexarr = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
+    sh = d.select(
+        "doc_id", F.explode(_shingles("text", 5)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("set_size").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("set_size").alias("sb"))
+    pairs = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(2 * F.col("common") >= F.col("sa") + F.col("sb") - F.col("common"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(common * CAST(1000000 AS BIGINT)) div (sa + sb - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    hv = F.aggregate(
+        F.slice(
+            F.split(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))),
+                    1,
+                    13,
+                ),
+                "",
+            ),
+            1,
+            13,
+        ),
+        F.lit(0.0),
+        lambda acc, ch: acc * 16 + (F.array_position(hexarr, ch) - 1),
+    )
+    sig = (
+        sh.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .select("doc_id", "i", hv.cast("bigint").alias("h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    x = sig.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mh_a"))
+    y = sig.select(
+        F.col("doc_id").alias("yid"), F.col("i").alias("i_b"), F.col("mh").alias("mh_b")
+    )
+    est = (
+        pairs.join(x, "id_a")
+        .join(y, (F.col("id_b") == F.col("yid")) & (F.col("i") == F.col("i_b")))
+        .groupBy("id_a", "id_b", "jaccard_ppm")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("int")
+            .alias("mh_matches")
+        )
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        "jaccard_ppm",
+        "mh_matches",
+        (F.col("mh_matches").cast("bigint") * 62500).alias("mh_est_ppm"),
+        (F.col("mh_matches").cast("bigint") * 62500 - F.col("jaccard_ppm")).alias("err_ppm"),
+    ).orderBy("id_a", "id_b")

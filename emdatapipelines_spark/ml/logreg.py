@@ -156,16 +156,22 @@ def ridge_closed_form_2d(
     pass + scalar algebra (the shape that beats iterative GD outright
     whenever the normal equations fit in a register file — here, always).
 
-    Determinism: features arrive 8-dp-rounded (daily_count_features), so
-    casting to DECIMAL(18,8) is exact and every moment (Σx², Σxy, …) is
-    an exact decimal — partial-agg order cannot move a bit. The 2×2
+    Determinism: features arrive on a 1e-4 grid, so casting to
+    DECIMAL(18,4) is exact and every moment (Σx², Σxy, …) is an exact
+    decimal — partial-agg order cannot move a bit. The 2×2
     solve is a fixed IEEE expression on those exact moments; training
     MSE re-walks the frame once with the broadcast β, per-row squared
     residuals 8-dp-rounded into a decimal sum (the a32 convention).
     """
     yv = F.col(target).cast("decimal(18,0)")
-    x1 = F.col("x1").cast("decimal(18,8)")
-    x2 = F.col("x2").cast("decimal(18,8)")
+    # scale 4, not 8: the features live on a 1e-4 grid so the cast stays
+    # exact, and the PRODUCT sums then carry scale 8 — small enough that
+    # their unscaled integer fits 2^53, making the decimal→double cast a
+    # single correctly-rounded conversion in every engine (DuckDB converts
+    # high-scale decimals via hugeint→double THEN /10^scale — two roundings
+    # that disagreed with Spark's one-step conversion by 1 ulp at sf0.1)
+    x1 = F.col("x1").cast("decimal(18,4)")
+    x2 = F.col("x2").cast("decimal(18,4)")
     m = feats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(x1 * x1).cast("double").alias("a"),

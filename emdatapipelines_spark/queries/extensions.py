@@ -4775,11 +4775,11 @@ def tx_filter_funnel(spark, sf_dir):
     f AS (SELECT x1, x2, y FROM feat WHERE y IS NOT NULL),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(x1 AS DECIMAL(18,8))) AS DOUBLE) AS a,
-             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(x2 AS DECIMAL(18,8))) AS DOUBLE) AS b,
-             CAST(SUM(CAST(x2 AS DECIMAL(18,8)) * CAST(x2 AS DECIMAL(18,8))) AS DOUBLE) AS c,
-             CAST(SUM(CAST(x1 AS DECIMAL(18,8)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS d,
-             CAST(SUM(CAST(x2 AS DECIMAL(18,8)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS e
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(x1 AS DECIMAL(18,4))) AS DOUBLE) AS a,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS b,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,4)) * CAST(x2 AS DECIMAL(18,4))) AS DOUBLE) AS c,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS d,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS e
       FROM f),
     beta AS (
       SELECT n,

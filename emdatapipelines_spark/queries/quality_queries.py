@@ -675,3 +675,107 @@ def q16_entropy_profile(spark, sf_dir):
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum validation (the card/IMEI/ID check digit) as a pure
+# column fold — the classic format-validation function a PII/quality
+# scanner needs beyond regex shape checks (q7 finds number-LIKE strings;
+# Luhn separates plausible identifiers from random digits). Fixture:
+# deterministic 16-digit strings derived from customer keys, ~1/10 of
+# which are made Luhn-valid by construction of the check digit.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_luhn_check",
+    """
+    WITH nums AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey * 7919 % 1000000000000000 AS VARCHAR), 15, '0') AS body
+      FROM customer),
+    digits AS (
+      SELECT c_custkey, body,
+             list_transform(list_zip(string_split(reverse(body), ''), range(1, 16)),
+               p -> CASE WHEN p[2] % 2 = 1
+                         THEN CASE WHEN 2 * CAST(p[1] AS INT) > 9
+                                   THEN 2 * CAST(p[1] AS INT) - 9
+                                   ELSE 2 * CAST(p[1] AS INT) END
+                         ELSE CAST(p[1] AS INT) END) AS weighted
+      FROM nums),
+    summed AS (
+      SELECT c_custkey, body,
+             CAST(list_sum(weighted) AS BIGINT) AS s
+      FROM digits),
+    full_num AS (
+      SELECT c_custkey,
+             body || CAST((10 - s % 10) % 10 AS VARCHAR) AS card16,
+             CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE 1 END AS corrupt
+      FROM summed),
+    final AS (
+      SELECT c_custkey,
+             CASE WHEN corrupt = 1
+                  THEN substring(card16, 1, 15)
+                       || CAST((CAST(substring(card16, 16, 1) AS INT) + 1) % 10 AS VARCHAR)
+                  ELSE card16 END AS card16
+      FROM full_num),
+    checked AS (
+      SELECT c_custkey, card16,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(reverse(card16), ''), range(1, 17)),
+               p -> CASE WHEN p[2] % 2 = 0
+                         THEN CASE WHEN 2 * CAST(p[1] AS INT) > 9
+                                   THEN 2 * CAST(p[1] AS INT) - 9
+                                   ELSE 2 * CAST(p[1] AS INT) END
+                         ELSE CAST(p[1] AS INT) END)) AS BIGINT) % 10 = 0 AS luhn_valid
+      FROM final)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN luhn_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN NOT luhn_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+    FROM checked
+    """,
+)
+def q17_luhn_check(spark, sf_dir):
+    """Luhn validation of synthetic 16-digit identifiers (check digit
+    constructed, then 9/10 corrupted): the digit fold is a pure column
+    HOF — map-rate, no shuffle beyond the final 1-row count."""
+    c = t(spark, sf_dir, "customer")
+    body = F.lpad(
+        ((F.col("c_custkey") * 7919) % F.lit(1000000000000000)).cast("string"), 15, "0"
+    )
+
+    def luhn_sum(numcol, nlen, double_odd_positions):
+        # fold over reversed digits; position parity decides doubling
+        pairs = F.zip_with(
+            F.split(F.reverse(numcol), ""),
+            F.sequence(F.lit(1), F.lit(nlen)),
+            lambda ch, i: F.struct(ch.alias("ch"), i.alias("i")),
+        )
+        par = 1 if double_odd_positions else 0
+        return F.aggregate(
+            F.slice(pairs, 1, nlen),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.when(
+                p["i"] % 2 == par,
+                F.when(
+                    2 * p["ch"].cast("int") > 9, 2 * p["ch"].cast("int") - 9
+                ).otherwise(2 * p["ch"].cast("int")),
+            ).otherwise(p["ch"].cast("int")),
+        )
+    s = luhn_sum(body, 15, True)
+    card = F.concat(body, ((10 - s % 10) % 10).cast("string"))
+    corrupted = F.when(
+        F.col("c_custkey") % 10 == 0, card
+    ).otherwise(
+        F.concat(
+            F.substring(card, 1, 15),
+            ((F.substring(card, 16, 1).cast("int") + 1) % 10).cast("string"),
+        )
+    )
+    checked = c.select(corrupted.alias("card16")).select(
+        (luhn_sum(F.col("card16"), 16, False) % 10 == 0).alias("luhn_valid")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("luhn_valid"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
+        F.sum(F.when(~F.col("luhn_valid"), 1).otherwise(0)).cast("bigint").alias("n_invalid"),
+    )

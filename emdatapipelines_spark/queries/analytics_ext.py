@@ -2382,3 +2382,130 @@ def a37_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_year", "age_years")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength (Hyndman FPP): F_s = max(0, 1 − Var(residual)/
+# Var(value)) per event type over the day-of-week decomposition that
+# ts_seasonal_residuals proves. Squares round to 4 dp before the decimal
+# sum so the UNSCALED sum stays < 2^53 — the ml_ridge_2d lesson: DuckDB
+# converts high-scale decimals to double in two roundings, so moment
+# sums must keep their unscaled integers exactly double-representable.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_seasonal_strength",
+    """
+    WITH prof AS (
+      SELECT event_type, isodow(ts) AS dow,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) / COUNT(value) * 1000000.0) / 1000000.0 AS seasonal
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT e.event_type, e.value,
+             ROUND(e.value - p.seasonal, 6) AS resid
+      FROM events e
+      JOIN prof p ON e.event_type = p.event_type AND isodow(e.ts) = p.dow),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(ROUND(value * value, 4) AS DECIMAL(28,4))) AS DOUBLE) AS svv,
+             CAST(SUM(CAST(resid AS DECIMAL(28,6))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(ROUND(resid * resid, 4) AS DECIMAL(28,4))) AS DOUBLE) AS srr
+      FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           (svv - sv * sv / n) / n AS var_value,
+           (srr - sr * sr / n) / n AS var_resid,
+           GREATEST(0.0, 1.0 - ((srr - sr * sr / n) / n)
+                              / ((svv - sv * sv / n) / n)) AS seasonal_strength
+    FROM m ORDER BY event_type
+    """,
+)
+def ts_seasonal_strength(spark, sf_dir):
+    """How much of each type's variance the weekly profile explains.
+    One profile hash-agg (35 rows) broadcast back, one moment hash-agg
+    per type; the strength formula is a fixed IEEE expression on
+    decimal-exact moments."""
+    from .registry import davg
+
+    e = t(spark, sf_dir, "events").withColumn(
+        "dow", (F.weekday("ts") + 1).cast("int")
+    )
+    prof = e.groupBy("event_type", "dow").agg(davg("value").alias("seasonal"))
+    r = e.join(F.broadcast(prof), ["event_type", "dow"]).select(
+        "event_type",
+        "value",
+        F.round(F.col("value") - F.col("seasonal"), 6).alias("resid"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("sv"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("svv"),
+        F.sum(F.col("resid").cast("decimal(28,6)")).cast("double").alias("sr"),
+        F.sum(F.round(F.col("resid") * F.col("resid"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("srr"),
+    )
+    var_v = (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / F.col("n")
+    var_r = (F.col("srr") - F.col("sr") * F.col("sr") / F.col("n")) / F.col("n")
+    return m.select(
+        "event_type",
+        "n",
+        var_v.alias("var_value"),
+        var_r.alias("var_resid"),
+        F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_v).alias("seasonal_strength"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocity of the directed trade graph: what fraction of top-2 trade
+# edges are reciprocated? Pure integer ratio over the edge frame.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_reciprocity",
+    _LP_EDGES_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS reciprocity
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    """,
+)
+def gr_reciprocity(spark, sf_dir):
+    """Edge-level reciprocity: the directed edge list left-joins its own
+    transpose (both ~50 rows after the shared fact-join rollup); one
+    integer-ratio division out."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    r = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
+        "__rec", F.lit(1)
+    )
+    j = e.join(r, ["src", "dst"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.coalesce(F.col("__rec"), F.lit(0))).cast("bigint").alias("n_reciprocal"),
+        (
+            F.sum(F.coalesce(F.col("__rec"), F.lit(0))).cast("double") / F.count(F.lit(1))
+        ).alias("reciprocity"),
+    )

@@ -1532,3 +1532,66 @@ def j15_interval_coalesce(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (SQL IS NOT DISTINCT FROM ≡ Spark eqNullSafe ≡ the
+# <=> operator): the join-semantics surface plain equi-joins silently
+# drop — NULL keys match NULL keys. Two halves of the event stream are
+# bucketed on a NULLABLE key (low values get no bucket) and full-outer
+# null-safe joined, so the NULL×NULL row in the output proves the
+# semantics end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "j16_nullsafe_join",
+    """
+    WITH keyed AS (
+      SELECT event_id,
+             CASE WHEN value >= 100 THEN CAST(FLOOR(value / 100) AS BIGINT) END AS k
+      FROM events),
+    l AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt_l
+          FROM keyed WHERE event_id % 2 = 0 GROUP BY k),
+    r AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt_r
+          FROM keyed WHERE event_id % 2 = 1 GROUP BY k)
+    SELECT COALESCE(l.k, r.k) AS k,
+           l.k IS NULL AND r.k IS NULL
+             AND (l.cnt_l IS NOT NULL OR r.cnt_r IS NOT NULL) AS is_null_bucket,
+           COALESCE(l.cnt_l, 0) AS cnt_even,
+           COALESCE(r.cnt_r, 0) AS cnt_odd
+    FROM l FULL JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def j16_nullsafe_join(spark, sf_dir):
+    """Full-outer join of the even/odd event halves on a nullable bucket
+    key using eqNullSafe — Spark plans it as a regular hash join on the
+    null-safe key (no fallback to nested loops); the NULL bucket lands
+    as ONE matched row instead of two dangling ones."""
+    e = t(spark, sf_dir, "events")
+    keyed = e.select(
+        "event_id",
+        F.when(F.col("value") >= 100, F.floor(F.col("value") / 100).cast("bigint")).alias("k"),
+    )
+    l = (
+        keyed.filter(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_l"))
+        .alias("l")
+    )
+    r = (
+        keyed.filter(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt_r"))
+        .alias("r")
+    )
+    j = l.join(r, F.col("l.k").eqNullSafe(F.col("r.k")), "full")
+    return j.select(
+        F.coalesce(F.col("l.k"), F.col("r.k")).alias("k"),
+        (
+            F.col("l.k").isNull()
+            & F.col("r.k").isNull()
+            & (F.col("cnt_l").isNotNull() | F.col("cnt_r").isNotNull())
+        ).alias("is_null_bucket"),
+        F.coalesce(F.col("cnt_l"), F.lit(0)).alias("cnt_even"),
+        F.coalesce(F.col("cnt_r"), F.lit(0)).alias("cnt_odd"),
+    ).orderBy(F.asc_nulls_first("k"))

@@ -5567,3 +5567,111 @@ def dd_minhash_estimate(spark, sf_dir):
         (F.col("mh_matches").cast("bigint") * 62500).alias("mh_est_ppm"),
         (F.col("mh_matches").cast("bigint") * 62500 - F.col("jaccard_ppm")).alias("err_ppm"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity: Calinski-Harabasz cluster separation of the embedding
+# space by its ground-truth label — the variance-ratio index every
+# clustering/embedding-quality report leads with: CH = (B/(k−1)) /
+# (W/(n−k)). Everything reduces to per-(label, dim) first/second
+# moments: one posexplode + hash-agg is the only corpus-rate pass; the
+# scatter algebra runs on the labels×dims frame with every
+# cross-term 6-dp-rounded into a decimal sum (the a32 convention), so
+# float association never moves the index.
+# ---------------------------------------------------------------------------
+@query(
+    "sim_cluster_separation",
+    """
+    WITH ex AS (
+      SELECT label, p[2] AS dim, ROUND(CAST(p[1] AS DOUBLE), 8) AS x
+      FROM embeddings,
+           UNNEST(list_zip(embedding, range(1, len(embedding) + 1))) AS t(p)),
+    percd AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS s,
+             CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS q,
+             CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM ex GROUP BY label, dim),
+    sizes AS (
+      SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings),
+    wsum AS (
+      SELECT CAST(SUM(CAST(ROUND(CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_c, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS w,
+             CAST(SUM(CAST(ROUND(
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_c, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS b_part
+      FROM percd),
+    perd AS (
+      SELECT dim, CAST(SUM(s) AS DECIMAL(28,8)) AS sd,
+             CAST(SUM(n_c) AS BIGINT) AS n
+      FROM percd GROUP BY dim),
+    gsum AS (
+      SELECT CAST(SUM(CAST(ROUND(
+               CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / n, 6)
+             AS DECIMAL(28,6))) AS DOUBLE) AS g
+      FROM perd)
+    SELECT sizes.n, CAST(sizes.k AS INT) AS k,
+           wsum.b_part - gsum.g AS between_scatter,
+           wsum.w AS within_scatter,
+           ((wsum.b_part - gsum.g) / (sizes.k - 1))
+             / (wsum.w / (sizes.n - sizes.k)) AS calinski_harabasz
+    FROM sizes CROSS JOIN wsum CROSS JOIN gsum
+    """,
+)
+def sim_cluster_separation(spark, sf_dir):
+    """CH index of embeddings grouped by label. B = Σ_cd s²/n_c − Σ_d
+    S_d²/n and W = Σ_cd (q − s²/n_c) from decimal-exact moments; the
+    per-(label, dim) sums keep unscaled integers < 2^53 so the
+    decimal→double conversions are single-rounding in every engine."""
+    emb = t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("label", "dim", F.round(F.col("xf").cast("double"), 8).alias("x"))
+    percd = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("x").cast("decimal(28,8)")).cast("decimal(28,8)").alias("s"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast("decimal(28,8)"))
+        .cast("decimal(28,8)")
+        .alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+    )
+    sizes = emb.agg(
+        F.countDistinct("label").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    s_d = F.col("s").cast("double")
+    wsum = percd.agg(
+        F.sum(
+            F.round(F.col("q").cast("double") - s_d * s_d / F.col("n_c"), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("w"),
+        F.sum(F.round(s_d * s_d / F.col("n_c"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("b_part"),
+    )
+    perd = percd.groupBy("dim").agg(
+        F.sum("s").cast("decimal(28,8)").alias("sd"),
+        F.sum("n_c").cast("bigint").alias("n"),
+    )
+    sd_d = F.col("sd").cast("double")
+    gsum = perd.agg(
+        F.sum(F.round(sd_d * sd_d / F.col("n"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("g")
+    )
+    out = sizes.crossJoin(F.broadcast(wsum)).crossJoin(F.broadcast(gsum))
+    b = F.col("b_part") - F.col("g")
+    return out.select(
+        "n",
+        F.col("k").cast("int").alias("k"),
+        b.alias("between_scatter"),
+        F.col("w").alias("within_scatter"),
+        ((b / (F.col("k") - 1)) / (F.col("w") / (F.col("n") - F.col("k")))).alias(
+            "calinski_harabasz"
+        ),
+    )

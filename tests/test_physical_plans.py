@@ -109,6 +109,7 @@ BNLJ_ALLOWED = {
     "ml_ridge_2d",  # 1-row beta broadcast for the MSE re-walk
     "lm_conditional_entropy",  # 1-row unigram/bigram total broadcasts
     "ml_knn_eval",  # all-pairs over the calendar-bounded (types x days) frame
+    "sim_cluster_separation",  # 1-row scatter/size aggregates crossJoined
 }
 
 

@@ -2509,3 +2509,93 @@ def gr_reciprocity(spark, sf_dir):
             F.sum(F.coalesce(F.col("__rec"), F.lit(0))).cast("double") / F.count(F.lit(1))
         ).alias("reciprocity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard: for NON-adjacent nation
+# pairs sharing ≥1 neighbor in the undirected trade graph, score
+# |N(u)∩N(v)| / |N(u)∪N(v)| — the classic structural-similarity
+# candidate list (Liben-Nowell & Kleinberg 2003). Wedge self-join on the
+# edge frame; score kept as exact ppm integers.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_link_prediction",
+    _LP_EDGES_CTE
+    + """,
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    wedge AS (
+      SELECT a.v AS u, b.v AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+      GROUP BY a.v, b.v),
+    nonadj AS (
+      SELECT w.u, w.v, w.common
+      FROM wedge w LEFT JOIN adj e ON e.u = w.u AND e.v = w.v
+      WHERE e.u IS NULL)
+    SELECT n.u, n.v, n.common AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           (n.common * CAST(1000000 AS BIGINT)) // (du.d + dv.d - n.common) AS jaccard_ppm
+    FROM nonadj n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY jaccard_ppm DESC, n.u, n.v
+    LIMIT 10
+    """,
+)
+def gr_link_prediction(spark, sf_dir):
+    """Top-10 missing-edge candidates by neighbor-set Jaccard. The wedge
+    join and degree joins run on the ~50-row symmetrized edge frame (one
+    checkpointed derivation shared with the other gr_* rounds); at web
+    scale the wedge join is the m^1.5-bounded shape triangle counting
+    already uses."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    flow = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    adj = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")))
+        .groupBy(F.col("a.v").alias("u"), F.col("b.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    nonadj = wedge.join(adj, ["u", "v"], "anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    return (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "(common * CAST(1000000 AS BIGINT)) div (deg_u + deg_v - common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v"))
+        .limit(10)
+    )

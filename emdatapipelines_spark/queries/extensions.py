@@ -5675,3 +5675,65 @@ def sim_cluster_separation(spark, sf_dir):
             "calinski_harabasz"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM: Good-Turing frequency-of-frequencies + unseen-mass estimate —
+# p0 = N1/N (Good 1953), the smoothing statistic every count-based LM
+# and species-richness estimator starts from. Pure integer pipeline:
+# term counts → count-of-counts → one ratio.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_good_turing",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    fof AS (SELECT c AS freq, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM tc GROUP BY c),
+    tot AS (
+      SELECT CAST(SUM(freq * n_types) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_types) AS BIGINT) AS n_types_total,
+             CAST(MAX(CASE WHEN freq = 1 THEN n_types ELSE 0 END) AS BIGINT) AS n1
+      FROM fof)
+    SELECT f.freq, f.n_types,
+           t.n_tokens, t.n_types_total,
+           CAST(t.n1 AS DOUBLE) / t.n_tokens AS p_unseen
+    FROM fof f CROSS JOIN tot t
+    WHERE f.freq <= 10
+    ORDER BY f.freq
+    """,
+)
+def lm_good_turing(spark, sf_dir):
+    """Frequency-of-frequencies table (freq ≤ 10) + Good-Turing unseen
+    mass N1/N: two stacked hash-aggs (term counts, then count-of-counts
+    — the second is vocabulary-rate) and a 1-row total broadcast."""
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(F.split(_norm("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    fof = tc.groupBy(F.col("c").alias("freq")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    tot = fof.agg(
+        F.sum(F.col("freq") * F.col("n_types")).cast("bigint").alias("n_tokens"),
+        F.sum("n_types").cast("bigint").alias("n_types_total"),
+        F.max(F.when(F.col("freq") == 1, F.col("n_types")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return (
+        fof.crossJoin(F.broadcast(tot))
+        .filter(F.col("freq") <= 10)
+        .select(
+            "freq",
+            "n_types",
+            "n_tokens",
+            "n_types_total",
+            (F.col("n1").cast("double") / F.col("n_tokens")).alias("p_unseen"),
+        )
+        .orderBy("freq")
+    )

@@ -110,6 +110,7 @@ BNLJ_ALLOWED = {
     "lm_conditional_entropy",  # 1-row unigram/bigram total broadcasts
     "ml_knn_eval",  # all-pairs over the calendar-bounded (types x days) frame
     "sim_cluster_separation",  # 1-row scatter/size aggregates crossJoined
+    "lm_good_turing",  # 1-row token/type totals broadcast onto the fof frame
 }
 
 

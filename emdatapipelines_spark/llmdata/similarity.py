@@ -481,6 +481,106 @@ def embedding_neardup_pairs(
     return tagged.groupBy("ba", "bb").applyInPandas(block_pair, out_schema)
 
 
+def centroid_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id: str = "cid",
+    c_vec: str = "cv",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster_id, cos_c).
+
+    The centroid frame broadcasts (it is K rows, K ≪ n by construction),
+    so the corpus side never shuffles for scoring; the argmax collapses
+    map-side via ``max_by`` over a (cos, −cid) struct — one exchange on
+    ``id_col`` total, no window. Cosines are rounded to 6 BEFORE the
+    argmax so fold-order noise cannot flip an assignment; ties break to
+    the lowest centroid id (both properties mirror the SQL twin)."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        _as_double(vec_col).alias("v"),
+        _norm(_as_double(vec_col)).alias("vn"),
+    )
+    c = centroids.select(
+        F.col(c_id).alias("cid"),
+        _as_double(c_vec).alias("cvec"),
+        _norm(_as_double(c_vec)).alias("cn"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "cid",
+        F.round(_dot(F.col("v"), F.col("cvec")) / (F.col("vn") * F.col("cn")), 6).alias(
+            "cos_c"
+        ),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.expr(
+                "max_by(named_struct('cid', cid, 'cos_c', cos_c),"
+                " named_struct('c', cos_c, 'i', -cid))"
+            ).alias("m")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("m.cid").alias("cluster_id"),
+            F.col("m.cos_c").alias("cos_c"),
+        )
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id: str = "cid",
+    c_vec: str = "cv",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): assign every
+    vector to its nearest centroid, then inside each cluster mark a vector
+    a duplicate iff an EARLIER (lower-id) same-cluster vector is within
+    ``cosine >= threshold``. Output: (id, cluster_id, cos_c, is_dup,
+    dup_of) — dup_of is the lowest-id qualifying neighbor, NULL for
+    survivors.
+
+    Scale shape: assignment is the broadcast-K map-side pass of
+    :func:`centroid_assign`; the candidate pairs ride the LOSSLESS grid
+    prefilter of :func:`embedding_neardup_pairs` (block-pair BLAS matmul,
+    nothing collected), and only pairs whose endpoints share a cluster
+    survive — so the cluster constraint PRUNES the near-dup pair stream
+    rather than generating per-cluster all-pairs work. The min-id survivor
+    rule makes the operator incremental across snapshots for free: with
+    monotonically increasing ids per snapshot, re-running over
+    old ∪ new marks exactly the new-snapshot vectors that semantically
+    collide with the retained corpus (or an earlier new vector) — the
+    cross-snapshot dedup contract of the incremental MinHash index
+    (`streaming/incremental.py`), re-expressed for embeddings."""
+    assign = centroid_assign(corpus, centroids, id_col, vec_col, c_id, c_vec)
+    pairs = embedding_neardup_pairs(
+        corpus, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).select("id_a", "id_b")
+    ca = assign.select(F.col(id_col).alias("id_a"), F.col("cluster_id").alias("ka"))
+    cb = assign.select(F.col(id_col).alias("id_b"), F.col("cluster_id").alias("kb"))
+    same = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("ka") == F.col("kb"))
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+        .select(F.col("id_b").alias(id_col), "dup_of")
+    )
+    return assign.join(same, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        "cos_c",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

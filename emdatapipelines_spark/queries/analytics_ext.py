@@ -378,7 +378,10 @@ def a21_hll_distinct_rollup(spark, sf_dir):
     (`operators/reaggregate.py: hll_partial/hll_merge`). Rows-only driver
     check by design — DataSketches estimates are engine-specific, so there
     is no DuckDB twin; merge determinism and the error bound are
-    asserted in tests/test_reaggregate.py.
+    asserted in tests/test_reaggregate.py. Each row additionally carries
+    the exact monthly distinct and the measured estimator error in ppm so
+    the driver's rows-only check records the quality bar in-row (VERDICT
+    r7 #5 — same protocol as the ANN queries' recall_at_k).
     """
     from ..operators.reaggregate import hll_merge, hll_partial
 
@@ -388,7 +391,24 @@ def a21_hll_distinct_rollup(spark, sf_dir):
         "user_id",
     )
     daily = hll_partial(ev, ["month", "day"], "user_id")
-    return hll_merge(daily, ["month"]).orderBy("month")
+    exact = ev.groupBy("month").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        hll_merge(daily, ["month"])
+        .join(exact, "month")
+        .select(
+            "month",
+            "approx_distinct",
+            "exact_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                * 1000000.0
+                / F.col("exact_distinct")
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+        .orderBy("month")
+    )
 
 
 @query(

@@ -417,6 +417,61 @@ def dd_embedding_neardup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup: SemDeDup-style centroid-pruned semantic dedup (Abbas et al. 2023).
+# Assign every vector to its nearest pinned centroid (the deterministic
+# <=20-vector probe family: vec_id % 100 == 7, vec_id < 2000 — fixed K at
+# any sf, so assignment is a broadcast-K map pass), then mark a vector dup
+# iff an earlier same-cluster vector has cosine >= 0.4 (fixture-tuned like
+# dd_embedding_neardup; real corpora use ~0.95). Candidate pairs ride the
+# lossless grid prefilter — the cluster constraint prunes the near-dup
+# stream, it never generates per-cluster all-pairs work. The min-id
+# survivor rule is the cross-snapshot incremental contract: with
+# monotonically increasing ids per snapshot, re-running over old ∪ new
+# flags exactly the new vectors colliding with the retained corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_semdedup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+          WHERE vec_id % 100 = 7 AND vec_id < 2000),
+    scored AS (
+      SELECT n.vec_id, c.cid,
+             ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS cos_c
+      FROM n CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid AS cluster_id, cos_c FROM (
+        SELECT vec_id, cid, cos_c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+    same AS (
+      SELECT p.id_b AS vec_id, MIN(p.id_a) AS dup_of
+      FROM pairs p
+      JOIN assign x ON p.id_a = x.vec_id
+      JOIN assign y ON p.id_b = y.vec_id AND x.cluster_id = y.cluster_id
+      GROUP BY p.id_b)
+    SELECT a.vec_id, a.cluster_id, a.cos_c,
+           s.dup_of IS NOT NULL AS is_dup, s.dup_of
+    FROM assign a LEFT JOIN same s ON a.vec_id = s.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def dd_semdedup(spark, sf_dir):
+    from ..llmdata.similarity import semdedup
+
+    e = t(spark, sf_dir, "embeddings")
+    cent = e.filter((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < 2000)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return semdedup(e, cent, threshold=0.4).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # similarity: IVF-bucketed approximate top-k (scale path — no SQL oracle)
 # ---------------------------------------------------------------------------
 @query("sim_ivf_topk")
@@ -1173,11 +1228,31 @@ def llm_clean_corpus(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("a12_approx_distinct")
 def a12_approx_distinct(spark, sf_dir):
+    """Self-validating: each row carries the exact distincts and the
+    measured estimator error in ppm, so the driver's rows-only check
+    records the quality bar, not just cardinality (VERDICT r7 #5; same
+    protocol as the ANN queries' recall_at_k). The exact countDistinct
+    rides the same single shuffle — no extra exchange."""
     l = t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    out = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    err = lambda a, e: F.round(  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) * 1000000.0 / F.col(e)
+    ).cast("bigint")
+    return out.select(
+        "l_returnflag",
+        "approx_suppliers",
+        "approx_parts",
+        "exact_suppliers",
+        "exact_parts",
+        "n_rows",
+        err("approx_suppliers", "exact_suppliers").alias("supp_err_ppm"),
+        err("approx_parts", "exact_parts").alias("part_err_ppm"),
     )
 
 
@@ -2760,6 +2835,101 @@ def lm_bpe_encode(spark, sf_dir):
     return bpe_token_counts(d, vocab)
 
 
+def _bpe_roundtrip_oracle(k: int) -> str:
+    """Per-source tokenizer quality gate over the k-merge BPE: reuse the
+    training CTE stages, join the word stream, and verify losslessness
+    (stripping SEP + end marker from the subword string must reproduce the
+    word) plus compression (tokens/word, chars/token as floor-div ppm)."""
+    train = _bpe_oracle(k)
+    stages = train[len("WITH ") : train.index(" SELECT 1 AS step")]
+    return f"""
+    WITH {stages},
+    docwords AS (
+      SELECT source,
+             regexp_replace(unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')), '[^a-z0-9]', '', 'g') AS word
+      FROM documents),
+    tok AS (
+      SELECT d.source,
+             len(string_split(s.state, chr(31))) AS n_sub,
+             length(d.word) AS n_chars_w,
+             CASE WHEN replace(replace(s.state, chr(31), ''), '</w>', '') = d.word
+                  THEN 1 ELSE 0 END AS rt_ok
+      FROM docwords d JOIN stage{k} s ON d.word = s.word
+      WHERE d.word <> '')
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+           CAST(SUM(rt_ok) AS BIGINT) AS n_roundtrip_ok,
+           CAST(COUNT(*) - SUM(rt_ok) AS BIGINT) AS n_roundtrip_fail,
+           CAST((SUM(n_sub) * 1000000) // COUNT(*) AS BIGINT) AS tokens_per_word_ppm,
+           CAST((SUM(n_chars_w) * 1000000) // SUM(n_sub) AS BIGINT) AS chars_per_token_ppm
+    FROM tok GROUP BY source ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# llm: tokenizer round-trip + compression-ratio quality gate (VERDICT r7
+# stretch #8). A tokenizer change that silently drops characters or blows
+# up fertility is a training-data incident; this gate re-derives the
+# 6-merge BPE, re-encodes the corpus word stream, and HASH-VERIFIES per
+# source (a) losslessness — decode(encode(word)) == word for every corpus
+# word (n_roundtrip_fail must be 0), and (b) fertility/compression —
+# tokens-per-word and chars-per-token as exact floor-div ppm integers.
+# Same vocab-bounded shape as lm_bpe_encode: the merge folds run on the
+# distinct-word vocab only; the corpus-sized path is one equi-join.
+# ---------------------------------------------------------------------------
+@query("lm_bpe_roundtrip", _bpe_roundtrip_oracle(6))
+def lm_bpe_roundtrip(spark, sf_dir):
+    from ..llmdata.bpe import END_MARKER, SEP, learn_bpe
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    _, vocab = learn_bpe(d, k=6)
+    words = (
+        d.select("source", F.explode(F.split(_norm("text"), " ")).alias("tok"))
+        .select("source", F.regexp_replace("tok", "[^a-z0-9]", "").alias("word"))
+        .filter(F.col("word") != "")
+    )
+    per = words.join(vocab.select("word", "state"), "word").select(
+        "source",
+        F.size(F.split("state", SEP)).alias("n_sub"),
+        F.length("word").alias("n_chars_w"),
+        (
+            F.replace(
+                F.replace(F.col("state"), F.lit(SEP), F.lit("")),
+                F.lit(END_MARKER),
+                F.lit(""),
+            )
+            == F.col("word")
+        )
+        .cast("int")
+        .alias("rt_ok"),
+    )
+    out = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_sub").alias("n_bpe_tokens"),
+        F.sum("n_chars_w").alias("n_chars"),
+        F.sum("rt_ok").alias("n_roundtrip_ok"),
+    )
+    return out.select(
+        "source",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_roundtrip_ok").cast("bigint").alias("n_roundtrip_ok"),
+        (F.col("n_words") - F.col("n_roundtrip_ok"))
+        .cast("bigint")
+        .alias("n_roundtrip_fail"),
+        F.expr("(n_bpe_tokens * CAST(1000000 AS BIGINT)) div n_words").alias(
+            "tokens_per_word_ppm"
+        ),
+        F.expr("(n_chars * CAST(1000000 AS BIGINT)) div n_bpe_tokens").alias(
+            "chars_per_token_ppm"
+        ),
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # ts: PMI co-occurrence of event types within user-days — the association
 # signal behind item2vec-style embeddings and market-basket lifts:
@@ -3135,16 +3305,19 @@ def llm_data_card(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# similarity: exact k-NN graph over the embedding corpus (SemDeDup-style
-# graph construction; sim_cosine_topk serves 8 query vectors, this builds
-# the per-vector top-3 neighborhood for ALL vectors). Rides the block-pair
-# BLAS matmul (nothing collected, shuffle = n·B rows), symmetrizes the
-# id_a<id_b pair stream, and takes the per-source top-3 with a rank filter
-# that WindowGroupLimit prunes map-side. Cosines are rounded to 6 in BOTH
-# engines BEFORE ranking so BLAS-vs-fold summation noise (~1e-13) cannot
-# flip a rank; ties break on neighbor id. At 100 TB the all-pairs block
-# matmul takes the LSH prefilter escape hatch documented on
-# embedding_neardup_pairs; the graph assembly is unchanged.
+# similarity: exact k-NN neighborhoods over a FIXED probe set (SemDeDup-style
+# graph construction). The sources are the deterministic 20-vector probe set
+# (vec_id % 100 == 0 AND vec_id < 2000 — the same pin sim_knn_graph_ann and
+# embedding_neardup_stats use), so the exact side costs O(|probe|·n·d) at
+# every scale instead of the all-pairs O(n²·d) this query paid through r7
+# (61.4s isolated at sf1; VERDICT r7 #4). The corpus side never shuffles —
+# the probe set broadcasts into a map-side scan + WindowGroupLimit top-3.
+# The FULL exact graph remains available as an operator
+# (embedding_neardup_pairs(threshold=-1) + rank window; unit-tested), and
+# the production-scale graph is sim_knn_graph_ann, whose recall probe is
+# measured against exactly this query's output. Cosines are rounded to 6 in
+# BOTH engines BEFORE ranking so fold-order summation noise (~1e-13) cannot
+# flip a rank; ties break on neighbor id.
 # ---------------------------------------------------------------------------
 @query(
     "sim_knn_graph",
@@ -3160,7 +3333,8 @@ def llm_data_card(spark, sf_dir):
       SELECT a.vec_id AS src, b.vec_id AS neighbor,
              ROUND(list_reduce(list_transform(list_zip(a.vec, b.vec), q -> q[1] * q[2]),
                                (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id % 100 = 0 AND a.vec_id < 2000),
     ranked AS (
       SELECT src, neighbor, cosine,
              ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, neighbor) AS rnk
@@ -3170,24 +3344,15 @@ def llm_data_card(spark, sf_dir):
     """,
 )
 def sim_knn_graph(spark, sf_dir):
-    from pyspark.sql import Window
-
-    from ..llmdata.similarity import embedding_neardup_pairs
+    from ..llmdata.similarity import brute_force_cosine_topk
 
     e = t(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup_pairs(e, threshold=-1.0)
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("neighbor"), "cosine"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("neighbor"), "cosine"
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("neighbor"))
-    return (
-        sym.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("src", "neighbor", F.col("rank").cast("int"), "cosine")
+    probe = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
+    return brute_force_cosine_topk(probe, e, k=3).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("neighbor"),
+        F.col("rank").cast("int").alias("rank"),
+        "cosine",
     )
 
 
@@ -5450,9 +5615,11 @@ def lm_next_word_topk(spark, sf_dir):
                        i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
       FROM toks),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
     pairs AS (
       SELECT c.id_a, c.id_b,
@@ -5488,20 +5655,41 @@ def dd_minhash_estimate(spark, sf_dir):
     shingle frame feeds both the exact pipeline (shingle-keyed equi-join)
     and the signature build (×16 seed fan-out collapsing to doc×16 rows
     map-side); the estimate compare touches only pair×16 rows. Integer
-    threshold (2·common ≥ union) and ppm outputs keep every value exact."""
+    threshold (2·common ≥ union) and ppm outputs keep every value exact.
+
+    The exact-Jaccard self-join is ``max_shingle_df``-capped at 50 on BOTH
+    engines (mirroring ``llmdata.dedup.jaccard_similarity_join``): shingles
+    hotter than 50 docs are dropped from the common count, bounding the
+    hottest posting list so the a.shingle=b.shingle join stays linear in
+    candidates at web scale. At every tested SF the max 5-gram shingle df
+    is ≤4, so the cap changes zero output rows; the signature side keeps
+    the full shingle set (production MinHash hashes everything). The join
+    itself runs on xxhash64-collapsed 8-byte keys (output-invariant)."""
+    from pyspark import StorageLevel
+
     from ..llmdata.dedup import _shingles
 
     d = t(spark, sf_dir, "documents")
-    hexarr = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
+    # persist: feeds sizes, the df-cap frequency agg, both join sides, and
+    # the 16-seed signature fan-out — five consumers of one explode.
     sh = d.select(
         "doc_id", F.explode(_shingles("text", 5)).alias("shingle")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    cold = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 50)
+        .select("shingle")
+    )
+    shc = sh.join(cold, "shingle").select(
+        "doc_id", F.xxhash64("shingle").alias("shk")
+    )
+    a, b = shc.alias("a"), shc.hint("SHUFFLE_HASH").alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shk") == F.col("b.shk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -5523,24 +5711,36 @@ def dd_minhash_estimate(spark, sf_dir):
             ),
         )
     )
-    hv = F.aggregate(
-        F.slice(
-            F.split(
-                F.substring(
-                    F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))),
-                    1,
-                    13,
-                ),
-                "",
-            ),
+    # 13 hex chars = 52 bits < 2^53: conv() is exact here and stays inside
+    # whole-stage codegen, unlike the interpreted hex-ladder HOF the oracle
+    # SQL needs (DuckDB has no conv()). Same integers either way.
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("shingle"))),
             1,
             13,
         ),
-        F.lit(0.0),
-        lambda acc, ch: acc * 16 + (F.array_position(hexarr, ch) - 1),
+        16,
+        10,
+    )
+    # Output-invariant prune: signatures are only consumed via the join
+    # with `pairs`, so build them for paired docs only — the x16 md5
+    # fan-out (the dominant cost term) shrinks from every shingle in the
+    # corpus to the shingles of the few near-dup docs. The oracle SQL
+    # keeps the whole-corpus signature CTE; unconsumed signatures cannot
+    # change the compared rows. `pairs` now has two consumers (est +
+    # pair_ids) and sits downstream of the expensive shingle self-join —
+    # persist it (near-dup pairs: a handful of rows) or the join runs
+    # twice (measured 26.6s vs 8s at sf1).
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
     sig = (
-        sh.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        sh.join(pair_ids, "doc_id", "left_semi")
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(15))))
         .select("doc_id", "i", hv.cast("bigint").alias("h"))
         .groupBy("doc_id", "i")
         .agg(F.min("h").alias("mh"))

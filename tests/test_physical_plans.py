@@ -84,6 +84,14 @@ BNLJ_ALLOWED = {
     # ANN graph twin: non-equi brute-force recall probe over the broadcast
     # 20-source sample + crossJoin(broadcast(1-row recall aggregate))
     "sim_knn_graph_ann",
+    # exact k-NN baseline (r8): non-equi join of the broadcast FIXED
+    # <=20-source probe set against the corpus — bounded by the probe set,
+    # the corpus side never shuffles (replaced the all-pairs O(n^2) graph,
+    # VERDICT r7 #4)
+    "sim_knn_graph",
+    # SemDeDup centroid assignment: crossJoin(broadcast(<=20 pinned
+    # centroids)) — bounded by fixed K, corpus side never shuffles
+    "dd_semdedup",
     # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
     # corpus-stats crossJoin + the dense ranker's non-equi join against the
     # broadcast single-query vector; the fusion layer itself is equi-joins

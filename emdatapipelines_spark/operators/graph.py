@@ -85,6 +85,87 @@ def pagerank_weighted(
     return r.select("id", F.col("r").alias("rank"))
 
 
+def hits_weighted(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iterations: int = 2,
+    scale: int = 8,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a weighted directed
+    edge list, ``iterations`` full (authority, hub) update rounds from
+    uniform hub scores, L1-normalized each half-step:
+
+        a(i) ← Σ_{j→i} w(j,i)·h(j)   then  a ← a / Σa
+        h(j) ← Σ_{j→i} w(j,i)·a(i)   then  h ← h / Σh
+
+    Same determinism ladder as :func:`pagerank_weighted`: per-edge products
+    round to ``scale`` dp, exact DECIMAL sums, and the normalizer is a
+    1-row aggregate CROSS-JOINED back (broadcast — no collect), so scores
+    are bit-identical across partitionings and the oracle unrolls the same
+    CTE half-steps. Each half-step is one |edges| shuffle with map-side
+    combine; node scores are |nodes|-sized. Returns (id, hub, authority)."""
+    dec = f"decimal(28,{scale})"
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("e_src").alias("id"))
+        .union(e.select(F.col("e_dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.withColumn("h", F.lit(1.0))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, e["e_src"] == h["id"])
+            .select(
+                F.col("e_dst").alias("nid"),
+                F.round(F.col("h") * F.col("e_w"), scale).alias("c"),
+            )
+            .groupBy("nid")
+            .agg(F.sum(F.col("c").cast(dec)).cast("double").alias("raw"))
+        )
+        suma = a_raw.agg(
+            F.sum(F.col("raw").cast(dec)).cast("double").alias("tot")
+        )
+        a = (
+            nodes.join(a_raw, nodes["id"] == a_raw["nid"], "left")
+            .crossJoin(F.broadcast(suma))
+            .select(
+                nodes["id"],
+                F.round(F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), scale).alias("a"),
+            )
+        )
+        h_raw = (
+            e.join(a, e["e_dst"] == a["id"])
+            .select(
+                F.col("e_src").alias("nid"),
+                F.round(F.col("a") * F.col("e_w"), scale).alias("c"),
+            )
+            .groupBy("nid")
+            .agg(F.sum(F.col("c").cast(dec)).cast("double").alias("raw"))
+        )
+        sumh = h_raw.agg(
+            F.sum(F.col("raw").cast(dec)).cast("double").alias("tot")
+        )
+        h = (
+            nodes.join(h_raw, nodes["id"] == h_raw["nid"], "left")
+            .crossJoin(F.broadcast(sumh))
+            .select(
+                nodes["id"],
+                F.round(F.coalesce(F.col("raw"), F.lit(0.0)) / F.col("tot"), scale).alias("h"),
+            )
+        )
+    return (
+        nodes.join(h.select(F.col("id").alias("hid"), "h"), nodes["id"] == F.col("hid"))
+        .join(a.select(F.col("id").alias("aid"), "a"), nodes["id"] == F.col("aid"))
+        .select("id", F.col("h").alias("hub"), F.col("a").alias("authority"))
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact global triangle count over an UNDIRECTED graph given as an edge
     list (either orientation, duplicates/self-loops tolerated). Returns a

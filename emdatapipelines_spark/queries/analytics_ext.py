@@ -823,6 +823,87 @@ def gr_pagerank_trade(spark, sf_dir):
     )
 
 
+def _trade_flow(spark, sf_dir):
+    """The nation→nation weighted trade edge list shared by the iterative
+    graph queries (gr_pagerank_trade, gr_hits)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = t(spark, sf_dir, "nation")
+    cn = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")))
+    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(cn, F.col("c_nationkey") == F.col("ck"))
+        .join(sn, F.col("s_nationkey") == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def _hits_oracle(iters: int) -> str:
+    """Unrolled HITS CTEs mirroring operators/graph.py:hits_weighted —
+    round-8 per-edge products, exact decimal sums, L1 normalize each
+    half-step from uniform h0 = 1.0."""
+    parts = [
+        """
+    flow AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      GROUP BY cn.n_name, sn.n_name),
+    nodes AS (SELECT src AS id FROM flow UNION SELECT dst FROM flow),
+    h0 AS (SELECT id, 1.0 AS h FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    a{i}r AS (SELECT f.dst AS id,
+                     CAST(SUM(CAST(ROUND(p.h * f.w, 8) AS DECIMAL(28,8))) AS DOUBLE) AS raw
+              FROM flow f JOIN h{i-1} p ON f.src = p.id GROUP BY f.dst),
+    a{i}t AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,8))) AS DOUBLE) AS tot FROM a{i}r),
+    a{i} AS (SELECT n.id, ROUND(COALESCE(r.raw, 0.0) / t.tot, 8) AS a
+             FROM nodes n LEFT JOIN a{i}r r ON n.id = r.id CROSS JOIN a{i}t t),
+    h{i}r AS (SELECT f.src AS id,
+                     CAST(SUM(CAST(ROUND(q.a * f.w, 8) AS DECIMAL(28,8))) AS DOUBLE) AS raw
+              FROM flow f JOIN a{i} q ON f.dst = q.id GROUP BY f.src),
+    h{i}t AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(28,8))) AS DOUBLE) AS tot FROM h{i}r),
+    h{i} AS (SELECT n.id, ROUND(COALESCE(r.raw, 0.0) / t.tot, 8) AS h
+             FROM nodes n LEFT JOIN h{i}r r ON n.id = r.id CROSS JOIN h{i}t t)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT n.id AS nation, h{iters}.h AS hub, a{iters}.a AS authority
+    FROM nodes n JOIN h{iters} ON n.id = h{iters}.id JOIN a{iters} ON n.id = a{iters}.id
+    ORDER BY authority DESC, nation
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics — HITS hubs & authorities (Kleinberg 1999) over
+# the same nation trade graph as gr_pagerank_trade: authorities are nations
+# whose SUPPLIERS absorb flow from strong buyer nations, hubs are the strong
+# buyer nations themselves — the two-sided influence view one PageRank score
+# conflates. 2 full (a, h) rounds, L1-normalized half-steps, the same
+# round-8 + exact-decimal-sum ladder, so the oracle unrolls bit-identically.
+# ---------------------------------------------------------------------------
+@query("gr_hits", _hits_oracle(2))
+def gr_hits(spark, sf_dir):
+    from ..operators.graph import hits_weighted
+
+    flow = _trade_flow(spark, sf_dir)
+    out = hits_weighted(flow, "src", "dst", "w", iterations=2)
+    return out.select(F.col("id").alias("nation"), "hub", "authority").orderBy(
+        F.col("authority").desc(), "nation"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mergeable histogram partials → interpolated quantiles. The quantile member
 # of the reaggregation family (a19 exact sums, a21 HLL distincts): daily

@@ -5937,3 +5937,159 @@ def lm_good_turing(spark, sf_dir):
         )
         .orderBy("freq")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts: single best changepoint per event-type series (the first split of
+# binary segmentation, Scott & Knott / Killick's PELT cost): choose k
+# maximizing  S_k²/k + (T−S_k)²/(n−k)  — equivalently minimizing the
+# two-segment SSE, since Σx² is constant in k. Prefix sums ride ONE
+# cumulative window per series; values go through the exact decimal cast
+# (dsum convention) so S_k is bit-identical across engines/partitionings,
+# and the objective is pure IEEE *,/,+ on (exact-decimal → double) inputs —
+# no libm, so the argmax and the reported gain agree exactly. Ties on the
+# objective break to the earliest k. At 100 TB the per-series cumulative
+# is the standard parallel-prefix shape; series count scales with keys.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_changepoint",
+    """
+    WITH e AS (
+      SELECT event_type, ts, event_id, CAST(value AS DECIMAL(28,4)) AS v
+      FROM events),
+    pre AS (
+      SELECT event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk
+      FROM e),
+    tot AS (SELECT event_type, COUNT(*) AS n, SUM(v) AS tv FROM e GROUP BY event_type),
+    scored AS (
+      SELECT p.event_type, p.ts, p.k, t.n,
+             CAST(p.sk AS DOUBLE) * CAST(p.sk AS DOUBLE) / p.k
+             + (CAST(t.tv AS DOUBLE) - CAST(p.sk AS DOUBLE))
+               * (CAST(t.tv AS DOUBLE) - CAST(p.sk AS DOUBLE)) / (t.n - p.k) AS obj,
+             CAST(t.tv AS DOUBLE) * CAST(t.tv AS DOUBLE) / t.n AS base
+      FROM pre p JOIN tot t USING (event_type)
+      WHERE p.k < t.n),
+    best AS (
+      SELECT event_type, ts, k, n, obj, base,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY obj DESC, k) AS rn
+      FROM scored)
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs, CAST(k AS BIGINT) AS split_k,
+           ts AS split_ts, ROUND((obj - base) * 1000000) / 1000000.0 AS sse_gain
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts_changepoint(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").cast("decimal(28,4)").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pre = e.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("k"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("sk"),
+    )
+    tot = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("tv")
+    )
+    skd = F.col("sk").cast("double")
+    tvd = F.col("tv").cast("double")
+    scored = (
+        pre.join(F.broadcast(tot), "event_type")
+        .filter(F.col("k") < F.col("n"))
+        .select(
+            "event_type",
+            "ts",
+            "k",
+            "n",
+            (skd * skd / F.col("k") + (tvd - skd) * (tvd - skd) / (F.col("n") - F.col("k"))).alias("obj"),
+            (tvd * tvd / F.col("n")).alias("base"),
+        )
+    )
+    best = scored.groupBy("event_type").agg(
+        F.expr(
+            "max_by(named_struct('ts', ts, 'k', k, 'n', n, 'obj', obj, 'base', base),"
+            " named_struct('o', obj, 'i', -k))"
+        ).alias("m")
+    )
+    return best.select(
+        "event_type",
+        F.col("m.n").cast("bigint").alias("n_obs"),
+        F.col("m.k").cast("bigint").alias("split_k"),
+        F.col("m.ts").alias("split_ts"),
+        (F.round((F.col("m.obj") - F.col("m.base")) * 1000000.0) / 1000000.0).alias("sse_gain"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# quality: Mann-Whitney U rank-sum test — do 'click' and 'purchase' event
+# values come from the same distribution? The nonparametric two-sample
+# location test complementing q15_ks_test (max-CDF-gap) and q13_mad. Exact
+# integer ladder: ranks are computed over the DISTINCT-value frame
+# (tie-average rank ×2 = 2·cum(c) − c + 1 stays integral), so U×2 is exact
+# in both engines; the only double is the z-score whose inputs are integers
+# and whose ops (*, /, sqrt) are all IEEE-correctly-rounded — no libm risk.
+# The cumulative runs over the distinct-value frame (pre-shrunk by the
+# groupBy), the standard parallel-prefix shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_mannwhitney",
+    """
+    WITH ab AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS isa
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT value, CAST(SUM(isa) AS BIGINT) AS ca, CAST(COUNT(*) AS BIGINT) AS c
+          FROM ab GROUP BY value),
+    cum AS (SELECT value, ca, c,
+                   SUM(c) OVER (ORDER BY value
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+            FROM g),
+    agg AS (SELECT CAST(SUM(ca * (2 * cm - c + 1)) AS BIGINT) AS ra2,
+                   CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(c - ca) AS BIGINT) AS nb
+            FROM cum)
+    SELECT na AS n_click, nb AS n_purchase,
+           CAST(ra2 - na * (na + 1) AS BIGINT) AS u_click_x2,
+           CAST(2 * na * nb - (ra2 - na * (na + 1)) AS BIGINT) AS u_purchase_x2,
+           ROUND(((ra2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb * (na + nb + 1) / 12.0) * 1000000) / 1000000.0 AS z
+    FROM agg
+    """,
+)
+def q18_mannwhitney(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ab = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "value", F.when(F.col("event_type") == "click", 1).otherwise(0).alias("isa")
+    )
+    g = ab.groupBy("value").agg(
+        F.sum("isa").cast("bigint").alias("ca"), F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.withColumn("cm", F.sum("c").over(w))
+    agg = cum.agg(
+        F.sum(F.col("ca") * (2 * F.col("cm") - F.col("c") + 1)).cast("bigint").alias("ra2"),
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("c") - F.col("ca")).cast("bigint").alias("nb"),
+    )
+    ua2 = F.col("ra2") - F.col("na") * (F.col("na") + 1)
+    return agg.select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_purchase"),
+        ua2.cast("bigint").alias("u_click_x2"),
+        (2 * F.col("na") * F.col("nb") - ua2).cast("bigint").alias("u_purchase_x2"),
+        (
+            F.round(
+                (ua2 / 2.0 - F.col("na") * F.col("nb") / 2.0)
+                / F.sqrt(F.col("na") * F.col("nb") * (F.col("na") + F.col("nb") + 1) / 12.0)
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("z"),
+    )

@@ -20,6 +20,8 @@ RISKY = [
     "ml_kmeans_model",    # iterative decimal means + literal re-broadcast
     "a24_kmv_distinct",   # order statistics of hashes per group
     "a23_heavy_hitters",  # per-partition sketches merged then exact recount
+    "dd_semdedup",        # max_by argmax + grid-prefiltered pair stream
+    "lm_bpe_roundtrip",   # vocab folds + per-source floor-div ratios
 ]
 
 

@@ -6093,3 +6093,223 @@ def q18_mannwhitney(spark, sf_dir):
             / 1000000.0
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# window: Bollinger-band breakouts — per event-type series, rows whose value
+# leaves the trailing-20 mean ± 2σ band (current row excluded from the
+# band, so a spike cannot mask itself). The volatility-band member of the
+# rolling family (w4 trailing mean, w14 rolling median, w15 drawdown).
+# Determinism: the frame sums run in exact DECIMAL (value and value² both
+# exact at (18,4)/(37,8)), the band math is IEEE *,/,sqrt on those exact
+# sums cast to double, and only full 20-row frames emit — so the breakout
+# comparison itself is engine-exact; reported stats use the integer-domain
+# round ladder.
+# ---------------------------------------------------------------------------
+@query(
+    "w16_bollinger",
+    """
+    WITH e AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events),
+    fr AS (
+      SELECT event_type, ts, event_id, value,
+             COUNT(*)  OVER w AS n20,
+             CAST(SUM(v) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(v * v) OVER w AS DOUBLE) AS s2
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    band AS (
+      SELECT event_type, ts, event_id, value,
+             s1 / 20 AS m,
+             sqrt(GREATEST(s2 / 20 - (s1 / 20) * (s1 / 20), 0.0)) AS sd
+      FROM fr WHERE n20 = 20)
+    SELECT event_type, ts, event_id, value,
+           ROUND(m * 1000000) / 1000000.0 AS band_mean,
+           ROUND(sd * 1000000) / 1000000.0 AS band_sd,
+           CASE WHEN value > m + 2 * sd THEN 'UP' ELSE 'DOWN' END AS breakout
+    FROM band
+    WHERE value > m + 2 * sd OR value < m - 2 * sd
+    ORDER BY event_type, ts, event_id
+    """,
+)
+def w16_bollinger(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    fr = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n20"),
+        F.sum("v").over(w).cast("double").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
+    ).filter(F.col("n20") == 20)
+    m = F.col("s1") / 20
+    sd = F.sqrt(F.greatest(F.col("s2") / 20 - m * m, F.lit(0.0)))
+    return (
+        fr.select(
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            (F.round(m * 1000000.0) / 1000000.0).alias("band_mean"),
+            (F.round(sd * 1000000.0) / 1000000.0).alias("band_sd"),
+            F.when(F.col("value") > m + 2 * sd, "UP").otherwise("DOWN").alias("breakout"),
+            m.alias("_m"),
+            sd.alias("_sd"),
+        )
+        .filter((F.col("value") > F.col("_m") + 2 * F.col("_sd"))
+                | (F.col("value") < F.col("_m") - 2 * F.col("_sd")))
+        .drop("_m", "_sd")
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# llm: curriculum ordering — stage the training corpus easiest-first
+# (curriculum learning, Bengio 2009): difficulty = average word length as
+# an exact integer ppm (total word chars = length(norm) − (n_tokens − 1)
+# since norm is single-space joined — pure codegen arithmetic, no HOF),
+# 4 curriculum stages by NTILE over (difficulty, doc_id). The global NTILE
+# runs over the (difficulty_ppm, doc_id) integer pairs — the standard
+# rank/split shape llm_shuffle_order and o6 pagination already use.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_curriculum_order",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, length({_NORM_SQL}) AS n_norm_chars, len({_TOKS_SQL}) AS n_tokens
+      FROM documents
+      WHERE length({_NORM_SQL}) > 0),
+    d AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(((n_norm_chars - n_tokens + 1) * 1000000) // n_tokens AS BIGINT)
+               AS difficulty_ppm
+      FROM tk)
+    SELECT doc_id, n_tokens, difficulty_ppm,
+           CAST(NTILE(4) OVER (ORDER BY difficulty_ppm, doc_id) AS INT) AS stage
+    FROM d ORDER BY doc_id
+    """,
+)
+def llm_curriculum_order(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        F.length(_norm("text")).alias("n_norm_chars"),
+        F.size(F.split(_norm("text"), " ")).alias("n_tokens"),
+    ).filter(F.col("n_norm_chars") > 0)
+    dd = tk.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("CAST(((n_norm_chars - n_tokens + 1) * 1000000) div n_tokens AS BIGINT)")
+        .alias("difficulty_ppm"),
+    )
+    w = Window.orderBy("difficulty_ppm", "doc_id")
+    return dd.select(
+        "doc_id", "n_tokens", "difficulty_ppm", F.ntile(4).over(w).alias("stage")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# llm: CCNet-style perplexity filter buckets (Wenzek et al., LREC 2020) —
+# the operational layer on lm_bigram_nll: rank every doc by its corpus-LM
+# mean surprisal, split into head/middle/tail terciles, and report the
+# keep/cull decision per (bucket, source) with token mass — CCNet trains
+# on head+middle and culls the tail. Per-doc scores come from the same
+# bigram_nll operator (rounded 6dp, so the tercile ordering is
+# engine-exact); the NTILE runs over (score, doc_id) integer-ish pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_perplexity_buckets",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(2, len(tk) + 1),
+                                   i -> struct_pack(w1 := tk[i-1], w2 := tk[i]))) AS bg
+      FROM tk),
+    p AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM p GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w) * 1.0 AS v
+              FROM (SELECT UNNEST(tk) AS w FROM tk)),
+    scored AS (
+      SELECT p.doc_id, ROUND(-LN((c2.c2 + 1.0) / (c1.c1 + vocab.v)), 8) AS s
+      FROM p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(s AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) * 1000000.0)
+               / 1000000.0 AS nll
+      FROM scored GROUP BY doc_id),
+    tiled AS (
+      SELECT d.source, p.doc_id, p.n_bigrams, p.nll,
+             NTILE(3) OVER (ORDER BY p.nll, p.doc_id) AS tile
+      FROM perdoc p JOIN documents d USING (doc_id))
+    SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) * 1000000.0)
+             / 1000000.0 AS avg_nll,
+           tile < 3 AS keep
+    FROM tiled GROUP BY tile, source ORDER BY tile, source
+    """,
+)
+def llm_perplexity_buckets(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..llmdata.text import bigram_nll
+
+    d = t(spark, sf_dir, "documents")
+    perdoc = bigram_nll(d).select(
+        "doc_id", "n_bigrams", F.col("avg_bigram_nll").alias("nll")
+    )
+    tiled = perdoc.join(d.select("doc_id", "source"), "doc_id").select(
+        "source",
+        "n_bigrams",
+        "nll",
+        F.ntile(3).over(Window.orderBy("nll", "doc_id")).alias("tile"),
+    )
+    return (
+        tiled.groupBy("tile", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum(F.col("nll").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("avg_nll"),
+        )
+        .select(
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "avg_nll",
+            (F.col("tile") < 3).alias("keep"),
+        )
+        .orderBy("tile", "source")
+    )

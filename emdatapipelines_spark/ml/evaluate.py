@@ -307,3 +307,76 @@ def average_precision(
         "n_neg",
         F.when(F.col("n_pos") > 0, ap_ppm / F.lit(1000000.0)).alias("avg_precision"),
     )
+
+
+def brier_decomposition(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "y",
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over fixed-width
+    probability bins: BRIER = REL − RES + UNC, where
+
+        REL = Σ_k n_k (p̄_k − ȳ_k)² / N   (reliability — calibration error)
+        RES = Σ_k n_k (ȳ_k − ȳ)² / N     (resolution — discrimination)
+        UNC = ȳ (1 − ȳ)                  (irreducible base-rate variance)
+
+    plus the direct BRIER = mean((p − y)²) for the identity check (exact
+    when forecasts are constant per bin; the gap is the within-bin
+    variance the binning discards — emitted as ``binning_residual``).
+
+    One row out; two passes over the scored frame (a whole-frame moment
+    aggregate and a 10-group bin aggregate), both pure groupBy, no window.
+    Determinism: per-row and per-bin terms round to 8 dp then sum in
+    exact DECIMAL (hash-agg order cannot move them); the final stats use
+    the integer-domain round ladder at 6 dp.
+    """
+    y1 = F.when(F.col(label_col) == 1.0, F.lit(1)).otherwise(F.lit(0))
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y1).cast("bigint").alias("npos"),
+        F.sum(
+            F.round((F.col(score_col) - F.col(label_col)) * (F.col(score_col) - F.col(label_col)), 8)
+            .cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    bin_col = F.least(F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1))
+    per = scored.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum(F.col(score_col).cast("decimal(18,6)")).cast("double").alias("sp"),
+        F.sum(y1).cast("bigint").alias("pk"),
+    )
+    pbar = F.col("sp") / F.col("nk")
+    ybar_k = F.col("pk") * 1.0 / F.col("nk")
+    ybar = F.col("npos") * 1.0 / F.col("n")
+    terms = per.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(F.col("nk") * (pbar - ybar_k) * (pbar - ybar_k), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("rel_num"),
+        F.sum(
+            F.round(F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar), 8).cast("decimal(28,8)")
+        )
+        .cast("double")
+        .alias("res_num"),
+        F.max("n").alias("n"),
+        F.max("npos").alias("npos"),
+        F.max("sq").alias("sq"),
+    )
+    lad = lambda c: F.round(c * 1000000.0) / 1000000.0  # noqa: E731
+    yb = F.col("npos") * 1.0 / F.col("n")
+    return terms.select(
+        F.col("n").alias("n_obs"),
+        lad(F.col("sq") / F.col("n")).alias("brier"),
+        lad(F.col("rel_num") / F.col("n")).alias("reliability"),
+        lad(F.col("res_num") / F.col("n")).alias("resolution"),
+        lad(yb * (1.0 - yb)).alias("uncertainty"),
+        lad(
+            F.col("sq") / F.col("n")
+            - (F.col("rel_num") / F.col("n") - F.col("res_num") / F.col("n") + yb * (1.0 - yb))
+        ).alias("binning_residual"),
+    )

@@ -6313,3 +6313,534 @@ def llm_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("tile", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts: lead-lag cross-correlation — Pearson corr between the daily 'click'
+# count and the 'purchase' count L days LATER, for lags 0..5 (does click
+# volume predict purchases?). The lead-lag member of the correlation
+# family (ts_corr_pairs contemporaneous, ts_spearman_corr rank, ts_acf
+# self-lag). Exact ladder: the daily series are integer counts, every
+# moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT, and the only
+# doubles are one division and one IEEE sqrt at the end. The 6-row lag
+# spine broadcasts; days join on an integer day index.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_cross_correlation",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    lags AS (SELECT UNNEST(range(0, 6)) AS lag),
+    paired AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.di = a.di + l.lag),
+    m AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n AS n_days,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                 * 1000000) / 1000000.0 AS xcorr
+    FROM m ORDER BY lag
+    """,
+)
+def ts_cross_correlation(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.datediff("d", F.lit("2024-01-01").cast("date")).cast("bigint").alias("di"),
+            "x",
+            "y",
+        )
+    )
+    lags = spark.range(0, 6).select(F.col("id").alias("lag"))
+    a = daily.select("di", "x")
+    b = daily.select(F.col("di").alias("dj"), "y")
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("dj") == F.col("di") + F.col("lag"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_days"),
+        (F.round(num / den * 1000000.0) / 1000000.0).alias("xcorr"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# LM: Kneser-Ney continuation probability — the KN-smoothing backoff term:
+# P_cont(w) = |distinct left contexts of w| / |distinct bigram types|.
+# Ranks words by how PROMISCUOUSLY they continue contexts rather than raw
+# frequency (the "san francisco" correction: 'francisco' is frequent but
+# follows only 'san', so its continuation mass is tiny). Completes the
+# smoothing family next to lm_good_turing. Pure integer ladder: distinct
+# bigram types, distinct contexts, ppb floor-div share; top-20 by
+# (n_contexts DESC, word).
+# ---------------------------------------------------------------------------
+@query(
+    "lm_kneser_ney_cont",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    pairs AS (
+      SELECT UNNEST(list_transform(range(2, len(tk) + 1),
+                                   i -> struct_pack(w1 := tk[i-1], w2 := tk[i]))) AS bg
+      FROM tk),
+    types AS (SELECT DISTINCT bg.w1 AS w1, bg.w2 AS w2 FROM pairs),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types),
+    cont AS (SELECT w2 AS word, CAST(COUNT(*) AS BIGINT) AS n_contexts
+             FROM types GROUP BY w2),
+    ranked AS (
+      SELECT word, n_contexts,
+             ROW_NUMBER() OVER (ORDER BY n_contexts DESC, word) AS rnk
+      FROM cont)
+    SELECT r.word, r.n_contexts,
+           CAST((r.n_contexts * 1000000000) // t.n_types AS BIGINT) AS p_cont_ppb,
+           CAST(r.rnk AS INT) AS rank
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk <= 20 ORDER BY r.rnk
+    """,
+)
+def lm_kneser_ney_cont(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split(_norm("text"), " ").alias("tk"))
+    pair_list = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.struct(
+                F.get("tk", i).alias("w1"), F.get("tk", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    types = (
+        toks.select(F.explode(pair_list).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .distinct()
+    )
+    tot = types.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    cont = types.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contexts")
+    )
+    w = Window.orderBy(F.desc("n_contexts"), F.asc("word"))
+    return (
+        cont.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n_contexts",
+            F.expr("CAST((n_contexts * 1000000000) div n_types AS BIGINT)").alias(
+                "p_cont_ppb"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup: cross-snapshot dedup rate — the recrawl-triage mart over the
+# near-dup machinery: with doc_id % 3 playing three crawl snapshots, what
+# fraction of each snapshot's docs already near-duplicate an EARLIER
+# snapshot's doc (or an earlier doc of the same snapshot)? This is the
+# text twin of dd_semdedup's min-id survivor rule and the batch view of
+# the incremental MinHash index (streaming/incremental.py): at 100 TB the
+# per-snapshot rate is what decides whether a recrawl is worth keeping.
+# Pairs come from the df-capped (max_shingle_df=50) 5-gram Jaccard join —
+# the same bounded plan as dd_minhash_estimate's exact side.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_snapshot_dedup_rate",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 2)),
+                       i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+      FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    cold AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    shc AS (SELECT s.doc_id, s.shingle FROM sh s JOIN cold USING (shingle)),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM common c
+      JOIN sizes sa ON c.id_a = sa.doc_id
+      JOIN sizes sb ON c.id_b = sb.doc_id
+      WHERE ROUND(c.c * 1.0 / (sa.set_size + sb.set_size - c.c), 6) >= 0.5),
+    lab AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS snap FROM documents),
+    sym AS (SELECT id_a AS d, id_b AS p FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    dup AS (
+      SELECT DISTINCT s.d AS doc_id
+      FROM sym s
+      JOIN lab ld ON s.d = ld.doc_id
+      JOIN lab lp ON s.p = lp.doc_id
+      WHERE lp.snap < ld.snap OR (lp.snap = ld.snap AND s.p < s.d))
+    SELECT l.snap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup_vs_earlier,
+           CAST((COUNT(dup.doc_id) * 1000000) // COUNT(*) AS BIGINT) AS dup_rate_ppm
+    FROM lab l LEFT JOIN dup ON l.doc_id = dup.doc_id
+    GROUP BY l.snap ORDER BY l.snap
+    """,
+)
+def dd_snapshot_dedup_rate(spark, sf_dir):
+    from ..llmdata.dedup import ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, n=5, threshold=0.5, max_shingle_df=50
+    ).select("id_a", "id_b")
+    lab = d.select("doc_id", (F.col("doc_id") % 3).cast("int").alias("snap"))
+    sym = pairs.select(F.col("id_a").alias("dd"), F.col("id_b").alias("p")).unionByName(
+        pairs.select(F.col("id_b").alias("dd"), F.col("id_a").alias("p"))
+    )
+    ld = lab.select(F.col("doc_id").alias("dd"), F.col("snap").alias("snap_d"))
+    lp = lab.select(F.col("doc_id").alias("p"), F.col("snap").alias("snap_p"))
+    dup = (
+        sym.join(ld, "dd")
+        .join(lp, "p")
+        .filter(
+            (F.col("snap_p") < F.col("snap_d"))
+            | ((F.col("snap_p") == F.col("snap_d")) & (F.col("p") < F.col("dd")))
+        )
+        .select(F.col("dd").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        lab.join(dup, "doc_id", "left")
+        .groupBy("snap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("is_dup").cast("bigint").alias("n_dup_vs_earlier"),
+        )
+        .select(
+            "snap",
+            "n_docs",
+            "n_dup_vs_earlier",
+            F.expr("CAST((n_dup_vs_earlier * 1000000) div n_docs AS BIGINT)").alias(
+                "dup_rate_ppm"
+            ),
+        )
+        .orderBy("snap")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml eval: Murphy decomposition of the Brier score — BRIER = REL − RES +
+# UNC over the reliability bins (ml/evaluate.py:brier_decomposition).
+# Separates "the scores are miscalibrated" (reliability) from "the scores
+# can't discriminate" (resolution) — the two failures ml_calibration_bins
+# and ml_auc_ranksum each show only half of. One row; same fixed scorer
+# and 8-dp-round + DECIMAL-sum ladder as the rest of the eval family.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_brier_decomposition",
+    _SCORED_CTE
+    + """,
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+             CAST(SUM(CAST(ROUND((score - y) * (score - y), 8) AS DECIMAL(28,8))) AS DOUBLE) AS sq
+      FROM scored),
+    per AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pk
+      FROM scored GROUP BY 1),
+    terms AS (
+      SELECT
+        CAST(SUM(CAST(ROUND(nk * (sp/nk - pk*1.0/nk) * (sp/nk - pk*1.0/nk), 8)
+                      AS DECIMAL(28,8))) AS DOUBLE) AS rel_num,
+        CAST(SUM(CAST(ROUND(nk * (pk*1.0/nk - npos*1.0/n) * (pk*1.0/nk - npos*1.0/n), 8)
+                      AS DECIMAL(28,8))) AS DOUBLE) AS res_num,
+        MAX(n) AS n, MAX(npos) AS npos, MAX(sq) AS sq
+      FROM per CROSS JOIN tot)
+    SELECT n AS n_obs,
+           ROUND(sq / n * 1000000) / 1000000.0 AS brier,
+           ROUND(rel_num / n * 1000000) / 1000000.0 AS reliability,
+           ROUND(res_num / n * 1000000) / 1000000.0 AS resolution,
+           ROUND((npos * 1.0 / n) * (1.0 - npos * 1.0 / n) * 1000000) / 1000000.0
+             AS uncertainty,
+           ROUND((sq / n - (rel_num / n - res_num / n
+                  + (npos * 1.0 / n) * (1.0 - npos * 1.0 / n))) * 1000000) / 1000000.0
+             AS binning_residual
+    FROM terms
+    """,
+)
+def ml_brier_decomposition(spark, sf_dir):
+    from ..ml.evaluate import brier_decomposition, score_linear
+    from ..ml.logreg import daily_count_features
+
+    e = t(spark, sf_dir, "events")
+    return brier_decomposition(score_linear(daily_count_features(e)))
+
+
+# ---------------------------------------------------------------------------
+# window: RSI-14 (Wilder's relative strength index, simple-average form) —
+# per event-type series, emit overbought (>70) / oversold (<30) rows.
+# Deltas are exact DECIMAL(18,4) differences of consecutive values, gains
+# and losses split sign-wise, the 14-row frame sums stay in DECIMAL, and
+# RSI = 100 − 100/(1 + avg_gain/avg_loss) is IEEE on the exact sums (the
+# zero-loss frame pins RSI to 100 exactly). Only full 14-delta frames emit.
+# ---------------------------------------------------------------------------
+@query(
+    "w17_rsi",
+    """
+    WITH e AS (
+      SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,4)) AS v
+      FROM events),
+    d AS (
+      SELECT event_type, ts, event_id, v,
+             v - LAG(v) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dv
+      FROM e),
+    g AS (
+      SELECT event_type, ts, event_id, v,
+             CASE WHEN dv > 0 THEN dv ELSE CAST(0 AS DECIMAL(18,4)) END AS gain,
+             CASE WHEN dv < 0 THEN -dv ELSE CAST(0 AS DECIMAL(18,4)) END AS loss
+      FROM d WHERE dv IS NOT NULL),
+    fr AS (
+      SELECT event_type, ts, event_id, v,
+             COUNT(*) OVER w AS n14,
+             CAST(SUM(gain) OVER w AS DOUBLE) AS sg,
+             CAST(SUM(loss) OVER w AS DOUBLE) AS sl
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+    rsi AS (
+      SELECT event_type, ts, event_id, CAST(v AS DOUBLE) AS value,
+             CASE WHEN sl = 0 THEN 100.0
+                  ELSE ROUND((100.0 - 100.0 / (1.0 + sg / sl)) * 1000000) / 1000000.0
+             END AS rsi14
+      FROM fr WHERE n14 = 14)
+    SELECT event_type, ts, event_id, value, rsi14,
+           CASE WHEN rsi14 > 70 THEN 'OVERBOUGHT' ELSE 'OVERSOLD' END AS signal
+    FROM rsi WHERE rsi14 > 70 OR rsi14 < 30
+    ORDER BY event_type, ts, event_id
+    """,
+)
+def w17_rsi(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.withColumn("dv", F.col("v") - F.lag("v").over(wlag)).filter(
+        F.col("dv").isNotNull()
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    g = d.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "v",
+        F.when(F.col("dv") > 0, F.col("dv")).otherwise(zero).alias("gain"),
+        F.when(F.col("dv") < 0, -F.col("dv")).otherwise(zero).alias("loss"),
+    )
+    wfr = wlag.rowsBetween(-13, 0)
+    fr = g.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "v",
+        F.count(F.lit(1)).over(wfr).alias("n14"),
+        F.sum("gain").over(wfr).cast("double").alias("sg"),
+        F.sum("loss").over(wfr).cast("double").alias("sl"),
+    ).filter(F.col("n14") == 14)
+    rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
+        F.round((100.0 - 100.0 / (1.0 + F.col("sg") / F.col("sl"))) * 1000000.0)
+        / 1000000.0
+    )
+    return (
+        fr.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.col("v").cast("double").alias("value"),
+            rsi.alias("rsi14"),
+        )
+        .filter((F.col("rsi14") > 70) | (F.col("rsi14") < 30))
+        .withColumn(
+            "signal",
+            F.when(F.col("rsi14") > 70, "OVERBOUGHT").otherwise("OVERSOLD"),
+        )
+        .orderBy("event_type", "ts", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: code-vs-prose routing signals — LLM curation pipelines route code
+# to different tokenization/dedup than prose; this emits the standard
+# detector features per doc (symbol density, brace/bracket density, digit
+# share, avg token length) and the routed label. All exact integer ppm
+# ladders over regexp counts — pure codegen column exprs, no UDF, one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_code_detect",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[{}\\[\\]();=<>+*/&|^%#]', '', 'g'))
+               AS n_sym,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((n_sym * 1000000) // n_chars AS BIGINT) AS sym_ppm,
+           CAST((n_digit * 1000000) // n_chars AS BIGINT) AS digit_ppm,
+           (n_sym * 1000000) // n_chars >= 30000 AS looks_like_code
+    FROM f ORDER BY doc_id
+    """,
+)
+def tx_code_detect(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_sym = n_chars - F.length(
+        F.regexp_replace("text", r"[{}\[\]();=<>+*/&|^%#]", "")
+    )
+    n_digit = n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))
+    f = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_sym"),
+        n_digit.alias("n_digit"),
+    )
+    return f.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr("CAST((n_sym * 1000000) div n_chars AS BIGINT)").alias("sym_ppm"),
+        F.expr("CAST((n_digit * 1000000) div n_chars AS BIGINT)").alias("digit_ppm"),
+        F.expr("(n_sym * 1000000) div n_chars >= 30000").alias("looks_like_code"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality: referential-integrity orphan audit — every TPC-H foreign key
+# checked with one LEFT ANTI join per edge, reported as a 6-row mart
+# (relationship, child rows, orphan rows, orphan ppm). The dbt-style
+# `relationships` test q10_test_suite's column tests don't cover; at 100 TB
+# each edge is one broadcast- or shuffle-anti join, no window, no collect.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_fk_orphans",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             (SELECT COUNT(*) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_orphan
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+               ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+               ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+               ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+               ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+               ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL))
+    SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphan AS BIGINT) AS n_orphan,
+           CAST((n_orphan * 1000000) // n_child AS BIGINT) AS orphan_ppm
+    FROM checks ORDER BY relationship
+    """,
+)
+def q19_fk_orphans(spark, sf_dir):
+    """All six edges assemble into ONE lazy plan (unioned 1-row aggregate
+    pairs, no driver-side counts/collects); each anti join broadcasts the
+    parent key column when small, AQE picks shuffle-anti otherwise."""
+
+    def edge(name, child, ckey, parent, pkey):
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        n_orphan = child.join(parent, child[ckey] == parent[pkey], "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan")
+        )
+        return n_child.crossJoin(n_orphan).select(
+            F.lit(name).alias("relationship"), "n_child", "n_orphan"
+        )
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    edges = [
+        edge("lineitem.l_orderkey->orders", l, "l_orderkey",
+             o.select("o_orderkey"), "o_orderkey"),
+        edge("lineitem.l_partkey->part", l, "l_partkey",
+             t(spark, sf_dir, "part").select("p_partkey"), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", l, "l_suppkey",
+             t(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey",
+             t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey"),
+        edge("customer.c_nationkey->nation", t(spark, sf_dir, "customer"),
+             "c_nationkey", t(spark, sf_dir, "nation").select("n_nationkey"),
+             "n_nationkey"),
+        edge("supplier.s_nationkey->nation", t(spark, sf_dir, "supplier"),
+             "s_nationkey",
+             t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk2")),
+             "nk2"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.select(
+        "relationship",
+        "n_child",
+        "n_orphan",
+        F.expr("CAST((n_orphan * 1000000) div n_child AS BIGINT)").alias("orphan_ppm"),
+    ).orderBy("relationship")

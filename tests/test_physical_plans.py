@@ -92,6 +92,15 @@ BNLJ_ALLOWED = {
     # SemDeDup centroid assignment: crossJoin(broadcast(<=20 pinned
     # centroids)) — bounded by fixed K, corpus side never shuffles
     "dd_semdedup",
+    # lead-lag spine: crossJoin(broadcast(6-row lag list)) over the tiny
+    # daily-counts frame
+    "ts_cross_correlation",
+    # 1-row scalar broadcasts: bigram-type total (KN continuation), the
+    # whole-frame moment row (Brier decomposition), per-half-step L1
+    # normalizers (HITS)
+    "lm_kneser_ney_cont",
+    "ml_brier_decomposition",
+    "gr_hits",
     # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
     # corpus-stats crossJoin + the dense ranker's non-equi join against the
     # broadcast single-query vector; the fusion layer itself is equi-joins

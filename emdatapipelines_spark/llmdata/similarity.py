@@ -1161,6 +1161,68 @@ def pq_cosine_topk(
     )
 
 
+def truncated_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    prefix_dims: int = 16,
+    oversample: int = 4,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN (Kusupati et al. 2022): shortlist by
+    cosine over the first ``prefix_dims`` dimensions (a d/prefix_dims flop
+    cut on the corpus-sized pass), keep ``k·oversample`` candidates per
+    query, then exact-re-rank the shortlist on the full vector. With
+    MRL-trained embeddings the prefix preserves neighborhood structure, so
+    modest oversampling recovers near-1 recall; on arbitrary embeddings
+    recall degrades gracefully and is measured per-query by the caller via
+    :func:`with_recall_vs_exact`. Same broadcast-query shape as
+    :func:`brute_force_cosine_topk` — the corpus never shuffles; only the
+    query-sample-sized shortlist reaches the re-rank join."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        _as_double(q_vec).alias("qv"),
+        _norm(_as_double(q_vec)).alias("qn"),
+        _norm(F.slice(_as_double(q_vec), 1, prefix_dims)).alias("qpn"),
+        F.slice(_as_double(q_vec), 1, prefix_dims).alias("qp"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        _as_double(c_vec).alias("cv"),
+        _norm(_as_double(c_vec)).alias("cn"),
+        _norm(F.slice(_as_double(c_vec), 1, prefix_dims)).alias("cpn"),
+        F.slice(_as_double(c_vec), 1, prefix_dims).alias("cp"),
+    )
+    staged = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pcos",
+            F.round(_dot(F.col("qp"), F.col("cp")) / (F.col("qpn") * F.col("cpn")), 6),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    shortlist = (
+        staged.withColumn("prank", F.row_number().over(w1))
+        .filter(F.col("prank") <= k * oversample)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        shortlist.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def with_recall_vs_exact(
     approx_topk: DataFrame,
     queries: DataFrame,

@@ -6844,3 +6844,67 @@ def q19_fk_orphans(spark, sf_dir):
         "n_orphan",
         F.expr("CAST((n_orphan * 1000000) div n_child AS BIGINT)").alias("orphan_ppm"),
     ).orderBy("relationship")
+
+
+# ---------------------------------------------------------------------------
+# similarity: Matryoshka truncated-prefix ANN (scale path — no SQL oracle;
+# self-validating recall_at_k per row, see sim_lsh_topk). Stage 1 scores
+# only the first 16 of 64 dims (4x flop cut on the corpus pass), stage 2
+# exact-re-ranks the 8k-oversampled shortlist — the dimension-reduction
+# member of the ANN family next to IVF (candidate-bounded), LSH
+# (bucket-bounded) and PQ (bytes-bounded).
+# ---------------------------------------------------------------------------
+@query("sim_truncated_rerank_topk")
+def sim_truncated_rerank_topk(spark, sf_dir):
+    from ..llmdata.similarity import truncated_rerank_topk, with_recall_vs_exact
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    approx = truncated_rerank_topk(q, e, k=5, prefix_dims=16, oversample=8)
+    return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# llm: mixture reweighting — the data-mixing step between corpus stats and
+# the sampler (DoReMi-flavored, but the closed uniform-target form): give
+# every (lang) domain weight target_share / current_share, capped at 5x to
+# keep rare-domain variance bounded, so weighted sampling draws a uniform
+# language mix from a skewed corpus. Exact ppm ladders end-to-end
+# (floor-div); the output feeds llm_weighted_sample's priority draw.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_mixture_reweight",
+    """
+    WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM per)
+    SELECT p.lang, p.n_docs,
+           CAST((p.n_docs * 1000000) // t.n AS BIGINT) AS share_ppm,
+           CAST(LEAST((t.n * 1000000) // (t.k * p.n_docs), 5000000) AS BIGINT)
+             AS weight_ppm,
+           CAST(LEAST((t.n * 1000000) // (t.k * p.n_docs), 5000000) * p.n_docs
+                AS BIGINT) AS weighted_mass
+    FROM per p CROSS JOIN tot t ORDER BY p.lang
+    """,
+)
+def llm_mixture_reweight(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.expr("CAST((n_docs * 1000000) div n AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                "CAST(LEAST((n * 1000000) div (k * n_docs), 5000000) AS BIGINT)"
+            ).alias("weight_ppm"),
+            F.expr(
+                "CAST(LEAST((n * 1000000) div (k * n_docs), 5000000) * n_docs AS BIGINT)"
+            ).alias("weighted_mass"),
+        )
+        .orderBy("lang")
+    )

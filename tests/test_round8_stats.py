@@ -93,3 +93,76 @@ def test_mannwhitney_matches_bruteforce(spark):
     assert r["u_purchase_x2"] == 2 * na * nb - u_a_x2
     z = (u_a_x2 / 2.0 - na * nb / 2.0) / np.sqrt(na * nb * (na + nb + 1) / 12.0)
     assert abs(r["z"] - z) < 1e-5
+
+
+def test_brier_decomposition_matches_bruteforce(spark):
+    r = entry.queries()["ml_brier_decomposition"](spark, SF).collect()[0]
+    from emdatapipelines_spark.ml.evaluate import score_linear
+    from emdatapipelines_spark.ml.logreg import daily_count_features
+
+    pdf = score_linear(daily_count_features(t(spark, SF, "events"))).toPandas()
+    p, y = pdf["score"].to_numpy(), pdf["y"].to_numpy()
+    n = len(p)
+    assert r["n_obs"] == n
+    brier = np.mean((p - y) ** 2)
+    assert abs(r["brier"] - brier) < 1e-4
+    bins = np.minimum(np.floor(p * 10).astype(int), 9)
+    ybar = y.mean()
+    rel = res = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - ybar) ** 2
+    assert abs(r["reliability"] - rel / n) < 1e-4
+    assert abs(r["resolution"] - res / n) < 1e-4
+    assert abs(r["uncertainty"] - ybar * (1 - ybar)) < 1e-4
+    # Murphy identity up to within-bin forecast variance
+    ident = r["reliability"] - r["resolution"] + r["uncertainty"] + r["binning_residual"]
+    assert abs(ident - r["brier"]) < 5e-6
+
+
+def test_rsi_bounds_and_signals(spark):
+    rows = entry.queries()["w17_rsi"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["rsi14"] <= 100.0
+        assert (r["signal"] == "OVERBOUGHT") == (r["rsi14"] > 70)
+
+
+def test_fk_orphans_clean_fixture(spark):
+    rows = entry.queries()["q19_fk_orphans"](spark, SF).collect()
+    assert len(rows) == 6
+    # the TPC-H-ish fixtures are referentially intact by construction
+    assert all(r["n_orphan"] == 0 and r["orphan_ppm"] == 0 for r in rows)
+    assert all(r["n_child"] > 0 for r in rows)
+
+
+def test_truncated_rerank_recall_and_partition_independence(spark):
+    from emdatapipelines_spark.llmdata.similarity import truncated_rerank_topk
+
+    rows = entry.queries()["sim_truncated_rerank_topk"](spark, SF).collect()
+    assert len(rows) == 8 * 5
+    # random fixture embeddings have no Matryoshka structure, so the prefix
+    # shortlist is a weak filter here — the floor is deliberately modest;
+    # the per-row recall_at_k column is the real contract
+    mean_recall = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean_recall >= 0.15
+    e = t(spark, SF, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in truncated_rerank_topk(q, e, k=5).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in truncated_rerank_topk(q.repartition(7), e.repartition(13), k=5).collect()
+    )
+    assert a == b
+
+
+def test_mixture_reweight_mass_is_balanced(spark):
+    rows = entry.queries()["llm_mixture_reweight"](spark, SF).collect()
+    assert abs(sum(r["share_ppm"] for r in rows) - 1_000_000) <= len(rows)
+    # uncapped domains get (n/k)/n_docs -> equal weighted mass per domain
+    masses = [r["weighted_mass"] for r in rows if r["weight_ppm"] < 5_000_000]
+    if len(masses) >= 2:
+        assert max(masses) - min(masses) <= max(masses) * 0.01 + 1_000_000

@@ -81,6 +81,7 @@ BNLJ_ALLOWED = {
     "sim_lsh_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
+    "sim_truncated_rerank_topk",
     # ANN graph twin: non-equi brute-force recall probe over the broadcast
     # 20-source sample + crossJoin(broadcast(1-row recall aggregate))
     "sim_knn_graph_ann",

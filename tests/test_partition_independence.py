@@ -22,6 +22,9 @@ RISKY = [
     "a23_heavy_hitters",  # per-partition sketches merged then exact recount
     "dd_semdedup",        # max_by argmax + grid-prefiltered pair stream
     "lm_bpe_roundtrip",   # vocab folds + per-source floor-div ratios
+    "gr_hits",            # iterative normalize: round-8 + decimal-sum ladder
+    "ts_changepoint",     # per-series prefix sums + double-objective argmax
+    "q18_mannwhitney",    # global prefix over the distinct-value frame
 ]
 
 

@@ -98,10 +98,13 @@ BNLJ_ALLOWED = {
     "ts_cross_correlation",
     # 1-row scalar broadcasts: bigram-type total (KN continuation), the
     # whole-frame moment row (Brier decomposition), per-half-step L1
-    # normalizers (HITS)
+    # normalizers (HITS), the n/k totals row (mixture reweight), and the
+    # six 1-row (n_child × n_orphan) aggregate pairs (FK orphan mart)
     "lm_kneser_ney_cont",
     "ml_brier_decomposition",
     "gr_hits",
+    "llm_mixture_reweight",
+    "q19_fk_orphans",
     # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
     # corpus-stats crossJoin + the dense ranker's non-equi join against the
     # broadcast single-query vector; the fusion layer itself is equi-joins

@@ -478,3 +478,88 @@ def coalesce_intervals(
         )
         .drop("__island")
     )
+
+
+def holt_winters_additive(
+    daily: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_col: str,
+    m: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    horizons: tuple[int, ...] = (1, 2, 7),
+) -> DataFrame:
+    """Per-group additive Holt-Winters (level + trend + m-period season)
+    over an already-aggregated integer series (e.g. daily counts) — the
+    seasonal sibling of :func:`grouped_holt`. Init: ``l0 = mean of the
+    first m values`` (exact BIGINT sum, one division), ``b0 = 0``,
+    ``s_i = y_i − l0``; then for each remaining y:
+
+        l' = α(y − s_head) + (1−α)(l + b)
+        b' = β(l' − l) + (1−β)b
+        s_head' = γ(y − l') + (1−γ)s_head     (season list rotates)
+
+    Emits one row per group: n_obs, level, trend, forecast_h = l + h·b +
+    s_h for each horizon h ≤ m. Same ordered-fold shape as grouped_holt
+    (one shuffle builds the ordered array; the fold is a typed struct in
+    Spark, while the DuckDB oracle string-encodes the (2+m)-component
+    state — both run the identical IEEE step order, and the integer-series
+    init is exact, so the folds agree bit-for-bit). The input is the
+    PRE-AGGREGATED series, so array cells hold #periods values (days),
+    not raw rows — bounded at any corpus scale.
+    """
+    a, bt, g = float(alpha), float(beta), float(gamma)
+    grouped = daily.groupBy(*partition_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("k"), F.col(value_col).alias("v"))
+                )
+            ),
+            lambda s: s["v"].cast("bigint"),
+        ).alias("__c"),
+        F.count(value_col).alias("n_obs"),
+    ).filter(F.col("n_obs") >= m + 1)
+    head = F.slice("__c", 1, m)
+    l0 = (
+        F.aggregate(head, F.lit(0).cast("bigint"), lambda acc, x: acc + x).cast("double")
+        / float(m)
+    )
+    grouped = grouped.withColumn("__l0", l0).withColumn(
+        "__s0", F.transform(F.slice("__c", 1, m), lambda c: c.cast("double") - F.col("__l0"))
+    )
+    rest = F.transform(
+        F.slice("__c", m + 1, F.greatest(F.size("__c") - m, F.lit(0))),
+        lambda c: c.cast("double"),
+    )
+    state0 = F.struct(
+        F.col("__l0").alias("l"), F.lit(0.0).alias("b"), F.col("__s0").alias("s")
+    )
+
+    def step(acc, x):
+        sh = F.element_at(acc["s"], 1)
+        lnew = F.lit(a) * (x - sh) + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        bnew = F.lit(bt) * (lnew - acc["l"]) + F.lit(1.0 - bt) * acc["b"]
+        snew = F.lit(g) * (x - lnew) + F.lit(1.0 - g) * sh
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.concat(F.slice(acc["s"], 2, m - 1), F.array(snew)).alias("s"),
+        )
+
+    st = F.aggregate(rest, state0, step)
+    lad = lambda c: F.round(c * 1000000.0) / 1000000.0  # noqa: E731
+    out = [F.col(c) for c in partition_cols] + [
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        lad(st["l"]).alias("level"),
+        lad(st["b"]).alias("trend"),
+    ]
+    for h in horizons:
+        out.append(
+            lad(st["l"] + float(h) * st["b"] + F.element_at(st["s"], h)).alias(
+                f"forecast_{h}"
+            )
+        )
+    return grouped.select(*out)

@@ -6908,3 +6908,80 @@ def llm_mixture_reweight(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+def _hw_oracle(m: int = 7, alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2,
+               horizons: tuple = (1, 2, 7)) -> str:
+    """Generated Holt-Winters fold oracle: state string 'l|b|s1|..|sm'
+    (DuckDB's list_reduce accumulator must equal the element type, so the
+    (2+m)-component state is pipe-encoded; the VARCHAR round-trips are
+    shortest-repr exact). Same IEEE step order as
+    operators/windows.py:holt_winters_additive."""
+    P = lambda i: f"CAST(string_split(acc,'|')[{i}] AS DOUBLE)"  # noqa: E731
+    X = "CAST(x AS DOUBLE)"
+    lnew = f"({alpha} * ({X} - {P(3)}) + {round(1-alpha,10)} * ({P(1)} + {P(2)}))"
+    bnew = f"({beta} * ({lnew} - {P(1)}) + {round(1-beta,10)} * {P(2)})"
+    snew = f"({gamma} * ({X} - {lnew}) + {round(1-gamma,10)} * {P(3)})"
+    keep = " || '|' || ".join(
+        f"string_split(acc,'|')[{i}]" for i in range(4, 3 + m)
+    )
+    newstate = (
+        f"CAST({lnew} AS VARCHAR) || '|' || CAST({bnew} AS VARCHAR) || '|' || "
+        f"{keep} || '|' || CAST({snew} AS VARCHAR)"
+    )
+    l0 = "(CAST((" + "+".join(f"vals[{i}]" for i in range(1, m + 1)) + f") AS DOUBLE) / {float(m)})"
+    seas = " || '|' || ".join(
+        f"CAST(CAST(vals[{i}] AS DOUBLE) - l0 AS VARCHAR)" for i in range(1, m + 1)
+    )
+    fcols = ",\n           ".join(
+        f"ROUND((CAST(st[1] AS DOUBLE) + {float(h)} * CAST(st[2] AS DOUBLE)"
+        f" + CAST(st[{2+h}] AS DOUBLE)) * 1000000) / 1000000.0 AS forecast_{h}"
+        for h in horizons
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    ser AS (
+      SELECT event_type, list(c ORDER BY d) AS vals, COUNT(*) AS n_obs
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= {m + 1}),
+    ini AS (SELECT event_type, vals, n_obs, {l0} AS l0 FROM ser),
+    folded AS (
+      SELECT event_type, n_obs,
+             string_split(list_reduce(
+               list_prepend(
+                 CAST(l0 AS VARCHAR) || '|0.0|' || {seas},
+                 list_transform(vals[{m + 1}:],
+                                v -> CAST(CAST(v AS DOUBLE) AS VARCHAR))),
+               (acc, x) -> {newstate}), '|') AS st
+      FROM ini)
+    SELECT event_type, CAST(n_obs AS BIGINT) AS n_obs,
+           ROUND(CAST(st[1] AS DOUBLE) * 1000000) / 1000000.0 AS level,
+           ROUND(CAST(st[2] AS DOUBLE) * 1000000) / 1000000.0 AS trend,
+           {fcols}
+    FROM folded ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# ts: additive Holt-Winters over the per-type DAILY count series — the
+# seasonal member of the smoothing family (w11 EWMA -> ts_holt_forecast ->
+# this): level + trend + 7-day season, forecasts at h = 1, 2, 7. The fold
+# runs over the PRE-AGGREGATED daily series (30 cells/group, not raw rows
+# — bounded at any corpus scale); init is exact (BIGINT sum / m), each
+# step is the identical IEEE expression in both engines, and the oracle
+# string-codec round-trips are shortest-repr exact (the grouped_holt
+# device, widened to a (2+m)-component state).
+# ---------------------------------------------------------------------------
+@query("ts_holt_winters", _hw_oracle(7, 0.3, 0.1, 0.2, (1, 2, 7)))
+def ts_holt_winters(spark, sf_dir):
+    from ..operators.windows import holt_winters_additive
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return holt_winters_additive(
+        daily, "c", ["event_type"], "d", m=7,
+        alpha=0.3, beta=0.1, gamma=0.2, horizons=(1, 2, 7),
+    ).orderBy("event_type")

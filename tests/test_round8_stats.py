@@ -166,3 +166,31 @@ def test_mixture_reweight_mass_is_balanced(spark):
     masses = [r["weighted_mass"] for r in rows if r["weight_ppm"] < 5_000_000]
     if len(masses) >= 2:
         assert max(masses) - min(masses) <= max(masses) * 0.01 + 1_000_000
+
+
+def test_holt_winters_matches_reference_recursion(spark):
+    from emdatapipelines_spark.operators.windows import holt_winters_additive
+
+    rows = entry.queries()["ts_holt_winters"](spark, SF).collect()
+    ev = t(spark, SF, "events").select("event_type", "ts").toPandas()
+    ev["d"] = ev["ts"].dt.date
+    for r in rows:
+        cnts = (
+            ev[ev["event_type"] == r["event_type"]]
+            .groupby("d").size().sort_index().to_numpy().astype(float)
+        )
+        m, a, b, g = 7, 0.3, 0.1, 0.2
+        assert r["n_obs"] == len(cnts)
+        l = cnts[:m].sum() / m
+        tr = 0.0
+        s = list(cnts[:m] - l)
+        for x in cnts[m:]:
+            sh = s.pop(0)
+            lnew = a * (x - sh) + (1 - a) * (l + tr)
+            tr = b * (lnew - l) + (1 - b) * tr
+            s.append(g * (x - lnew) + (1 - g) * sh)
+            l = lnew
+        assert abs(r["level"] - l) < 1e-5
+        assert abs(r["trend"] - tr) < 1e-5
+        for h in (1, 2, 7):
+            assert abs(r[f"forecast_{h}"] - (l + h * tr + s[h - 1])) < 1e-5

@@ -2700,3 +2700,121 @@ def gr_link_prediction(spark, sf_dir):
         .orderBy(F.desc("jaccard_ppm"), F.asc("u"), F.asc("v"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: directed weighted modularity of the REGION partition over the
+# nation trade graph (Newman 2004, directed form: Q = Σ_c e_c/m −
+# (out_c/m)(in_c/m)) — the quality score for a community assignment, here
+# scoring how much trade stays within geographic regions vs crosses them.
+# Complements gr_label_prop (finds communities) with the metric that
+# evaluates one. All inputs are exact integer edge weights; the per-region
+# terms are IEEE doubles of exact ints, rounded to 8 then DECIMAL-summed
+# (hash-agg order cannot move Q), Q broadcast back as a 1-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_modularity_regions",
+    """
+    WITH flow AS (
+      SELECT c.c_nationkey AS src_n, s.s_nationkey AS dst_n, COUNT(*) AS w
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    lab AS (SELECT n_nationkey, n_regionkey FROM nation),
+    rflow AS (
+      SELECT a.n_regionkey AS rs, b.n_regionkey AS rd, CAST(SUM(f.w) AS BIGINT) AS w
+      FROM flow f JOIN lab a ON f.src_n = a.n_nationkey
+                  JOIN lab b ON f.dst_n = b.n_nationkey
+      GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM rflow),
+    per AS (
+      SELECT r.r_regionkey AS region_key, r.r_name AS region,
+             CAST(COALESCE(SUM(CASE WHEN f.rs = f.rd THEN f.w END), 0) AS BIGINT) AS w_within
+      FROM region r LEFT JOIN rflow f ON f.rs = r.r_regionkey AND f.rd = r.r_regionkey
+      GROUP BY 1, 2),
+    outs AS (SELECT rs AS region_key, CAST(SUM(w) AS BIGINT) AS w_out FROM rflow GROUP BY 1),
+    ins AS (SELECT rd AS region_key, CAST(SUM(w) AS BIGINT) AS w_in FROM rflow GROUP BY 1),
+    terms AS (
+      SELECT p.region_key, p.region, p.w_within,
+             COALESCE(o.w_out, 0) AS w_out, COALESCE(i.w_in, 0) AS w_in,
+             ROUND((p.w_within * 1.0 / t.m
+                    - (COALESCE(o.w_out, 0) * 1.0 / t.m)
+                      * (COALESCE(i.w_in, 0) * 1.0 / t.m)), 8) AS term
+      FROM per p
+      LEFT JOIN outs o ON p.region_key = o.region_key
+      LEFT JOIN ins i ON p.region_key = i.region_key
+      CROSS JOIN m t),
+    q AS (SELECT CAST(SUM(CAST(term AS DECIMAL(28,8))) AS DOUBLE) AS q_total FROM terms)
+    SELECT terms.region, terms.w_within, terms.w_out, terms.w_in, terms.term,
+           ROUND(q.q_total * 1000000) / 1000000.0 AS q_modularity
+    FROM terms CROSS JOIN q ORDER BY terms.region
+    """,
+)
+def gr_modularity_regions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = t(spark, sf_dir, "nation")
+    la = F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_regionkey").alias("rs")))
+    lb = F.broadcast(n.select(F.col("n_nationkey").alias("dn"), F.col("n_regionkey").alias("rd")))
+    rflow = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(la, F.col("c_nationkey") == F.col("sn"))
+        .join(lb, F.col("s_nationkey") == F.col("dn"))
+        .groupBy("rs", "rd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    m = rflow.agg(F.sum("w").cast("bigint").alias("m"))
+    reg = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_key"), F.col("r_name").alias("region")
+    )
+    within = (
+        rflow.filter(F.col("rs") == F.col("rd"))
+        .select(F.col("rs").alias("region_key"), "w")
+        .groupBy("region_key")
+        .agg(F.sum("w").cast("bigint").alias("w_within"))
+    )
+    outs = rflow.groupBy(F.col("rs").alias("region_key")).agg(
+        F.sum("w").cast("bigint").alias("w_out")
+    )
+    ins = rflow.groupBy(F.col("rd").alias("region_key")).agg(
+        F.sum("w").cast("bigint").alias("w_in")
+    )
+    terms = (
+        reg.join(within, "region_key", "left")
+        .join(outs, "region_key", "left")
+        .join(ins, "region_key", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "region",
+            F.coalesce("w_within", F.lit(0)).cast("bigint").alias("w_within"),
+            F.coalesce("w_out", F.lit(0)).cast("bigint").alias("w_out"),
+            F.coalesce("w_in", F.lit(0)).cast("bigint").alias("w_in"),
+            F.round(
+                F.coalesce("w_within", F.lit(0)) * 1.0 / F.col("m")
+                - (F.coalesce("w_out", F.lit(0)) * 1.0 / F.col("m"))
+                * (F.coalesce("w_in", F.lit(0)) * 1.0 / F.col("m")),
+                8,
+            ).alias("term"),
+        )
+    )
+    q = terms.agg(
+        F.sum(F.col("term").cast("decimal(28,8)")).cast("double").alias("q_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .select(
+            "region",
+            "w_within",
+            "w_out",
+            "w_in",
+            "term",
+            (F.round(F.col("q_total") * 1000000.0) / 1000000.0).alias("q_modularity"),
+        )
+        .orderBy("region")
+    )

@@ -105,6 +105,8 @@ BNLJ_ALLOWED = {
     "gr_hits",
     "llm_mixture_reweight",
     "q19_fk_orphans",
+    # 1-row scalar broadcasts: total edge mass m and the Q sum (modularity)
+    "gr_modularity_regions",
     # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
     # corpus-stats crossJoin + the dense ranker's non-equi join against the
     # broadcast single-query vector; the fusion layer itself is equi-joins

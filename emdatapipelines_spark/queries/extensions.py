@@ -7001,3 +7001,102 @@ def ts_holt_winters(spark, sf_dir):
         daily, "c", ["event_type"], "d", m=7,
         alpha=0.3, beta=0.1, gamma=0.2, horizons=(1, 2, 7),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ts: distributed time-series similarity search (the EDBT'19 "TS similarity
+# search for streaming data in distributed systems" shape): each user's
+# 30-day activity series is reduced to a 6-segment PAA profile (piecewise
+# aggregate approximation — the iSAX building block; 5-day buckets of
+# integer event counts, dense zero-filled), and a FIXED ≤20-user probe set
+# broadcasts against the corpus for exact top-5 nearest profiles by
+# squared euclidean distance. Distances are exact BIGINT sums of squared
+# integer differences — no floats anywhere; ties break on neighbor id.
+# Corpus side never shuffles for scoring (broadcast probes), one exchange
+# builds the per-user profile — the brute_force_cosine_topk shape on PAA
+# vectors. At 100 TB: profiles are a |users|-sized frame; the segment
+# explode is a constant ×6.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_similarity_topk",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             LEAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) // 5, 5) AS seg
+      FROM events),
+    cnt AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+    spine AS (
+      SELECT u.user_id, s.seg
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN (SELECT UNNEST(range(0, 6)) AS seg) s),
+    vec AS (
+      SELECT sp.user_id, list(COALESCE(c.c, 0) ORDER BY sp.seg) AS v
+      FROM spine sp LEFT JOIN cnt c ON sp.user_id = c.user_id AND sp.seg = c.seg
+      GROUP BY sp.user_id),
+    probes AS (SELECT user_id AS probe_id, v AS pv FROM vec
+               WHERE user_id % 100 = 1 AND user_id < 2000),
+    scored AS (
+      SELECT p.probe_id, c.user_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(p.pv, c.v),
+                                          q -> (q[1] - q[2]) * (q[1] - q[2]))) AS BIGINT)
+               AS dist2
+      FROM probes p JOIN vec c ON p.probe_id <> c.user_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist2, neighbor_id) AS rnk
+      FROM scored)
+    SELECT probe_id, neighbor_id, dist2, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rank
+    """,
+)
+def ts_similarity_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.least(
+            (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 5)
+            .cast("int"),
+            F.lit(5),
+        ).alias("seg"),
+    )
+    cnt = ev.groupBy("user_id", "seg").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    spine = ev.select("user_id").distinct().select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("seg")
+    )
+    vec = (
+        spine.join(cnt, ["user_id", "seg"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("seg").alias("k"), F.coalesce("c", F.lit(0)).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ).alias("v")
+        )
+    )
+    probes = vec.filter(
+        (F.col("user_id") % 100 == 1) & (F.col("user_id") < 2000)
+    ).select(F.col("user_id").alias("probe_id"), F.col("v").alias("pv"))
+    scored = vec.join(
+        F.broadcast(probes), F.col("probe_id") != F.col("user_id")
+    ).select(
+        "probe_id",
+        F.col("user_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(F.col("pv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, d: acc + d,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("probe_id", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank"))
+        .orderBy("probe_id", "rank")
+    )

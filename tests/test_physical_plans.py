@@ -107,6 +107,9 @@ BNLJ_ALLOWED = {
     "q19_fk_orphans",
     # 1-row scalar broadcasts: total edge mass m and the Q sum (modularity)
     "gr_modularity_regions",
+    # TS similarity search: non-equi join of the broadcast <=20-probe PAA
+    # profiles against the user-profile frame — bounded by the probe set
+    "ts_similarity_topk",
     # hybrid fusion embeds both allowlisted retrievers: bm25's 1-row
     # corpus-stats crossJoin + the dense ranker's non-equi join against the
     # broadcast single-query vector; the fusion layer itself is equi-joins

@@ -779,3 +779,66 @@ def q17_luhn_check(spark, sf_dir):
         F.sum(F.when(F.col("luhn_valid"), 1).otherwise(0)).cast("bigint").alias("n_valid"),
         F.sum(F.when(~F.col("luhn_valid"), 1).otherwise(0)).cast("bigint").alias("n_invalid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# governance: k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+# 2007) — the release-risk check upstream of a4_privacy_agg's suppression:
+# equivalence classes over the quasi-identifier pair (nation, market
+# segment), with rows-at-risk below k ∈ {2, 5, 10} and the minimum
+# l-diversity of the sensitive attribute (account-balance band) per class.
+# One groupBy builds the class frame; the k ladder is an in-row explode
+# (no join); every output is an exact integer / floor-div ppm.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS INT)) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2),
+    ks AS (SELECT UNNEST([2, 5, 10]) AS k)
+    SELECT CAST(ks.k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN c.n < ks.k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+           CAST(SUM(CASE WHEN c.n < ks.k THEN c.n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST((SUM(CASE WHEN c.n < ks.k THEN c.n ELSE 0 END) * 1000000) // SUM(c.n)
+                AS BIGINT) AS risk_ppm,
+           CAST(MIN(c.l_div) AS BIGINT) AS min_l_diversity
+    FROM cls c CROSS JOIN ks GROUP BY ks.k ORDER BY k
+    """,
+)
+def q20_k_anonymity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct(F.floor(F.col("c_acctbal") / 1000).cast("int"))
+        .cast("bigint")
+        .alias("l_div"),
+    )
+    fan = cls.withColumn("k", F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))))
+    return (
+        fan.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below_k"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.sum("n").alias("__tot"),
+            F.min("l_div").cast("bigint").alias("min_l_diversity"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_classes",
+            "classes_below_k",
+            "rows_at_risk",
+            F.expr("CAST((rows_at_risk * 1000000) div __tot AS BIGINT)").alias(
+                "risk_ppm"
+            ),
+            "min_l_diversity",
+        )
+        .orderBy("k")
+    )

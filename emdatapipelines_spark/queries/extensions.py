@@ -7100,3 +7100,60 @@ def ts_similarity_topk(spark, sf_dir):
         .select("probe_id", "neighbor_id", "dist2", F.col("rank").cast("int").alias("rank"))
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: effective token budget — the scaling-law denominator: per source,
+# total tokens vs tokens surviving exact dedup (keep = min doc_id per
+# normalized-content hash), and the wasted-duplicate share. The mart that
+# turns dd_exact_dedup's corpus-level count into the per-source number a
+# data-mixing plan actually consumes (epochs-per-source are computed on
+# EFFECTIVE tokens, not raw). Two hash aggs, integer ppm ladder.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_effective_tokens",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5({_NORM_SQL}) AS h,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS n_tokens
+      FROM documents),
+    surv AS (SELECT h, MIN(doc_id) AS keep FROM d GROUP BY h)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN d.doc_id = s.keep THEN d.n_tokens ELSE 0 END) AS BIGINT)
+             AS effective_tokens,
+           CAST(((SUM(d.n_tokens) - SUM(CASE WHEN d.doc_id = s.keep THEN d.n_tokens ELSE 0 END))
+                 * 1000000) // GREATEST(SUM(d.n_tokens), 1) AS BIGINT) AS dup_waste_ppm
+    FROM d JOIN surv s ON d.h = s.h
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def llm_effective_tokens(spark, sf_dir):
+    from ..llmdata.text import _norm, token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(_norm("text")).alias("h"),
+        token_count("text").alias("n_tokens"),
+    )
+    surv = d.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    eff = F.sum(
+        F.when(F.col("doc_id") == F.col("keep"), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        d.join(surv, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            eff.cast("bigint").alias("effective_tokens"),
+            F.expr(
+                "CAST(((sum(n_tokens) - sum(CASE WHEN doc_id = keep THEN n_tokens ELSE 0 END))"
+                " * 1000000) div GREATEST(sum(n_tokens), 1) AS BIGINT)"
+            ).alias("dup_waste_ppm"),
+        )
+        .orderBy("source")
+    )

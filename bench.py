@@ -198,7 +198,10 @@ def main() -> int:
         cold[name] = min(cold[name], round(ts[0], 4))
         warm_ts = ts[1:] if len(ts) > 1 else ts
         timings[name] = min(timings[name], round(min(warm_ts), 4))
-        medians[name] = round(statistics.median(warm_ts), 4)
+        # keep provenance consistent with the min: the retried query's
+        # median must also be the min across both runs, else the artifact
+        # mixes a min from run A with a median from run B.
+        medians[name] = min(medians[name], round(statistics.median(warm_ts), 4))
     inversions = _inversions()
 
     total = round(sum(timings.values()), 4)

@@ -106,6 +106,8 @@ def hits_weighted(
     are bit-identical across partitionings and the oracle unrolls the same
     CTE half-steps. Each half-step is one |edges| shuffle with map-side
     combine; node scores are |nodes|-sized. Returns (id, hub, authority)."""
+    if iterations < 1:
+        raise ValueError(f"hits_weighted requires iterations >= 1, got {iterations}")
     dec = f"decimal(28,{scale})"
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(weight).alias("e_w")

@@ -6230,11 +6230,15 @@ def llm_curriculum_order(spark, sf_dir):
         F.length(_norm("text")).alias("n_norm_chars"),
         F.size(F.split(_norm("text"), " ")).alias("n_tokens"),
     ).filter(F.col("n_norm_chars") > 0)
+    # BIGINT widen before *1e6: length()/size() are IntegerType in Spark and
+    # wrap for docs >= ~2148 norm chars, while DuckDB's length() is BIGINT.
     dd = tk.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
-        F.expr("CAST(((n_norm_chars - n_tokens + 1) * 1000000) div n_tokens AS BIGINT)")
-        .alias("difficulty_ppm"),
+        F.expr(
+            "CAST((CAST(n_norm_chars - n_tokens + 1 AS BIGINT) * 1000000)"
+            " div n_tokens AS BIGINT)"
+        ).alias("difficulty_ppm"),
     )
     w = Window.orderBy("difficulty_ppm", "doc_id")
     return dd.select(
@@ -6763,12 +6767,21 @@ def tx_code_detect(spark, sf_dir):
         n_sym.alias("n_sym"),
         n_digit.alias("n_digit"),
     )
+    # BIGINT widen BEFORE the *1e6 multiply: F.length is IntegerType, so an
+    # int multiply silently wraps for docs >= ~2148 chars in non-ANSI Spark
+    # while the DuckDB oracle's length() is already BIGINT.
     return f.select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.expr("CAST((n_sym * 1000000) div n_chars AS BIGINT)").alias("sym_ppm"),
-        F.expr("CAST((n_digit * 1000000) div n_chars AS BIGINT)").alias("digit_ppm"),
-        F.expr("(n_sym * 1000000) div n_chars >= 30000").alias("looks_like_code"),
+        F.expr(
+            "CAST((CAST(n_sym AS BIGINT) * 1000000) div n_chars AS BIGINT)"
+        ).alias("sym_ppm"),
+        F.expr(
+            "CAST((CAST(n_digit AS BIGINT) * 1000000) div n_chars AS BIGINT)"
+        ).alias("digit_ppm"),
+        F.expr(
+            "(CAST(n_sym AS BIGINT) * 1000000) div n_chars >= 30000"
+        ).alias("looks_like_code"),
     ).orderBy("doc_id")
 
 
@@ -7022,7 +7035,9 @@ def ts_holt_winters(spark, sf_dir):
     """
     WITH ev AS (
       SELECT user_id,
-             LEAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) // 5, 5) AS seg
+             LEAST(GREATEST(
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) // 5,
+               0), 5) AS seg
       FROM events),
     cnt AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
     spine AS (
@@ -7053,11 +7068,21 @@ def ts_similarity_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     e = t(spark, sf_dir, "events")
+    # floor (not cast-truncate, which rounds toward zero) + clamp to [0, 5]:
+    # an event before the epoch must land in seg 0 on both engines, and the
+    # DuckDB oracle's `//` is floor division.
     ev = e.select(
         "user_id",
         F.least(
-            (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) / 5)
-            .cast("int"),
+            F.greatest(
+                F.floor(
+                    F.datediff(
+                        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                    )
+                    / 5
+                ).cast("int"),
+                F.lit(0),
+            ),
             F.lit(5),
         ).alias("seg"),
     )

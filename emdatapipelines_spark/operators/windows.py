@@ -563,3 +563,88 @@ def holt_winters_additive(
             )
         )
     return grouped.select(*out)
+
+
+def with_overlap_chunks(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    bucket: Column,
+    overlap: int,
+    chunk_size: int = 8192,
+) -> DataFrame:
+    """Split each (huge, low-cardinality-keyed) ordered series into
+    fixed-size row chunks that each carry the previous chunk's last
+    ``overlap`` rows as context, WITHOUT ever sorting a whole series in
+    one task — the scale-safe carrier for fixed ROWS-frame windows
+    (``ROWS BETWEEN p PRECEDING AND q``, ``q <= 0``, ``p <= overlap``):
+    every emitted row's frame lies entirely inside its own chunk, so the
+    per-(group, chunk) window is EXACT by construction (byte-identical
+    arithmetic on identical frames), while the sort runs in
+    O(series / chunk_size) parallel tasks instead of one task per key.
+
+    The global per-group row number is assigned in two fine-grained
+    phases (no per-group global sort anywhere):
+
+      1. count rows per (group, bucket) — ``bucket`` must be a prefix of
+         the sort order (e.g. ``date(ts)`` when ordering by ``ts, id``);
+         the count frame is tiny (groups × buckets) and its running
+         prefix sum gives each bucket's global row offset;
+      2. broadcast the offsets back and add a row_number windowed by
+         (group, bucket) — each bucket sorts independently.
+
+    Rows whose position falls in the last ``overlap`` slots of a chunk
+    are duplicated into the following chunk flagged ``__is_ctx`` (the
+    only data-growth is ``overlap / chunk_size``, <0.3% at defaults).
+    Callers window over ``Window.partitionBy(*partition_cols, "__chunk")
+    .orderBy("__rn")``, then drop ``__is_ctx`` rows before emitting.
+
+    Proven by the w16/w17 rework (VERDICT r8 #1): the previous plan
+    windowed raw events ``PARTITION BY event_type`` — a 5-value key, one
+    ~20M-row single-task sort per series at 100×; this shape keeps every
+    task at ``chunk_size + overlap`` rows at any scale.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_size ({chunk_size})"
+        )
+    s = int(chunk_size)
+    b = df.withColumn("__bucket", bucket)
+    counts = b.groupBy(*partition_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *partition_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    w_in = Window.partitionBy(*partition_cols, "__bucket").orderBy(
+        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
+    )
+    numbered = (
+        b.join(F.broadcast(offsets), [*partition_cols, "__bucket"])
+        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
+        .drop("__bucket", "__off")
+    )
+    pos = (F.col("__rn") - 1) % s
+    home = (F.col("__rn") - 1) / F.lit(s)
+    copies = F.when(
+        pos >= s - int(overlap),
+        F.array(
+            F.struct(home.cast("long").alias("c"), F.lit(False).alias("x")),
+            F.struct((home.cast("long") + 1).alias("c"), F.lit(True).alias("x")),
+        ),
+    ).otherwise(
+        F.array(F.struct(home.cast("long").alias("c"), F.lit(False).alias("x")))
+    )
+    return (
+        numbered.withColumn("__copy", F.explode(copies))
+        .withColumn("__chunk", F.col("__copy")["c"])
+        .withColumn("__is_ctx", F.col("__copy")["x"])
+        .drop("__copy")
+    )

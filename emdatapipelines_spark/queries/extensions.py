@@ -6152,26 +6152,38 @@ def q18_mannwhitney(spark, sf_dir):
     """,
 )
 def w16_bollinger(spark, sf_dir):
+    """Scale-safe since r9: the 20-row frame runs per (event_type, __chunk)
+    over overlap-chunked series (`with_overlap_chunks`, 20 context rows per
+    chunk) — exact by construction for the fixed ROWS frame, and the sort is
+    ~series/8192 parallel tasks instead of one task per event_type (a
+    5-value key: one ~20M-row single-task sort per series at 100×)."""
     from pyspark.sql import Window
+
+    from ..operators.windows import with_overlap_chunks
 
     e = t(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", "value",
         F.col("value").cast("decimal(18,4)").alias("v"),
     )
+    ck = with_overlap_chunks(
+        e, ["event_type"], ["ts", "event_id"],
+        bucket=F.col("ts").cast("date"), overlap=20,
+    )
     w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        Window.partitionBy("event_type", "__chunk")
+        .orderBy("__rn")
         .rowsBetween(-20, -1)
     )
-    fr = e.select(
+    fr = ck.select(
         "event_type",
         "ts",
         "event_id",
         "value",
+        "__is_ctx",
         F.count(F.lit(1)).over(w).alias("n20"),
         F.sum("v").over(w).cast("double").alias("s1"),
         F.sum(F.col("v") * F.col("v")).over(w).cast("double").alias("s2"),
-    ).filter(F.col("n20") == 20)
+    ).filter((F.col("n20") == 20) & ~F.col("__is_ctx")).drop("__is_ctx")
     m = F.col("s1") / 20
     sd = F.sqrt(F.greatest(F.col("s2") / 20 - m * m, F.lit(0.0)))
     return (
@@ -6685,8 +6697,24 @@ def w17_rsi(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", F.col("value").cast("decimal(18,4)").alias("v")
     )
-    wlag = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    d = e.withColumn("dv", F.col("v") - F.lag("v").over(wlag)).filter(
+    # Scale-safe since r9: lag + the 14-row frame run per (event_type,
+    # __chunk) over overlap-chunked series (14 context rows: 1 for the lag
+    # delta + 13 for the frame). Exact: every emitted row's frame covers
+    # g-rows rn-13..rn, each of whose deltas needs raw rows rn-14..rn — all
+    # inside the chunk. The chunk's FIRST context row gets an in-chunk null
+    # delta (its predecessor is out of chunk) and drops from g, but it sits
+    # at rn-14 in delta space — strictly outside every emitted frame. The
+    # group's true first row keeps its null delta in chunk 0, matching the
+    # global plan. Previously: one single-task ~20M-row sort per event_type
+    # at 100x (5-value key).
+    from ..operators.windows import with_overlap_chunks
+
+    ck = with_overlap_chunks(
+        e, ["event_type"], ["ts", "event_id"],
+        bucket=F.col("ts").cast("date"), overlap=14,
+    )
+    wck = Window.partitionBy("event_type", "__chunk").orderBy("__rn")
+    d = ck.withColumn("dv", F.col("v") - F.lag("v").over(wck)).filter(
         F.col("dv").isNotNull()
     )
     zero = F.lit(0).cast("decimal(18,4)")
@@ -6695,19 +6723,23 @@ def w17_rsi(spark, sf_dir):
         "ts",
         "event_id",
         "v",
+        "__chunk",
+        "__rn",
+        "__is_ctx",
         F.when(F.col("dv") > 0, F.col("dv")).otherwise(zero).alias("gain"),
         F.when(F.col("dv") < 0, -F.col("dv")).otherwise(zero).alias("loss"),
     )
-    wfr = wlag.rowsBetween(-13, 0)
+    wfr = wck.rowsBetween(-13, 0)
     fr = g.select(
         "event_type",
         "ts",
         "event_id",
         "v",
+        "__is_ctx",
         F.count(F.lit(1)).over(wfr).alias("n14"),
         F.sum("gain").over(wfr).cast("double").alias("sg"),
         F.sum("loss").over(wfr).cast("double").alias("sl"),
-    ).filter(F.col("n14") == 14)
+    ).filter((F.col("n14") == 14) & ~F.col("__is_ctx")).drop("__is_ctx")
     rsi = F.when(F.col("sl") == 0, F.lit(100.0)).otherwise(
         F.round((100.0 - 100.0 / (1.0 + F.col("sg") / F.col("sl"))) * 1000000.0)
         / 1000000.0

@@ -2760,6 +2760,18 @@ def gr_modularity_regions(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     la = F.broadcast(n.select(F.col("n_nationkey").alias("sn"), F.col("n_regionkey").alias("rs")))
     lb = F.broadcast(n.select(F.col("n_nationkey").alias("dn"), F.col("n_regionkey").alias("rd")))
+    # SINGLE-CONSUMER chain (r9): rflow previously fed 5 lazy consumers
+    # (m / within / outs / ins / terms) and Catalyst did NOT dedupe them —
+    # the executed AQE plan scanned lineitem 12x and orders 9x (41 distinct
+    # query stages, zero ReusedExchange). Instead of persist, each tiny
+    # rflow row (regions^2 <= 25) explodes into its out- and in-side
+    # contributions, ONE region_key agg folds them, and m / q_total come
+    # from global windows over the 5-row region frame — the whole query is
+    # now one linear plan: fact join -> (rs,rd) agg -> explode -> region
+    # agg -> two 5-row windows. Guard: tests/test_physical_plans.py
+    # asserts one lineitem scan.
+    from pyspark.sql import Window
+
     rflow = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
@@ -2769,45 +2781,62 @@ def gr_modularity_regions(spark, sf_dir):
         .groupBy("rs", "rd")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    m = rflow.agg(F.sum("w").cast("bigint").alias("m"))
+    zero = F.lit(0).cast("bigint")
+    contrib = rflow.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rs").alias("region_key"),
+                    F.col("w").alias("w_out"),
+                    zero.alias("w_in"),
+                    F.when(F.col("rs") == F.col("rd"), F.col("w"))
+                    .otherwise(zero)
+                    .alias("w_within"),
+                ),
+                F.struct(
+                    F.col("rd").alias("region_key"),
+                    zero.alias("w_out"),
+                    F.col("w").alias("w_in"),
+                    zero.alias("w_within"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    per_region = contrib.groupBy("region_key").agg(
+        F.sum("w_within").cast("bigint").alias("w_within"),
+        F.sum("w_out").cast("bigint").alias("w_out"),
+        F.sum("w_in").cast("bigint").alias("w_in"),
+    )
     reg = t(spark, sf_dir, "region").select(
         F.col("r_regionkey").alias("region_key"), F.col("r_name").alias("region")
     )
-    within = (
-        rflow.filter(F.col("rs") == F.col("rd"))
-        .select(F.col("rs").alias("region_key"), "w")
-        .groupBy("region_key")
-        .agg(F.sum("w").cast("bigint").alias("w_within"))
-    )
-    outs = rflow.groupBy(F.col("rs").alias("region_key")).agg(
-        F.sum("w").cast("bigint").alias("w_out")
-    )
-    ins = rflow.groupBy(F.col("rd").alias("region_key")).agg(
-        F.sum("w").cast("bigint").alias("w_in")
-    )
+    w_all = Window.partitionBy()  # 5-row region frame: a global window is safe
     terms = (
-        reg.join(within, "region_key", "left")
-        .join(outs, "region_key", "left")
-        .join(ins, "region_key", "left")
-        .crossJoin(F.broadcast(m))
+        reg.join(per_region, "region_key", "left")
         .select(
             "region",
-            F.coalesce("w_within", F.lit(0)).cast("bigint").alias("w_within"),
-            F.coalesce("w_out", F.lit(0)).cast("bigint").alias("w_out"),
-            F.coalesce("w_in", F.lit(0)).cast("bigint").alias("w_in"),
+            F.coalesce("w_within", zero).cast("bigint").alias("w_within"),
+            F.coalesce("w_out", zero).cast("bigint").alias("w_out"),
+            F.coalesce("w_in", zero).cast("bigint").alias("w_in"),
+        )
+        # m = SUM over rflow w: every rflow row lands its w in exactly one
+        # region's w_out, so the global w_out sum is the same BIGINT
+        .withColumn("m", F.sum("w_out").over(w_all))
+        .withColumn(
+            "term",
             F.round(
-                F.coalesce("w_within", F.lit(0)) * 1.0 / F.col("m")
-                - (F.coalesce("w_out", F.lit(0)) * 1.0 / F.col("m"))
-                * (F.coalesce("w_in", F.lit(0)) * 1.0 / F.col("m")),
+                F.col("w_within") * 1.0 / F.col("m")
+                - (F.col("w_out") * 1.0 / F.col("m"))
+                * (F.col("w_in") * 1.0 / F.col("m")),
                 8,
-            ).alias("term"),
+            ),
         )
     )
-    q = terms.agg(
-        F.sum(F.col("term").cast("decimal(28,8)")).cast("double").alias("q_total")
-    )
     return (
-        terms.crossJoin(F.broadcast(q))
+        terms.withColumn(
+            "q_total",
+            F.sum(F.col("term").cast("decimal(28,8)")).over(w_all).cast("double"),
+        )
         .select(
             "region",
             "w_within",

@@ -6562,9 +6562,17 @@ def dd_snapshot_dedup_rate(spark, sf_dir):
         d, n=5, threshold=0.5, max_shingle_df=50
     ).select("id_a", "id_b")
     lab = d.select("doc_id", (F.col("doc_id") % 3).cast("int").alias("snap"))
-    sym = pairs.select(F.col("id_a").alias("dd"), F.col("id_b").alias("p")).unionByName(
-        pairs.select(F.col("id_b").alias("dd"), F.col("id_a").alias("p"))
-    )
+    # symmetrize with ONE consumer of the expensive pair join (explode, not
+    # union-of-two-selects — the union re-planned the whole df-capped
+    # shingle self-join twice; same lesson as dd_minhash_estimate r8)
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("dd"), F.col("id_b").alias("p")),
+                F.struct(F.col("id_b").alias("dd"), F.col("id_a").alias("p")),
+            )
+        ).alias("c")
+    ).select("c.*")
     ld = lab.select(F.col("doc_id").alias("dd"), F.col("snap").alias("snap_d"))
     lp = lab.select(F.col("doc_id").alias("p"), F.col("snap").alias("snap_p"))
     dup = (

@@ -7222,3 +7222,312 @@ def llm_effective_tokens(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity: per-label embedding diversity — the mean pairwise cosine
+# within each class, computed WITHOUT any pairwise join via the moment
+# identity  Σ_{i≠j} ûi·ûj = |Σû|² − Σ|ûi|²  (û = L2-normalized vectors):
+# one posexplode (corpus × 64 rows), two hash aggs — an O(n·d) plan for an
+# O(n²·d) statistic, so it runs at any corpus scale. Low diversity (high
+# mean cosine) per class flags collapsed/duplicated training clusters —
+# the class-level twin of dd_semdedup. Determinism ladder: normalized
+# components round to 8dp, every cross-vector sum is an exact DECIMAL sum
+# of 8dp-rounded terms (the a32 convention), so partial-agg order never
+# moves the result; in-array folds (norms) are the same sequential IEEE
+# expression both engines (the sim_cosine_topk convention).
+# ---------------------------------------------------------------------------
+@query(
+    "sim_pairwise_diversity",
+    """
+    WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nrm AS (
+      SELECT label, vec_id,
+             list_transform(v, x -> ROUND(x / sqrt(list_dot_product(v, v)), 8)) AS nc
+      FROM e),
+    pv AS (SELECT label, vec_id, nc, ROUND(list_dot_product(nc, nc), 8) AS s2 FROM nrm),
+    ex AS (
+      SELECT label, p[2] AS dim, CAST(p[1] AS DOUBLE) AS c
+      FROM pv, UNNEST(list_zip(nc, range(1, len(nc) + 1))) AS t(p)),
+    sd AS (
+      SELECT label, dim, CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE) AS s
+      FROM ex GROUP BY 1, 2),
+    a1 AS (
+      SELECT label, CAST(SUM(CAST(ROUND(s * s, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sumsq
+      FROM sd GROUP BY 1),
+    a2 AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(s2 AS DECIMAL(28,8))) AS DOUBLE) AS selfsq
+      FROM pv GROUP BY 1)
+    SELECT a2.label, a2.n_vecs,
+           ROUND((a1.sumsq - a2.selfsq) / (a2.n_vecs * (a2.n_vecs - 1.0)) * 1000000)
+             / 1000000.0 AS mean_pairwise_cosine
+    FROM a1 JOIN a2 USING (label) ORDER BY label
+    """,
+)
+def sim_pairwise_diversity(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    base = e.select(
+        "label",
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / nrm, 8)).alias("nc"),
+    )
+    pv = base.withColumn(
+        "s2",
+        F.round(
+            F.aggregate(
+                F.transform("nc", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            8,
+        ),
+    )
+    ex = pv.select("label", F.posexplode("nc").alias("dim", "c"))
+    sd = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("c").cast("decimal(28,8)")).cast("double").alias("s")
+    )
+    a1 = sd.groupBy("label").agg(
+        F.sum(F.round(F.col("s") * F.col("s"), 8).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("sumsq")
+    )
+    a2 = pv.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.col("s2").cast("decimal(28,8)")).cast("double").alias("selfsq"),
+    )
+    return (
+        a1.join(a2, "label")
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.round(
+                    (F.col("sumsq") - F.col("selfsq"))
+                    / (F.col("n_vecs") * (F.col("n_vecs") - 1.0))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("mean_pairwise_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup ops: shingle posting-list profile — the advisor mart for the
+# max_shingle_df cap every jaccard/minhash join in this repo depends on.
+# Buckets 5-gram shingles by document frequency and reports, per bucket,
+# the shingle count, posting mass, and — the number that actually prices
+# the self-join — candidate pairs Σ df·(df−1)/2. At web scale the '>50'
+# bucket's cand_pairs says exactly how much quadratic work the cap
+# removes. One explode + two hash aggs + a 4-row window; all BIGINT.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_shingle_profile",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 3, 2)),
+                       i -> array_to_string(tk[i:i+4], ' ')))) AS shingle
+      FROM toks),
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+    b AS (
+      SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 5 THEN '2-5'
+                  WHEN df <= 50 THEN '6-50' ELSE '>50' END AS df_bucket,
+             df
+      FROM df),
+    agg AS (
+      SELECT df_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(df) AS BIGINT) AS postings,
+             CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS cand_pairs
+      FROM b GROUP BY df_bucket)
+    SELECT df_bucket, n_shingles, postings, cand_pairs,
+           CAST((postings * 1000000) // (SUM(postings) OVER ()) AS BIGINT)
+             AS posting_mass_ppm
+    FROM agg ORDER BY df_bucket
+    """,
+)
+def dd_shingle_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..llmdata.dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    b = df.select(
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") <= 5, "2-5")
+        .when(F.col("df") <= 50, "6-50")
+        .otherwise(">50")
+        .alias("df_bucket"),
+        "df",
+    )
+    agg = b.groupBy("df_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("postings"),
+        F.sum(F.expr("df * (df - 1) div 2")).cast("bigint").alias("cand_pairs"),
+    )
+    w = Window.partitionBy()  # 4-row bucket frame: global window is safe
+    return agg.select(
+        "df_bucket",
+        "n_shingles",
+        "postings",
+        "cand_pairs",
+        F.expr(
+            "CAST((postings * CAST(1000000 AS BIGINT)) div "
+            "(SUM(postings) OVER ()) AS BIGINT)"
+        ).alias("posting_mass_ppm"),
+    ).orderBy("df_bucket")
+
+
+# ---------------------------------------------------------------------------
+# lm: n-gram novelty curve — per document (in doc_id ingestion order), the
+# share of its distinct 3-gram shingles never seen in any EARLIER document:
+# the saturation diagnostic for data ordering/curriculum work (novelty
+# collapsing toward 0 = the corpus has stopped teaching new n-grams; the
+# dataset-level twin of tx_lexical_diversity). first-seen = MIN(doc_id)
+# per shingle — one explode, one hash agg, one equi-join back, one per-doc
+# agg; exact BIGINT ppm.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_ngram_novelty",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 1, 2)),
+                       i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+      FROM toks),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN first f USING (shingle)
+    GROUP BY sh.doc_id ORDER BY sh.doc_id
+    """,
+)
+def lm_ngram_novelty(spark, sf_dir):
+    from ..llmdata.dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles("text", 3)).alias("shingle"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "CAST((n_novel * CAST(1000000 AS BIGINT)) div n_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts: inter-arrival gap profile per event series — mean / p50 / p95 / max
+# gap seconds and the burstiness coefficient B = (σ−μ)/(σ+μ) (Goh &
+# Barabási 2008; B→−1 periodic, 0 Poisson, →1 bursty). The consecutive-gap
+# lag runs on the overlap-chunk carrier (overlap=1) — the same scale-safe
+# device as w16/w17, so no single-task per-series sort ever happens — and
+# everything after the lag is one hash agg on exact BIGINT epoch-second
+# gaps (moments as exact sums; σ via the two-moment identity; percentiles
+# exact, integer-valued ±.5 interpolation).
+# ---------------------------------------------------------------------------
+@query(
+    "ts_interarrival_stats",
+    """
+    WITH o AS (
+      SELECT event_type, epoch_us(ts) AS es,
+             LAG(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS prev_es
+      FROM events),
+    g AS (SELECT event_type, CAST(es - prev_es AS BIGINT) AS gap
+          FROM o WHERE prev_es IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS s1,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS s2,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+             ROUND(quantile_cont(gap, 0.5), 4) AS p50_gap_us,
+             ROUND(quantile_cont(gap, 0.95), 4) AS p95_gap_us
+      FROM g GROUP BY event_type)
+    SELECT event_type, n_gaps,
+           ROUND(s1 * 1.0 / n_gaps * 1000000) / 1000000.0 AS mean_gap_us,
+           p50_gap_us, p95_gap_us, max_gap_us,
+           ROUND((sqrt(GREATEST(s2 * 1.0 / n_gaps - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps), 0.0))
+                  - s1 * 1.0 / n_gaps)
+                 / NULLIF(sqrt(GREATEST(s2 * 1.0 / n_gaps - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps), 0.0))
+                          + s1 * 1.0 / n_gaps, 0.0) * 1000000) / 1000000.0
+             AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..operators.windows import with_overlap_chunks
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.unix_micros("ts").alias("es")
+    )
+    ck = with_overlap_chunks(
+        e, ["event_type"], ["ts", "event_id"],
+        bucket=F.col("ts").cast("date"), overlap=1,
+    )
+    wck = Window.partitionBy("event_type", "__chunk").orderBy("__rn")
+    g = (
+        ck.withColumn("prev_es", F.lag("es").over(wck))
+        .filter(F.col("prev_es").isNotNull() & ~F.col("__is_ctx"))
+        .select("event_type", (F.col("es") - F.col("prev_es")).cast("bigint").alias("gap"))
+    )
+    m = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        # micro-second gaps square to ~1e18 per term: the exact sum needs
+        # DECIMAL(38,0) (DuckDB widens to HUGEINT); both engines then take
+        # the same nearest-double of the exact integer
+        F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s2"),
+        F.max("gap").cast("bigint").alias("max_gap_us"),
+        F.round(F.percentile("gap", F.lit(0.5)), 4).alias("p50_gap_us"),
+        F.round(F.percentile("gap", F.lit(0.95)), 4).alias("p95_gap_us"),
+    )
+    mu = F.col("s1") * 1.0 / F.col("n_gaps")
+    sd = F.sqrt(
+        F.greatest(F.col("s2") * 1.0 / F.col("n_gaps") - mu * mu, F.lit(0.0))
+    )
+    return m.select(
+        "event_type",
+        "n_gaps",
+        (F.round(mu * 1000000.0) / 1000000.0).alias("mean_gap_us"),
+        "p50_gap_us",
+        "p95_gap_us",
+        "max_gap_us",
+        (
+            F.round((sd - mu) / F.nullif(sd + mu, F.lit(0.0)) * 1000000.0)
+            / 1000000.0
+        ).alias("burstiness"),
+    ).orderBy("event_type")

@@ -2847,3 +2847,164 @@ def gr_modularity_regions(spark, sf_dir):
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: global clustering coefficient — C = 3·triangles /
+# wedges over the SAME thresholded supplier co-occurrence graph as
+# gr_triangles (≥5 shared orders). Wedges = Σ_v C(deg v, 2) is one
+# explode + hash agg on the edge list; triangles reuse the degree-ordered
+# O(m^1.5) operator; both 1-row frames cross-join. All-BIGINT ppm output.
+# ---------------------------------------------------------------------------
+@query(
+    "gr_clustering_coeff",
+    """
+    WITH e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 5),
+    deg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      GROUP BY id),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg)
+    SELECT st.n_nodes, st.n_edges, st.n_wedges, tri.n_triangles,
+           CAST((3 * tri.n_triangles * 1000000) // st.n_wedges AS BIGINT)
+             AS global_clustering_ppm
+    FROM st CROSS JOIN tri
+    """,
+)
+def gr_clustering_coeff(spark, sf_dir):
+    from ..operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("src", "dst")
+    )
+    tri = triangle_count(pairs, "src", "dst")
+    deg = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    st = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(SUM(d) div 2 AS BIGINT)").alias("n_edges"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    return st.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST((3 * n_triangles * CAST(1000000 AS BIGINT)) div n_wedges AS BIGINT)"
+        ).alias("global_clustering_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: degree-distribution power-law fit — OLS slope of
+# ln(count) on ln(degree) over the distinct-degree histogram of the
+# supplier co-occurrence graph (the log-log regression every "is this
+# graph scale-free?" report starts with; slope ≈ −α). The regression runs
+# on the DEGREE HISTOGRAM (≤ max-degree rows), so after one edge-list agg
+# the fit costs nothing at any scale. Determinism: ln() terms round to
+# 8dp, all sums are exact DECIMAL sums of rounded terms, one final IEEE
+# division (the ml_ridge_2d ladder).
+# ---------------------------------------------------------------------------
+@query(
+    "gr_powerlaw_degree",
+    """
+    WITH e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 5),
+    deg AS (
+      SELECT id, COUNT(*) AS d
+      FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      GROUP BY id),
+    hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+    pts AS (SELECT ROUND(LN(d), 8) AS x, ROUND(LN(cnt), 8) AS y FROM hist),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ROUND(x * y, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ROUND(x * x, 8) AS DECIMAL(28,8))) AS DOUBLE) AS sxx
+      FROM pts)
+    SELECT n AS n_degree_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) / 1000000.0
+             AS loglog_slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1000000)
+             / 1000000.0 AS loglog_intercept
+    FROM s
+    """,
+)
+def gr_powerlaw_degree(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("src", "dst")
+    )
+    deg = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pts = hist.select(
+        F.round(F.log(F.col("d").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 8).alias("y"),
+    )
+    dec = "decimal(28,8)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 8).cast(dec)).cast("double").alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 8).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_degree_points"),
+        (F.round(slope * 1000000.0) / 1000000.0).alias("loglog_slope"),
+        (
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") * 1000000.0)
+            / 1000000.0
+        ).alias("loglog_intercept"),
+    )

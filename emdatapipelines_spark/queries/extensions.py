@@ -7531,3 +7531,99 @@ def ts_interarrival_stats(spark, sf_dir):
             / 1000000.0
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# dedup: contamination LCS ladder — for every training doc (the % 53 != 0
+# side, dd_decontaminate's split), the binary-ladder lower bound on its
+# longest common token run with the eval corpus: level n ∈ {4, 8, 16} is
+# hit iff ANY word n-gram of the doc appears verbatim in the eval set, so
+# lcs_floor_tokens = max hit n bounds LCS ≥ n (and LCS < the next level
+# when that level missed) — the doubling-probe version of the
+# suffix-automaton LCS scan, built entirely from the existing shingle
+# machinery. Per level: one distinct-shingle explode + LEFT SEMI join
+# against the (broadcastable) eval n-gram set — three bounded passes, no
+# all-pairs anywhere, the dd_decontaminate plan shape ×3.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_contamination_ladder",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    g4 AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 2, 2)),
+                       i -> array_to_string(tk[i:i+3], ' ')))) AS g
+      FROM toks),
+    g8 AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 6, 2)),
+                       i -> array_to_string(tk[i:i+7], ' ')))) AS g
+      FROM toks),
+    g16 AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, greatest(len(tk) - 14, 2)),
+                       i -> array_to_string(tk[i:i+15], ' ')))) AS g
+      FROM toks),
+    h4 AS (SELECT DISTINCT t.doc_id FROM g4 t
+           WHERE t.doc_id % 53 <> 0
+             AND t.g IN (SELECT g FROM g4 WHERE doc_id % 53 = 0)),
+    h8 AS (SELECT DISTINCT t.doc_id FROM g8 t
+           WHERE t.doc_id % 53 <> 0
+             AND t.g IN (SELECT g FROM g8 WHERE doc_id % 53 = 0)),
+    h16 AS (SELECT DISTINCT t.doc_id FROM g16 t
+            WHERE t.doc_id % 53 <> 0
+              AND t.g IN (SELECT g FROM g16 WHERE doc_id % 53 = 0))
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM h4) AS hit4,
+           d.doc_id IN (SELECT doc_id FROM h8) AS hit8,
+           d.doc_id IN (SELECT doc_id FROM h16) AS hit16,
+           CAST(CASE WHEN d.doc_id IN (SELECT doc_id FROM h16) THEN 16
+                     WHEN d.doc_id IN (SELECT doc_id FROM h8) THEN 8
+                     WHEN d.doc_id IN (SELECT doc_id FROM h4) THEN 4
+                     ELSE 0 END AS INT) AS lcs_floor_tokens
+    FROM documents d WHERE d.doc_id % 53 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def dd_contamination_ladder(spark, sf_dir):
+    from ..llmdata.dedup import _shingles
+
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 53 == 0
+    train = d.filter(~is_eval)
+    ev = d.filter(is_eval)
+
+    def hits(n):
+        tg = train.select("doc_id", F.explode(_shingles("text", n)).alias("g"))
+        eg = ev.select(F.explode(_shingles("text", n)).alias("g")).distinct()
+        return (
+            tg.join(eg, "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn(f"hit{n}", F.lit(True))
+        )
+
+    out = (
+        train.select("doc_id")
+        .join(hits(4), "doc_id", "left")
+        .join(hits(8), "doc_id", "left")
+        .join(hits(16), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit4", F.lit(False)).alias("hit4"),
+            F.coalesce("hit8", F.lit(False)).alias("hit8"),
+            F.coalesce("hit16", F.lit(False)).alias("hit16"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "hit4",
+        "hit8",
+        "hit16",
+        F.when(F.col("hit16"), 16)
+        .when(F.col("hit8"), 8)
+        .when(F.col("hit4"), 4)
+        .otherwise(0)
+        .cast("int")
+        .alias("lcs_floor_tokens"),
+    ).orderBy("doc_id")

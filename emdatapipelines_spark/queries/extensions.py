@@ -7627,3 +7627,154 @@ def dd_contamination_ladder(spark, sf_dir):
         .cast("int")
         .alias("lcs_floor_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity: ANN parameter-sweep mart (recall-vs-cost) — the table an ANN
+# deployment decision actually reads: for nprobe ∈ {1,2,4,8} on the same
+# IVF index (nlist=64, deterministic centroids), the measured
+# mean_recall_at_k on the pinned ≤8-query probe set against the exact
+# brute-force top-k, next to the theoretical scan fraction nprobe/nlist.
+# Self-validating rows-only query (the ANN convention here): recall is
+# measured in-row via with_recall_vs_exact; tests assert recall is
+# monotone in nprobe and hits 1.0 at nprobe=nlist-scan levels. Each sweep
+# point reuses the same broadcast-probe plan as sim_ivf_topk — 4 bounded
+# passes, no corpus self-join.
+# ---------------------------------------------------------------------------
+@query("sim_ann_param_sweep")
+def sim_ann_param_sweep(spark, sf_dir):
+    from ..llmdata.similarity import with_recall_vs_exact
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    sweeps = []
+    for nprobe in (1, 2, 4, 8):
+        approx = ivf_cosine_topk(q, e, k=5, nlist=64, nprobe=nprobe)
+        r = with_recall_vs_exact(approx, q, e, k=5)
+        per_q = r.groupBy("query_id").agg(F.max("recall_at_k").alias("recall"))
+        sweeps.append(
+            per_q.agg(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.lit(int(nprobe * 1000000 // 64)).cast("bigint").alias(
+                    "scan_fraction_ppm"
+                ),
+                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+                (
+                    F.round(
+                        F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
+                        / F.count(F.lit(1))
+                        * 1000000.0
+                    )
+                    / 1000000.0
+                ).alias("mean_recall_at_k"),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("nprobe")
+
+
+# ---------------------------------------------------------------------------
+# ml: bootstrap CI of the mean — the multiplier-bootstrap with
+# DETERMINISTIC Poisson(1) weights (Kleiner/Owen resampling as used in
+# big-data bootstrap systems): resample b draws row i with weight w =
+# Poisson⁻¹(md5(b||id) mod 65536), thresholds 24109/48218/60274/64292
+# (the 36.79/36.79/18.39/6.13/1.92% pmf as exact /65536 integer cuts), so
+# every engine and every partitioning produces the IDENTICAL 32 resample
+# means. One explode(×32) + one hash agg with map-side partials; CI =
+# exact percentile over the 32-row mean frame. All sums are DECIMAL-exact
+# (weights are small ints, o_totalprice is DECIMAL(18,2)).
+# ---------------------------------------------------------------------------
+@query(
+    "ml_bootstrap_ci",
+    f"""
+    WITH x AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders),
+    r AS (
+      SELECT b.b, x.o_orderkey, x.v,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(md5(CAST(b.b AS VARCHAR) || '|' ||
+                                               CAST(x.o_orderkey AS VARCHAR)), 1, 4), ''),
+                        range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT)
+               AS u
+      FROM x CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) b),
+    w AS (
+      SELECT b, v,
+             CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+                  WHEN u < 60274 THEN 2 WHEN u < 64292 THEN 3 ELSE 4 END AS w
+      FROM r),
+    means AS (
+      SELECT b,
+             ROUND(CAST(SUM(w * v) AS DOUBLE) / SUM(w) * 1000000) / 1000000.0 AS m
+      FROM w GROUP BY b),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1000000) / 1000000.0 AS point_mean
+      FROM x)
+    SELECT pt.n_rows, pt.point_mean,
+           CAST(32 AS BIGINT) AS n_resamples,
+           ROUND(quantile_cont(means.m, 0.025) * 1000000) / 1000000.0 AS boot_p025,
+           ROUND(quantile_cont(means.m, 0.975) * 1000000) / 1000000.0 AS boot_p975
+    FROM means CROSS JOIN pt
+    GROUP BY pt.n_rows, pt.point_mean
+    """,
+)
+def ml_bootstrap_ci(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    r = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31)))).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"), F.lit("|"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    w = r.select(
+        "b",
+        "v",
+        F.when(F.col("u") < 24109, 0)
+        .when(F.col("u") < 48218, 1)
+        .when(F.col("u") < 60274, 2)
+        .when(F.col("u") < 64292, 3)
+        .otherwise(4)
+        .alias("w"),
+    )
+    means = w.groupBy("b").agg(
+        (
+            F.round(
+                F.sum(F.col("w") * F.col("v")).cast("double")
+                / F.sum("w")
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("m")
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)) * 1000000.0)
+            / 1000000.0
+        ).alias("point_mean"),
+    )
+    ci = means.crossJoin(F.broadcast(pt)).groupBy("n_rows", "point_mean").agg(
+        F.lit(32).cast("bigint").alias("n_resamples"),
+        (
+            F.round(F.percentile("m", F.lit(0.025)) * 1000000.0) / 1000000.0
+        ).alias("boot_p025"),
+        (
+            F.round(F.percentile("m", F.lit(0.975)) * 1000000.0) / 1000000.0
+        ).alias("boot_p975"),
+    )
+    return ci.select("n_rows", "point_mean", "n_resamples", "boot_p025", "boot_p975")

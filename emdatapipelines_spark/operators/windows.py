@@ -565,6 +565,131 @@ def holt_winters_additive(
     return grouped.select(*out)
 
 
+def with_global_index(
+    df: DataFrame,
+    order_cols: list,
+    bucket: Column,
+    partition_cols: list[str] | None = None,
+    out: str = "__rn",
+    carry_sums: dict[str, Column] | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over ``order_cols`` (per ``partition_cols``
+    group, or corpus-wide when none) WITHOUT a single-task sort — the
+    distributed replacement for ``Window.orderBy(...)`` with no
+    ``partitionBy``, which moves EVERY row into ONE task (Spark even warns
+    "Moving all data to a single partition"); it is NOT the
+    range-partitioned exchange a real ORDER BY uses.
+
+    ``bucket`` must be an order-consistent coarsening of the LEADING order
+    expression — monotone non-decreasing along the sort (a hex prefix of a
+    hash ordering, a floor-divided numeric band, ``date(ts)`` under a
+    ``ts`` ordering) — and ``order_cols`` must be a total order (include a
+    unique tiebreak) for the row numbers to be deterministic. NULL buckets
+    and NULL partition keys are handled null-safely: a NULL groups and
+    joins as its own key and sorts first, matching NULLS FIRST semantics
+    (so a NULL leading order value requires a NULL bucket).
+
+    Two fine-grained phases (the ``with_overlap_chunks`` device that fixed
+    the w16/w17 single-task sorts):
+
+      1. count rows per (group, bucket); the running prefix sum over that
+         tiny counts frame gives each bucket's global row offset — the
+         only partition-less window in the plan runs over THIS frame,
+         which is groups × buckets rows (metadata-rate, bounded by the
+         bucket fan-out, never the corpus);
+      2. broadcast the offsets back and ``row_number`` within
+         (group, bucket) — each bucket sorts independently in its own
+         task, so parallelism is the bucket count at any scale.
+
+    ``carry_sums={name: col}`` additionally emits, per named output, the
+    EXCLUSIVE global running sum (sum over all strictly-preceding rows in
+    the total order) by the same device: the offsets frame carries
+    per-bucket sums and phase 2 adds the within-bucket exclusive window
+    sum — the scale-safe form of ``SUM(x) OVER (ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``. ``total_col`` emits the
+    per-group total row count on every row (it rides the same broadcast —
+    no extra crossJoin), which is what exact NTILE needs (`exact_ntile`).
+    """
+    pc = list(partition_cols or [])
+    sums = dict(carry_sums or {})
+    b = df.withColumn("__gi_bucket", bucket)
+    aggs = [F.count(F.lit(1)).alias("__gi_n")] + [
+        F.sum(c).alias(f"__gi_s{i}") for i, c in enumerate(sums.values())
+    ]
+    counts = b.groupBy(*pc, "__gi_bucket").agg(*aggs)
+    w_off = (
+        Window.partitionBy(*pc)
+        .orderBy("__gi_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        F.coalesce(F.sum("__gi_n").over(w_off), F.lit(0)).cast("long").alias("__gi_off")
+    ] + [
+        F.coalesce(F.sum(f"__gi_s{i}").over(w_off), F.lit(0)).alias(f"__gi_soff{i}")
+        for i in range(len(sums))
+    ]
+    if total_col:
+        w_all = (
+            Window.partitionBy(*pc)
+            .orderBy("__gi_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        off_cols.append(F.sum("__gi_n").over(w_all).cast("long").alias(total_col))
+    # rename the join keys on the offsets side so the join condition can be
+    # null-safe (a plain `on=[names]` list compiles to EqualTo, which drops
+    # null-keyed rows — the with_overlap_chunks null-key gap, ADVICE r9)
+    offsets = counts.select(*pc, "__gi_bucket", *off_cols)
+    ren = {"__gi_bucket": "__gi_bucket_r"}
+    ren.update({c: f"__gi_pc{i}_r" for i, c in enumerate(pc)})
+    o = offsets
+    for old, new in ren.items():
+        o = o.withColumnRenamed(old, new)
+    cond = b["__gi_bucket"].eqNullSafe(o["__gi_bucket_r"])
+    for i, c in enumerate(pc):
+        cond = cond & b[c].eqNullSafe(o[f"__gi_pc{i}_r"])
+    ord_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    w_in = Window.partitionBy(*pc, "__gi_bucket").orderBy(*ord_exprs)
+    numbered = b.join(F.broadcast(o), cond).withColumn(
+        out, (F.col("__gi_off") + F.row_number().over(w_in)).cast("long")
+    )
+    w_run = (
+        Window.partitionBy(*pc, "__gi_bucket")
+        .orderBy(*ord_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for i, (name, col) in enumerate(sums.items()):
+        numbered = numbered.withColumn(
+            name,
+            F.col(f"__gi_soff{i}")
+            + F.coalesce(F.sum(col).over(w_run), F.lit(0)),
+        )
+    drop = (
+        ["__gi_bucket", "__gi_off"]
+        + [f"__gi_soff{i}" for i in range(len(sums))]
+        + list(ren.values())
+    )
+    return numbered.drop(*drop)
+
+
+def exact_ntile(rn_col: str, total_col: str, k: int) -> Column:
+    """Exact SQL-standard ``NTILE(k)`` computed from a global row number and
+    the total row count (both produced scale-safely by
+    ``with_global_index(..., total_col=...)``): with ``q = n div k`` and
+    ``r = n mod k``, the first ``r`` tiles hold ``q+1`` rows and the rest
+    hold ``q`` — integer arithmetic throughout (``div``, not float
+    division, per the r9 chunk-assignment advisory), byte-identical to
+    DuckDB's and Spark's own NTILE at any n."""
+    k = int(k)
+    q = f"({total_col} div {k})"
+    r = f"({total_col} % {k})"
+    return F.expr(
+        f"CAST(CASE WHEN {rn_col} <= ({q} + 1) * {r} "
+        f"THEN ({rn_col} - 1) div ({q} + 1) + 1 "
+        f"ELSE {r} + ({rn_col} - ({q} + 1) * {r} - 1) div {q} + 1 END AS INT)"
+    )
+
+
 def with_overlap_chunks(
     df: DataFrame,
     partition_cols: list[str],
@@ -591,7 +716,9 @@ def with_overlap_chunks(
          the count frame is tiny (groups × buckets) and its running
          prefix sum gives each bucket's global row offset;
       2. broadcast the offsets back and add a row_number windowed by
-         (group, bucket) — each bucket sorts independently.
+         (group, bucket) — each bucket sorts independently. (Both phases
+         are ``with_global_index``; the offsets join is null-safe, so
+         NULL partition keys / buckets survive and sort first.)
 
     Rows whose position falls in the last ``overlap`` slots of a chunk
     are duplicated into the following chunk flagged ``__is_ctx`` (the
@@ -609,38 +736,24 @@ def with_overlap_chunks(
             f"overlap ({overlap}) must be < chunk_size ({chunk_size})"
         )
     s = int(chunk_size)
-    b = df.withColumn("__bucket", bucket)
-    counts = b.groupBy(*partition_cols, "__bucket").agg(
-        F.count(F.lit(1)).alias("__bn")
+    # phases 1-2 are the shared device (null-safe since r10; previously the
+    # plain equi-join back onto offsets silently dropped null-keyed rows)
+    numbered = with_global_index(
+        df, order_cols, bucket, partition_cols=partition_cols, out="__rn"
     )
-    w_off = (
-        Window.partitionBy(*partition_cols)
-        .orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        *partition_cols,
-        "__bucket",
-        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).cast("long").alias("__off"),
-    )
-    w_in = Window.partitionBy(*partition_cols, "__bucket").orderBy(
-        *[F.col(c) if isinstance(c, str) else c for c in order_cols]
-    )
-    numbered = (
-        b.join(F.broadcast(offsets), [*partition_cols, "__bucket"])
-        .withColumn("__rn", F.col("__off") + F.row_number().over(w_in))
-        .drop("__bucket", "__off")
-    )
+    # integer arithmetic for chunk assignment: float division + truncating
+    # cast can misassign a row at very large __rn for non-power-of-two
+    # chunk sizes (IEEE rounding lands on the wrong side of the boundary)
     pos = (F.col("__rn") - 1) % s
-    home = (F.col("__rn") - 1) / F.lit(s)
+    home = F.expr(f"(__rn - 1) div {s}")
     copies = F.when(
         pos >= s - int(overlap),
         F.array(
-            F.struct(home.cast("long").alias("c"), F.lit(False).alias("x")),
-            F.struct((home.cast("long") + 1).alias("c"), F.lit(True).alias("x")),
+            F.struct(home.alias("c"), F.lit(False).alias("x")),
+            F.struct((home + 1).alias("c"), F.lit(True).alias("x")),
         ),
     ).otherwise(
-        F.array(F.struct(home.cast("long").alias("c"), F.lit(False).alias("x")))
+        F.array(F.struct(home.alias("c"), F.lit(False).alias("x")))
     )
     return (
         numbered.withColumn("__copy", F.explode(copies))

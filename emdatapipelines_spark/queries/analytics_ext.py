@@ -2766,8 +2766,12 @@ def gr_modularity_regions(spark, sf_dir):
     lb = F.broadcast(n.select(F.col("n_nationkey").alias("dn"), F.col("n_regionkey").alias("rd")))
     # SINGLE-CONSUMER chain (r9): rflow previously fed 5 lazy consumers
     # (m / within / outs / ins / terms) and Catalyst did NOT dedupe them —
-    # the executed AQE plan scanned lineitem 12x and orders 9x (41 distinct
-    # query stages, zero ReusedExchange). Instead of persist, each tiny
+    # the r8 executed plan scanned lineitem 6x in the FINAL AQE plan
+    # section (the full plan string shows 12 FileScan nodes only because
+    # it repeats the tree under "== Initial Plan =="; same convention as
+    # tests/test_multi_consumer_reuse.py, which counts final-plan text
+    # only — 41 distinct query stages, zero ReusedExchange). Instead of
+    # persist, each tiny
     # rflow row (regions^2 <= 25) explodes into its out- and in-side
     # contributions, ONE region_key agg folds them, and m / q_total come
     # from global windows over the 5-row region frame — the whole query is

@@ -6232,9 +6232,8 @@ def w16_bollinger(spark, sf_dir):
     """,
 )
 def llm_curriculum_order(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..llmdata.text import _norm
+    from ..operators.windows import exact_ntile, with_global_index
 
     d = t(spark, sf_dir, "documents")
     tk = d.select(
@@ -6252,9 +6251,24 @@ def llm_curriculum_order(spark, sf_dir):
             " div n_tokens AS BIGINT)"
         ).alias("difficulty_ppm"),
     )
-    w = Window.orderBy("difficulty_ppm", "doc_id")
-    return dd.select(
-        "doc_id", "n_tokens", "difficulty_ppm", F.ntile(4).over(w).alias("stage")
+    # r10 (VERDICT r9 #1): the global NTILE used to run as
+    # Window.orderBy(difficulty, doc_id) with no partitionBy — one task
+    # holding the whole corpus. Now: exact global row number via the
+    # two-phase device bucketed by a difficulty band (order-consistent
+    # coarsening; ppm resolution makes the bands fine-grained), then the
+    # SQL-standard NTILE formula from (rn, n) in integer arithmetic.
+    ranked = with_global_index(
+        dd,
+        [F.col("difficulty_ppm").asc(), F.col("doc_id").asc()],
+        bucket=F.expr("difficulty_ppm div 10000"),
+        out="__rn",
+        total_col="__n",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_ppm",
+        exact_ntile("__rn", "__n", 4).alias("stage"),
     ).orderBy("doc_id")
 
 
@@ -6304,19 +6318,29 @@ def llm_curriculum_order(spark, sf_dir):
     """,
 )
 def llm_perplexity_buckets(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..llmdata.text import bigram_nll
+    from ..operators.windows import exact_ntile, with_global_index
 
     d = t(spark, sf_dir, "documents")
     perdoc = bigram_nll(d).select(
         "doc_id", "n_bigrams", F.col("avg_bigram_nll").alias("nll")
     )
-    tiled = perdoc.join(d.select("doc_id", "source"), "doc_id").select(
+    # r10: the tercile NTILE ran partition-less over the per-doc frame
+    # (corpus-rate = one task at scale). floor(nll*10) is a monotone
+    # coarsening of the leading sort key, so the two-phase device gives the
+    # identical global rank distributed across the nll bands.
+    ranked = with_global_index(
+        perdoc.join(d.select("doc_id", "source"), "doc_id"),
+        [F.col("nll").asc(), F.col("doc_id").asc()],
+        bucket=F.expr("CAST(floor(nll * 10) AS BIGINT)"),
+        out="__rn",
+        total_col="__n",
+    )
+    tiled = ranked.select(
         "source",
         "n_bigrams",
         "nll",
-        F.ntile(3).over(Window.orderBy("nll", "doc_id")).alias("tile"),
+        exact_ntile("__rn", "__n", 3).alias("tile"),
     )
     return (
         tiled.groupBy("tile", "source")
@@ -7375,7 +7399,10 @@ def dd_shingle_profile(spark, sf_dir):
         F.sum("df").cast("bigint").alias("postings"),
         F.sum(F.expr("df * (df - 1) div 2")).cast("bigint").alias("cand_pairs"),
     )
-    w = Window.partitionBy()  # 4-row bucket frame: global window is safe
+    # posting_mass_ppm's SUM(...) OVER () runs on the 4-row bucket frame,
+    # where a global window is safe (ADVICE r9: the former unused
+    # Window.partitionBy() assignment here was dead code — the window is
+    # expressed inline in the F.expr below)
     return agg.select(
         "df_bucket",
         "n_shingles",

@@ -8,6 +8,7 @@ while becoming a full-scan or shuffle catastrophe at scale.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
 
@@ -318,6 +319,99 @@ def test_runtime_bloom_filter_prunes_large_large_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _unbounded_single_partition_exchanges(plan: str) -> list[str]:
+    """Return the plan lines of every planner-forced single-partition
+    exchange (``Exchange SinglePartition, ENSURE_REQUIREMENTS`` — what a
+    partition-less Window or global sort demands) whose input subtree is
+    NOT row-bounded by an aggregate, a window-group-limit, or a limit.
+
+    A bounded input means the funnel receives group-cardinality /
+    top-k-cardinality rows (metadata-rate); an UNbounded one receives the
+    whole corpus in ONE task at any scale — the w16/w17 and
+    llm_shuffle_order/llm_pack_plan/llm_curriculum_order regression class
+    (VERDICT r8 #1, r9 #1). Explicit byte-budgeted repartitions
+    (REPARTITION_BY_NUM, e.g. multimodal.partition_by_bytes, whose
+    partition count grows with total payload bytes) are out of scope.
+    """
+    import re
+
+    bounding = (
+        "HashAggregate",
+        "SortAggregate",
+        "ObjectHashAggregate",
+        "WindowGroupLimit",
+        "TakeOrderedAndProject",
+        "LocalLimit",
+        "CollectLimit",
+    )
+
+    def prefix(line: str) -> int:
+        return re.match(r"^[\s:+\-*()0-9]*", line).end()
+
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition, ENSURE_REQUIREMENTS" not in line:
+            continue
+        p = prefix(line)
+        bounded = False
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and prefix(lines[j]) <= p:
+                break
+            if any(b in lines[j] for b in bounding):
+                bounded = True
+                break
+        if not bounded:
+            bad.append(line.strip()[:100])
+    return bad
+
+
+def test_no_single_task_corpus_funnel_suite_wide(spark):
+    """Suite-wide guard (VERDICT r9 #1): NO query may plan a single-
+    partition exchange over an unbounded (corpus-rate) input. A
+    ``Window.orderBy(...)`` without ``partitionBy`` — Spark's "Moving all
+    data to a single partition" shape — would reappear here as
+    ``Exchange SinglePartition, ENSURE_REQUIREMENTS`` with a raw scan
+    below it: fine at sf0.01, one task doing 100 TB at scale. Bounded
+    funnels (global windows over aggregated frames, top-k after a partial
+    WindowGroupLimit) stay allowed — those receive metadata-rate rows."""
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        bad = _unbounded_single_partition_exchanges(plan)
+        if bad:
+            flagged[name] = bad
+    assert not flagged, f"unbounded single-partition exchanges: {flagged}"
+
+
+def test_guard_catches_partitionless_corpus_window(spark):
+    """The guard itself must flag the regression shape it exists for: a
+    partition-less row_number over a raw corpus-rate frame."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    bad = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert _unbounded_single_partition_exchanges(plan)
+
+
+def test_shuffle_order_plan_is_distributed(spark):
+    """llm_shuffle_order's rank must come from the two-phase device: the
+    corpus-side window partitions by the hash-prefix bucket (256-way
+    parallel sort), the offsets ride a broadcast, and the only single-
+    partition exchange feeds the metadata-rate offsets frame."""
+    plan = _plan(spark, "llm_shuffle_order")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert not _unbounded_single_partition_exchanges(
+        entry.queries()["llm_shuffle_order"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
 
 
 def test_neardup_prefilter_has_no_global_window(spark):

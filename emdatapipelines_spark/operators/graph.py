@@ -168,6 +168,55 @@ def hits_weighted(
     )
 
 
+def cooccurrence_edges(
+    facts: DataFrame,
+    group_col: str,
+    node_col: str,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Thresholded co-occurrence edge list: an undirected edge ``(src <
+    dst)`` joins two nodes appearing in at least ``min_shared`` distinct
+    groups together (suppliers sharing orders, terms sharing documents…).
+
+    The threshold is load-bearing at scale, exactly like ``max_shingle_df``
+    in the jaccard join: the UNthresholded co-occurrence graph of a random
+    mix converges to a complete graph (measured: half of all supplier pairs
+    qualify at sf1 → 2.5e9 wedges, 127s), while recurring-relationship
+    edges stay sparse. The self-join is per-group bounded (group size²),
+    the standard bipartite-projection shape.
+
+    This is THE shared derivation of the gr_* family (triangles,
+    clustering, power-law fit all start here) — register it once as the
+    ``graph_edges`` materialized model (`plans/graph_marts.py`) and serve
+    the family from the cache instead of re-running the self-join per
+    query (VERDICT r9 #3)."""
+    a, b = facts.alias("a"), facts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"a.{node_col}") < F.col(f"b.{node_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{node_col}").alias("src"), F.col(f"b.{node_col}").alias("dst")
+        )
+        .agg(F.countDistinct(F.col(f"a.{group_col}")).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+        .select("src", "dst")
+    )
+
+
+def endpoint_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degrees ``(id, d)`` from an edge list — one explode pass
+    over both endpoints (a union of two selects would re-plan the edge
+    subtree twice, the r9 multi-consumer lesson)."""
+    return (
+        edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact global triangle count over an UNDIRECTED graph given as an edge
     list (either orientation, duplicates/self-loops tolerated). Returns a

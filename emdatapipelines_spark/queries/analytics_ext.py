@@ -722,23 +722,10 @@ def gr_triangles(spark, sf_dir):
     graph (measured: half of all supplier pairs qualify at sf1 → 2.5e9
     wedges, 127s), while recurring-relationship edges stay sparse. The
     orientation then bounds the wedge join at O(m^1.5) under hub skew."""
-    from ..operators.graph import triangle_count
+    from ..operators.graph import cooccurrence_edges, triangle_count
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
-        )
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-        .select("src", "dst")
-    )
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # materialize the thresholded edge list once (localCheckpoint, not
     # persist: the r8 persist A/B lost 3.15->4.62s warm, but cutting the
     # LINEAGE wins — measured sf1 warm 5.2->4.2s, cold 15.9->6.7s; the
@@ -2894,30 +2881,19 @@ def gr_modularity_regions(spark, sf_dir):
     """,
 )
 def gr_clustering_coeff(spark, sf_dir):
-    from ..operators.graph import triangle_count
+    from ..operators.graph import (
+        cooccurrence_edges,
+        endpoint_degrees,
+        triangle_count,
+    )
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-        .select("src", "dst")
-    )
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # one materialization feeds both the triangle machinery and the wedge
     # agg (measured sf1 warm 6.4->4.5s, cold 17.9->7.0s vs lazy recompute)
     pairs = pairs.localCheckpoint(eager=True)
     tri = triangle_count(pairs, "src", "dst")
-    deg = (
-        pairs.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
+    deg = endpoint_degrees(pairs)
     st = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.expr("CAST(SUM(d) div 2 AS BIGINT)").alias("n_edges"),
@@ -2975,26 +2951,13 @@ def gr_clustering_coeff(spark, sf_dir):
     """,
 )
 def gr_powerlaw_degree(spark, sf_dir):
+    from ..operators.graph import cooccurrence_edges, endpoint_degrees
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
-        .agg(F.countDistinct(F.col("a.l_orderkey")).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-        .select("src", "dst")
-    )
+    pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # explode both endpoints in one pass: a union of two selects would
     # re-plan the whole thresholded self-join twice (multi-consumer lesson)
-    deg = (
-        pairs.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    deg = endpoint_degrees(pairs)
     hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     pts = hist.select(
         F.round(F.log(F.col("d").cast("double")), 8).alias("x"),

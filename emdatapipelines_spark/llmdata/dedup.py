@@ -986,3 +986,164 @@ def substring_dedup_chunks(
             " ",
         ).alias("dedup_text"),
     )
+
+
+def exact_lcs_contamination(
+    train: DataFrame,
+    ev: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fanout: int = 8,
+) -> DataFrame:
+    """EXACT per-document contamination length: for every training doc, the
+    length (in tokens) of its longest token run appearing verbatim in ANY
+    eval document — the exact quantity ``dd_contamination_ladder`` lower-
+    bounds with its fixed {4,8,16} rungs (VERDICT r9 stretch #6). Runs
+    shorter than 2 tokens report 0 (single shared words are not
+    contamination).
+
+    Algorithm — k-ary search over shingle sizes: ``hit(n)`` = "some n-gram
+    of the doc appears in the eval n-gram set" is monotone in n, and hits
+    within any probed length set form a PREFIX (so one max() recovers the
+    full outcome of a multi-length probe). Two stages, every pass the same
+    join shape (explode active docs' n-grams of their probe lengths →
+    LEFT SEMI join the eval n-gram set on (length, hash) → advance
+    [lo, hi) from the per-doc max hit):
+
+      1. ONE pass probing ALL powers of two {2, 4, …, 2^⌈log2 max_eval⌉}
+         simultaneously (the doubling phase of the classic doubling-probe
+         LCS device, batched) — brackets every doc into a dyadic
+         [2^k, 2^(k+1)) interval; docs missing n=2 retire with 0;
+      2. ``fanout``-ary refinement: probe the lo + j·step grid (step =
+         width div fanout), shrinking every bracket by fanout per pass —
+         ⌈log_fanout(max_eval)⌉ passes (3 at 500-token eval docs).
+
+    Per-pass cost: train side = active docs' token volume × probes-per-doc
+    (log₂ len in stage 1, fanout−1 after); eval side = eval tokens ×
+    distinct live lengths — bounded because eval corpora are small by
+    nature and brackets stay grid-aligned (the distinct-length count per
+    pass is #live brackets × (fanout−1)). No all-pairs anywhere; the
+    per-doc state is localCheckpointed per pass so plan depth stays O(1).
+    Total passes 1 + ⌈log_fanout(max_eval)⌉ ≈ 4 (SCALING.md round-10) vs
+    ~18 for the plain binary-search form — driver-loop job overhead, not
+    data volume, dominates this operator below cluster scale.
+
+    Oracle independence: the SQL twin computes the same value by a wholly
+    different route (bigram position-match diagonals + gaps-and-islands
+    run lengths), so agreement is evidence, not tautology.
+    """
+    toks = F.split(_norm_text(text_col), " ")
+    tr0 = train.select(
+        F.col(id_col).alias("id"), toks.alias("tk"), F.size(toks).alias("len")
+    )
+    ev0 = ev.select(toks.alias("tk")).persist()
+    max_eval = ev0.agg(F.max(F.size("tk"))).first()[0] or 0
+    if max_eval < 2:
+        ev0.unpersist()
+        return train.select(
+            F.col(id_col).alias("doc_id"), F.lit(0).cast("int").alias("lcs_tokens")
+        ).orderBy("doc_id")
+
+    # n-gram hashes for a (…, n) row — clean semantics: no partial
+    # shingles, a doc emits grams only when its length covers n
+    _grams = (
+        "transform(sequence(1, size(tk) - n + 1),"
+        " i -> xxhash64(array_join(slice(tk, i, n), ' ')))"
+    )
+
+    def eval_grams(lengths: list[int]) -> DataFrame:
+        ls = F.array(*[F.lit(int(x)) for x in sorted(set(lengths))])
+        return (
+            ev0.select(F.explode(ls).alias("n"), "tk")
+            .filter(F.size("tk") >= F.col("n"))
+            .select("n", F.explode(F.expr(_grams)).alias("g"))
+            .distinct()
+        )
+
+    def max_hit(probes: DataFrame, lengths: list[int]) -> DataFrame:
+        """(id, max_hit): the largest probed length whose n-gram set hits
+        eval — by monotonicity, every smaller probed length hit too."""
+        g = probes.filter(F.size("tk") >= F.col("n")).select(
+            "id", "n", F.explode(F.expr(_grams)).alias("g")
+        )
+        return (
+            g.join(eval_grams(lengths), ["n", "g"], "left_semi")
+            .groupBy("id")
+            .agg(F.max("n").alias("max_hit"))
+        )
+
+    # ---- stage 1: all powers of two in ONE pass ----------------------------
+    powers = [2]
+    while powers[-1] * 2 <= max_eval:
+        powers.append(powers[-1] * 2)
+    p1 = tr0.select(
+        "id", "tk", F.explode(F.array(*[F.lit(p) for p in powers])).alias("n")
+    )
+    h1 = max_hit(p1, powers)
+    # lo = max hit power (known hit); hi = 2*lo (known miss: the next power
+    # was probed and missed, or exceeds max_eval / doc length)
+    st = (
+        tr0.join(h1, "id", "left")
+        .select(
+            "id",
+            "tk",
+            F.coalesce("max_hit", F.lit(0)).alias("lo"),
+            (F.coalesce("max_hit", F.lit(0)) * 2).alias("hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    zero = st.filter(F.col("lo") == 0).select(
+        F.col("id").alias("doc_id"), F.lit(0).cast("int").alias("lcs_tokens")
+    )
+    st = st.filter(F.col("lo") > 0)
+
+    # ---- stage 2: fanout-ary grid refinement -------------------------------
+    while True:
+        opened = st.filter(F.col("hi") - F.col("lo") > 1)
+        step = F.greatest((F.col("hi") - F.col("lo")) / F.lit(fanout), F.lit(1)).cast(
+            "long"
+        )
+        probes = opened.select(
+            "id",
+            "tk",
+            "lo",
+            "hi",
+            step.alias("step"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(fanout - 1)),
+                        lambda j: F.col("lo") + j * step,
+                    ),
+                    lambda x: x < F.col("hi"),
+                )
+            ).alias("n"),
+        )
+        lengths = [r["n"] for r in probes.select("n").distinct().collect()]
+        if not lengths:
+            break
+        steps = probes.groupBy("id").agg(F.min("step").alias("step"))
+        upd = (
+            opened.join(steps, "id")
+            .join(max_hit(probes, lengths), "id", "left")
+            .select(
+                "id",
+                "tk",
+                # hits are a prefix of the probe grid: the new lo is the max
+                # hit (or the old lo when every probe missed); the new hi is
+                # one grid step above the new lo, clamped to the old hi
+                F.coalesce("max_hit", F.col("lo")).alias("lo"),
+                F.least(
+                    F.col("hi"), F.coalesce("max_hit", F.col("lo")) + F.col("step")
+                ).alias("hi"),
+            )
+        )
+        st = upd.unionByName(
+            st.filter(F.col("hi") - F.col("lo") <= 1)
+        ).localCheckpoint(eager=True)
+
+    ev0.unpersist()
+    done = st.select(
+        F.col("id").alias("doc_id"), F.col("lo").cast("int").alias("lcs_tokens")
+    )
+    return zero.unionByName(done).orderBy("doc_id")

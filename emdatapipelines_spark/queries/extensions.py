@@ -7657,6 +7657,51 @@ def dd_contamination_ladder(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup: EXACT contamination LCS (VERDICT r9 stretch #6) — the exact value
+# dd_contamination_ladder lower-bounds: per training doc, the length in
+# tokens of its longest token run appearing verbatim in any eval doc
+# (runs < 2 report 0). Engine: doubling probe + dyadic binary search over
+# shingle sizes, ~2·log2(max_eval_len) LEFT SEMI passes (llmdata/dedup.py:
+# exact_lcs_contamination). Oracle: a COMPLETELY different algorithm —
+# bigram position matches grouped by diagonal (i−j), gaps-and-islands run
+# lengths, max+1 — so agreement is evidence, not a tautology.
+# ---------------------------------------------------------------------------
+@query(
+    "dd_contamination_exact",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    bg0 AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, greatest(len(tk), 1)),
+               i -> struct_pack(pos := i,
+                                g := array_to_string(tk[i:i+1], ' ')))) AS s
+      FROM toks),
+    bg AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM bg0),
+    m AS (
+      SELECT tr.doc_id AS tid, ev.doc_id AS eid, tr.pos AS i, ev.pos AS j
+      FROM bg tr JOIN bg ev ON tr.g = ev.g
+      WHERE tr.doc_id % 53 <> 0 AND ev.doc_id % 53 = 0),
+    isl AS (
+      SELECT tid, i - ROW_NUMBER() OVER (PARTITION BY tid, eid, i - j ORDER BY i)
+               AS grp, eid, i - j AS diag
+      FROM m),
+    runs AS (SELECT tid, COUNT(*) + 1 AS run_toks
+             FROM isl GROUP BY tid, eid, diag, grp),
+    best AS (SELECT tid, MAX(run_toks) AS lcs FROM runs GROUP BY tid)
+    SELECT d.doc_id, CAST(COALESCE(b.lcs, 0) AS INT) AS lcs_tokens
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.tid
+    WHERE d.doc_id % 53 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def dd_contamination_exact(spark, sf_dir):
+    from ..llmdata.dedup import exact_lcs_contamination
+
+    d = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 53 == 0
+    return exact_lcs_contamination(d.filter(~is_eval), d.filter(is_eval))
+
+
+# ---------------------------------------------------------------------------
 # similarity: ANN parameter-sweep mart (recall-vs-cost) — the table an ANN
 # deployment decision actually reads: for nprobe ∈ {1,2,4,8} on the same
 # IVF index (nlist=64, deterministic centroids), the measured

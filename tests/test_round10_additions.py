@@ -1,0 +1,93 @@
+"""Round-10 additions: exact LCS contamination (k-ary shingle-size search)
+pinned against a Python brute force, and its ladder-consistency contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from emdatapipelines_spark.llmdata.dedup import exact_lcs_contamination
+
+
+def _brute_lcs(train_text: str, eval_texts: list[str]) -> int:
+    """Exact longest common token run (>= 2, else 0) by enumeration."""
+
+    def norm(s):
+        return " ".join(s.lower().split()).split(" ")
+
+    tt = norm(train_text)
+    best = 0
+    for ev in eval_texts:
+        et = norm(ev)
+        eset = {}
+        for n in range(2, len(et) + 1):
+            eset[n] = {" ".join(et[i : i + n]) for i in range(len(et) - n + 1)}
+        for n in range(2, len(tt) + 1):
+            grams = {" ".join(tt[i : i + n]) for i in range(len(tt) - n + 1)}
+            if n in eset and grams & eset[n]:
+                best = max(best, n)
+    return best
+
+
+def test_exact_lcs_matches_brute_force(spark):
+    eval_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ]
+    train = [
+        (1, "a b c quick brown fox jumps x y z"),        # run 4
+        (2, "the quick brown fox jumps over the lazy dog"),  # full 9
+        (3, "nothing shared here at all"),               # 0
+        (4, "my box with five unrelated tail"),          # run 4
+        (5, "dog the shared singles only lazy"),         # singles only -> 0
+        (6, "five dozen liquor jugs pack my box with"),  # run 4 (wraps split)
+    ]
+    d_train = spark.createDataFrame(train, "doc_id long, text string")
+    d_eval = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lcs_tokens"]
+        for r in exact_lcs_contamination(d_train, d_eval).collect()
+    }
+    want = {i: _brute_lcs(t, eval_texts) for i, t in train}
+    assert got == want
+
+
+def test_exact_lcs_fanout_invariance(spark):
+    """The answer must not depend on the search fan-out (binary vs 8-ary)."""
+    d = spark.createDataFrame(
+        [(i, f"w{i} common phrase tokens here t{i} common phrase tokens") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "zz common phrase tokens here qq")], "doc_id long, text string"
+    )
+    a = exact_lcs_contamination(d, ev, fanout=2).orderBy("doc_id").collect()
+    b = exact_lcs_contamination(d, ev, fanout=8).orderBy("doc_id").collect()
+    assert a == b and all(r["lcs_tokens"] == 4 for r in a)
+
+
+def test_exact_lcs_is_upper_envelope_of_ladder(spark):
+    """Contract vs dd_contamination_ladder on the fixture split: the exact
+    value must be >= every hit rung and < the first missed rung."""
+    import __spark_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    q = entry.queries()
+    ladder = {
+        r["doc_id"]: r
+        for r in q["dd_contamination_ladder"](spark, SF).collect()
+    }
+    exact = {
+        r["doc_id"]: r["lcs_tokens"]
+        for r in q["dd_contamination_exact"](spark, SF).collect()
+    }
+    assert set(ladder) == set(exact)
+    for doc_id, lr in ladder.items():
+        e = exact[doc_id]
+        for rung, hit in ((4, lr["hit4"]), (8, lr["hit8"]), (16, lr["hit16"])):
+            if hit:
+                assert e >= rung, (doc_id, rung, e)
+            else:
+                assert e < rung, (doc_id, rung, e)

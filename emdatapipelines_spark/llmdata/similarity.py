@@ -581,34 +581,11 @@ def semdedup(
     )
 
 
-def ivf_cosine_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    nlist: int = 64,
-    nprobe: int = 2,
-    kmeans_iters: int = 0,
-    q_id: str = "vec_id",
-    q_vec: str = "embedding",
-    c_id: str = "vec_id",
-    c_vec: str = "embedding",
-) -> DataFrame:
-    """IVF-style approximate top-k: coarse quantize the corpus into cells,
-    probe only the query's ``nprobe`` nearest cells.
-
-    Coarse centroids are a BOUNDED deterministic sample: the ``nlist``
-    corpus vectors with the smallest md5(id) (TakeOrdered — the driver
-    receives exactly ``nlist``·d floats regardless of corpus size).
-    ``kmeans_iters`` optionally refines them with distributed Lloyd steps:
-    each iteration assigns the corpus to its nearest centroid (broadcast
-    matmul, map-only) and recomputes per-cell means JVM-side
-    (posexplode → groupBy(cell, dim) partial-aggregated avg), pulling only
-    the nlist·d mean matrix back — per-iteration driver transfer stays
-    constant in corpus size; empty cells drop out. Corpus vectors are then
-    assigned once more and a query scans only its ``nprobe`` closest cells
-    — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist with recall
-    controlled by nprobe.
-    """
+def _ivf_centroid_bc(corpus, nlist, kmeans_iters, c_id, c_vec):
+    """Deterministic IVF coarse centroids as a broadcast of
+    ``(ids, matrix, norms)`` — the nlist corpus vectors with smallest
+    md5(id), optionally refined by ``kmeans_iters`` distributed Lloyd
+    steps (see ivf_cosine_topk's docstring for the scale analysis)."""
     spark = corpus.sparkSession
     cents = (
         corpus.select(F.col(c_id).alias("cell_id"), F.col(c_vec).alias("cvec"))
@@ -649,7 +626,88 @@ def ivf_cosine_topk(
         cent_mat = pivot.to_numpy(dtype=np.float64)
         cent_norm = np.maximum(np.linalg.norm(cent_mat, axis=1), 1e-12)
 
-    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+    return spark.sparkContext.broadcast((cent_ids, cent_mat, cent_norm))
+
+
+def ivf_corpus_cells(
+    corpus: DataFrame,
+    nlist: int = 64,
+    kmeans_iters: int = 0,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """The IVF INDEX: corpus rows assigned to their nearest coarse cell —
+    ``(neighbor_id, cv, cell)``. nprobe-independent, so build (and
+    materialize) it once and hand it to any number of ``ivf_cosine_topk``
+    calls via ``corpus_cells`` (`sim_ann_param_sweep` prices 4 nprobe
+    points against ONE corpus pass this way)."""
+    bc = _ivf_centroid_bc(corpus, nlist, kmeans_iters, c_id, c_vec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, cmat, cnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ cmat.T) / (norms[:, None] * cnorm[None, :])
+            # same tie-break path as ivf_cosine_topk's assign(1) (argsort,
+            # not argmax) so precomputed and in-call assignments agree
+            top = np.argsort(-sims, axis=1)[:, 0]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "vec": pdf["vec"],
+                    "cell": ids_[top],
+                }
+            )
+
+    c_in = corpus.select(F.col(c_id).alias("item_id"), F.col(c_vec).alias("vec"))
+    return c_in.mapInPandas(run, "item_id long, vec array<float>, cell long").select(
+        F.col("item_id").alias("neighbor_id"),
+        F.col("vec").alias("cv"),
+        "cell",
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 64,
+    nprobe: int = 2,
+    kmeans_iters: int = 0,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize the corpus into cells,
+    probe only the query's ``nprobe`` nearest cells.
+
+    Coarse centroids are a BOUNDED deterministic sample: the ``nlist``
+    corpus vectors with the smallest md5(id) (TakeOrdered — the driver
+    receives exactly ``nlist``·d floats regardless of corpus size).
+    ``kmeans_iters`` optionally refines them with distributed Lloyd steps:
+    each iteration assigns the corpus to its nearest centroid (broadcast
+    matmul, map-only) and recomputes per-cell means JVM-side
+    (posexplode → groupBy(cell, dim) partial-aggregated avg), pulling only
+    the nlist·d mean matrix back — per-iteration driver transfer stays
+    constant in corpus size; empty cells drop out. Corpus vectors are then
+    assigned once more and a query scans only its ``nprobe`` closest cells
+    — cost drops from |Q|·|C| to |Q|·|C|·nprobe/nlist with recall
+    controlled by nprobe.
+
+    ``corpus_cells``: optionally pass the precomputed cell-assigned corpus
+    (``ivf_corpus_cells`` — a materialized INDEX). nprobe only changes the
+    QUERY-side fan-out, so a parameter sweep assigns the corpus once and
+    reuses it per point instead of re-running the corpus pass per nprobe
+    (exactly how a deployed IVF index works). Centroid selection is
+    deterministic, so the in-call query assignment agrees with any
+    precomputed corpus assignment at the same (nlist, kmeans_iters).
+    """
+    bc = _ivf_centroid_bc(corpus, nlist, kmeans_iters, c_id, c_vec)
 
     def assign(n_cells: int):
         schema = "item_id long, vec array<float>, cells array<long>"
@@ -673,13 +731,16 @@ def ivf_cosine_topk(
 
         return run, schema
 
-    c_in = corpus.select(F.col(c_id).alias("item_id"), F.col(c_vec).alias("vec"))
-    run1, schema1 = assign(1)
-    c_cells = c_in.mapInPandas(run1, schema1).select(
-        F.col("item_id").alias("neighbor_id"),
-        F.col("vec").alias("cv"),
-        F.element_at("cells", 1).alias("cell"),
-    )
+    if corpus_cells is not None:
+        c_cells = corpus_cells
+    else:
+        c_in = corpus.select(F.col(c_id).alias("item_id"), F.col(c_vec).alias("vec"))
+        run1, schema1 = assign(1)
+        c_cells = c_in.mapInPandas(run1, schema1).select(
+            F.col("item_id").alias("neighbor_id"),
+            F.col("vec").alias("cv"),
+            F.element_at("cells", 1).alias("cell"),
+        )
     q_in = queries.select(F.col(q_id).alias("item_id"), F.col(q_vec).alias("vec"))
     runp, schemap = assign(nprobe)
     q_cells = q_in.mapInPandas(runp, schemap).select(
@@ -848,6 +909,44 @@ def knn_graph_ann(
     )
 
 
+def _lsh_prep(df, id_col, vec_col, out_id, out_vec, out_norm, planes):
+    """Sign-LSH projection: id, double vector, norm, and the n_planes-bit
+    bucket string. Two-stage projection: materialize the double vector once
+    per row, then derive norm + plane-dots from the attribute —
+    CollapseProject keeps the non-cheap cast-transform in its own
+    projection instead of re-evaluating it per consumer."""
+
+    def bucket_bits(v):
+        bits = []
+        for p in planes:
+            lits = F.array(*[F.lit(float(x)) for x in p])
+            bits.append(F.when(_dot(v, lits) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    staged = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
+    return staged.select(
+        out_id,
+        out_vec,
+        _norm(F.col(out_vec)).alias(out_norm),
+        bucket_bits(F.col(out_vec)).alias("bucket"),
+    )
+
+
+def lsh_corpus_buckets(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """The LSH INDEX: the bucketed corpus ``(neighbor_id, cv, cn, bucket)``
+    for a fixed (dim, n_planes, seed). multiprobe-independent — build and
+    materialize once, reuse across probe radii via ``corpus_buckets``."""
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    return _lsh_prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn", planes)
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -860,8 +959,14 @@ def lsh_cosine_topk(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane (sign) LSH buckets.
+
+    ``corpus_buckets``: optionally pass the precomputed bucketed corpus
+    (``lsh_corpus_buckets`` at the same (dim, n_planes, seed) — the LSH
+    INDEX). multiprobe only fans out the QUERY side, so a parameter sweep
+    hashes the corpus once and reuses it per probe radius.
 
     ``n_planes`` fixed hyperplanes (seeded numpy, embedded as literal arrays)
     → each vector hashes to a sign-bit bucket; candidates are corpus vectors
@@ -877,30 +982,8 @@ def lsh_cosine_topk(
     rebuilding or widening the index. ``multiprobe=1`` multiplies query
     rows by (1 + n_planes); corpus-side cost grows with the probed buckets'
     sizes only."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
-
-    def bucket_bits(v):
-        bits = []
-        for p in planes:
-            lits = F.array(*[F.lit(float(x)) for x in p])
-            bits.append(F.when(_dot(v, lits) >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
-    # two-stage projection: materialize the double vector once per row, then
-    # derive norm + n_planes plane-dots from the attribute. CollapseProject
-    # keeps the non-cheap cast-transform in its own projection instead of
-    # re-evaluating it per consumer (norm + each plane).
-    def prep(df, id_col, vec_col, out_id, out_vec, out_norm):
-        staged = df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias(out_vec))
-        return staged.select(
-            out_id,
-            out_vec,
-            _norm(F.col(out_vec)).alias(out_norm),
-            bucket_bits(F.col(out_vec)).alias("bucket"),
-        )
-
-    q = prep(queries, q_id, q_vec, "query_id", "qv", "qn")
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    q = _lsh_prep(queries, q_id, q_vec, "query_id", "qv", "qn", planes)
     if multiprobe > 0:
         from itertools import combinations
 
@@ -924,7 +1007,10 @@ def lsh_cosine_topk(
         q = q.withColumn(
             "bucket", F.explode(F.array(*[probe_key(m) for m in flips]))
         )
-    c = prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn")
+    if corpus_buckets is not None:
+        c = corpus_buckets
+    else:
+        c = _lsh_prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn", planes)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1232,6 +1318,7 @@ def with_recall_vs_exact(
     q_vec: str = "embedding",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Attach a self-validating ``recall_at_k`` column to an approximate
     top-k result: per query, |approx ∩ exact| / k against the brute-force
@@ -1245,10 +1332,16 @@ def with_recall_vs_exact(
     this way): one broadcast-query pass over the corpus, no corpus shuffle.
     At 100 TB you bound the sample, not the corpus scan count; the recall
     join itself is query-sample-sized and broadcast.
+
+    ``exact``: optionally pass a precomputed ``(query_id,
+    exact_neighbor_id)`` baseline so multi-point sweeps
+    (`sim_ann_param_sweep` prices 9 configs against the SAME sample) pay
+    the corpus-scanning brute-force pass once, not per point.
     """
-    exact = brute_force_cosine_topk(
-        queries, corpus, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec
-    ).select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
+    if exact is None:
+        exact = brute_force_cosine_topk(
+            queries, corpus, k=k, q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec
+        ).select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
     hits = (
         approx_topk.alias("a")
         .join(

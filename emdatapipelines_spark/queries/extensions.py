@@ -7715,36 +7715,100 @@ def dd_contamination_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("sim_ann_param_sweep")
 def sim_ann_param_sweep(spark, sf_dir):
-    from ..llmdata.similarity import with_recall_vs_exact
+    """Recall-vs-cost over ALL THREE index families (r9 stretch #7
+    extended r10): IVF prices ROWS SCANNED (nprobe/nlist), LSH prices
+    BUCKETS PROBED (Σ_{i<=p} C(n_planes,i) of 2^n_planes, the multiprobe
+    Hamming ball), PQ prices BYTES PER SCANNED ROW (m·nbits/8 of the
+    dim×4 float vector — PQ scans every code, its lever is compression).
+    One row per (family, config) with both cost axes in ppm, so the mart
+    prices the row-pruning families and the byte-pruning family on the
+    same table."""
+    import math
+
+    from ..llmdata.similarity import (
+        brute_force_cosine_topk,
+        ivf_corpus_cells,
+        lsh_corpus_buckets,
+        lsh_cosine_topk,
+        pq_cosine_topk,
+        with_recall_vs_exact,
+    )
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
+    dim_bytes = 64 * 4
+    # ONE corpus-scanning brute-force pass prices all 9 sweep points (the
+    # 40-row exact baseline is localCheckpointed and re-broadcast per point),
+    # and each family's INDEX materializes once — nprobe/multiprobe only fan
+    # out the query side, exactly like a deployed index
+    exact = (
+        brute_force_cosine_topk(q, e, k=5)
+        .select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
+        .localCheckpoint(eager=True)
+    )
+    ivf_index = ivf_corpus_cells(e, nlist=64).localCheckpoint(eager=True)
+    lsh_index = lsh_corpus_buckets(e, n_planes=8).localCheckpoint(eager=True)
+
+    def sweep_row(approx, family, config, scan_ppm, bytes_ppm):
+        r = with_recall_vs_exact(approx, q, e, k=5, exact=exact)
+        per_q = r.groupBy("query_id").agg(F.max("recall_at_k").alias("recall"))
+        return per_q.agg(
+            F.lit(family).alias("family"),
+            F.lit(config).alias("config"),
+            F.lit(int(scan_ppm)).cast("bigint").alias("scan_fraction_ppm"),
+            F.lit(int(bytes_ppm)).cast("bigint").alias("bytes_fraction_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            (
+                F.round(
+                    F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("mean_recall_at_k"),
+        )
+
     sweeps = []
     for nprobe in (1, 2, 4, 8):
-        approx = ivf_cosine_topk(q, e, k=5, nlist=64, nprobe=nprobe)
-        r = with_recall_vs_exact(approx, q, e, k=5)
-        per_q = r.groupBy("query_id").agg(F.max("recall_at_k").alias("recall"))
         sweeps.append(
-            per_q.agg(
-                F.lit(nprobe).cast("int").alias("nprobe"),
-                F.lit(int(nprobe * 1000000 // 64)).cast("bigint").alias(
-                    "scan_fraction_ppm"
+            sweep_row(
+                ivf_cosine_topk(
+                    q, e, k=5, nlist=64, nprobe=nprobe, corpus_cells=ivf_index
                 ),
-                F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-                (
-                    F.round(
-                        F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
-                        / F.count(F.lit(1))
-                        * 1000000.0
-                    )
-                    / 1000000.0
-                ).alias("mean_recall_at_k"),
+                "ivf",
+                f"nprobe={nprobe}",
+                nprobe * 1_000_000 // 64,
+                1_000_000,
+            )
+        )
+    for mp in (0, 1, 2):
+        buckets = sum(math.comb(8, i) for i in range(mp + 1))
+        sweeps.append(
+            sweep_row(
+                lsh_cosine_topk(
+                    q, e, k=5, n_planes=8, multiprobe=mp, corpus_buckets=lsh_index
+                ),
+                "lsh",
+                f"multiprobe={mp}",
+                buckets * 1_000_000 // 256,
+                1_000_000,
+            )
+        )
+    for m, k_cent in ((8, 16), (16, 16)):
+        nbits = int(math.log2(k_cent))
+        sweeps.append(
+            sweep_row(
+                pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent),
+                "pq",
+                f"m={m},k={k_cent}",
+                1_000_000,
+                m * nbits // 8 * 1_000_000 // dim_bytes,
             )
         )
     out = sweeps[0]
     for s in sweeps[1:]:
         out = out.unionByName(s)
-    return out.orderBy("nprobe")
+    return out.orderBy("family", "scan_fraction_ppm", "bytes_fraction_ppm", "config")
 
 
 # ---------------------------------------------------------------------------

@@ -139,7 +139,7 @@ BNLJ_ALLOWED = {
     "sim_cluster_separation",  # 1-row scatter/size aggregates crossJoined
     "lm_good_turing",  # 1-row token/type totals broadcast onto the fof frame
     "gr_clustering_coeff",  # 1-row triangle count crossJoined onto 1-row wedge stats
-    "sim_ann_param_sweep",  # the ANN family's broadcast-probe non-equi scoring x4
+    "sim_ann_param_sweep",  # all 3 ANN families' broadcast-probe non-equi scoring x9
     "ml_bootstrap_ci",  # 32-row resample-mean frame crossJoins the 1-row point stats
 }
 

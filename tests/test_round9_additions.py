@@ -11,19 +11,43 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_ann_param_sweep_recall_monotone(spark):
-    rows = {
-        r["nprobe"]: r
-        for r in entry.queries()["sim_ann_param_sweep"](spark, SF).collect()
-    }
-    assert sorted(rows) == [1, 2, 4, 8]
-    # recall must be monotone non-decreasing in nprobe (more cells scanned
-    # can only add candidates), and the cost axis is exact
-    recalls = [rows[p]["mean_recall_at_k"] for p in (1, 2, 4, 8)]
+    all_rows = entry.queries()["sim_ann_param_sweep"](spark, SF).collect()
+    fam = {}
+    for r in all_rows:
+        fam.setdefault(r["family"], {})[r["config"]] = r
+    assert set(fam) == {"ivf", "lsh", "pq"}
+    # IVF: recall monotone non-decreasing in nprobe (more cells scanned can
+    # only add candidates), exact scan-cost axis
+    ivf = fam["ivf"]
+    recalls = [ivf[f"nprobe={p}"]["mean_recall_at_k"] for p in (1, 2, 4, 8)]
     assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))
-    assert rows[8]["mean_recall_at_k"] > rows[1]["mean_recall_at_k"]
+    assert recalls[-1] > recalls[0]
     for p in (1, 2, 4, 8):
-        assert rows[p]["scan_fraction_ppm"] == p * 1_000_000 // 64
-        assert rows[p]["n_queries"] == 8
+        assert ivf[f"nprobe={p}"]["scan_fraction_ppm"] == p * 1_000_000 // 64
+        assert ivf[f"nprobe={p}"]["bytes_fraction_ppm"] == 1_000_000
+    # LSH: recall monotone in the multiprobe Hamming radius; bucket-count
+    # cost axis is the exact Hamming-ball size of 2^8 buckets
+    lsh = fam["lsh"]
+    lrec = [lsh[f"multiprobe={p}"]["mean_recall_at_k"] for p in (0, 1, 2)]
+    assert all(a <= b + 1e-9 for a, b in zip(lrec, lrec[1:]))
+    assert [lsh[f"multiprobe={p}"]["scan_fraction_ppm"] for p in (0, 1, 2)] == [
+        1 * 1_000_000 // 256,
+        9 * 1_000_000 // 256,
+        37 * 1_000_000 // 256,
+    ]
+    # PQ: scans everything (row axis = 1.0), prices bytes; more subspaces
+    # (m) = more bytes and >= recall
+    pq = fam["pq"]
+    assert all(r["scan_fraction_ppm"] == 1_000_000 for r in pq.values())
+    assert (
+        pq["m=16,k=16"]["bytes_fraction_ppm"] > pq["m=8,k=16"]["bytes_fraction_ppm"]
+    )
+    assert (
+        pq["m=16,k=16"]["mean_recall_at_k"]
+        >= pq["m=8,k=16"]["mean_recall_at_k"] - 1e-9
+    )
+    for r in all_rows:
+        assert r["n_queries"] == 8
 
 
 def test_snapshot_dedup_rate_streaming_twin(spark, tmp_path):

@@ -91,3 +91,97 @@ def test_exact_lcs_is_upper_envelope_of_ladder(spark):
                 assert e >= rung, (doc_id, rung, e)
             else:
                 assert e < rung, (doc_id, rung, e)
+
+
+def test_streaming_cooccurrence_graph_matches_batch(spark, tmp_path):
+    """Stretch #8: three microbatches of lineitem rows drain through the
+    incremental membership/pair-count state; the final edge list must be
+    byte-identical to the batch cooccurrence_edges over the union — even
+    when a group's members arrive split across batches."""
+    from emdatapipelines_spark.operators.graph import cooccurrence_edges
+    from emdatapipelines_spark.streaming.incremental import (
+        apply_cooccurrence_graph_batch,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_orderkey") < 3000)  # deterministic subset (limit() may re-evaluate differently per consumer)
+    )
+    # split so many orders straddle batch boundaries (row-hash thirds, not
+    # order-aligned)
+    parts = [li.filter(F.abs(F.xxhash64("l_suppkey", "l_orderkey")) % 3 == i) for i in range(3)]
+    state = str(tmp_path / "graph_state")
+
+    last = None
+    for i, p in enumerate(parts):
+        last = apply_cooccurrence_graph_batch(
+            p, i, state, "l_orderkey", "l_suppkey", min_shared=2
+        )
+    want = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=2)
+    assert last.exceptAll(want).count() == 0 and want.exceptAll(last).count() == 0
+    assert last.count() == want.count() and want.count() > 0
+
+
+def test_streaming_cooccurrence_graph_replay_is_noop(spark, tmp_path):
+    from emdatapipelines_spark.operators.graph import cooccurrence_edges
+    from emdatapipelines_spark.streaming.incremental import (
+        apply_cooccurrence_graph_batch,
+    )
+
+    rows = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 99)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    state = str(tmp_path / "st")
+    e0 = apply_cooccurrence_graph_batch(df, 0, state, "g", "v", min_shared=2)
+    assert {(r["src"], r["dst"]) for r in e0.collect()} == {(10, 11)}
+    # replayed batch: detected no-op
+    assert apply_cooccurrence_graph_batch(df, 0, state, "g", "v", min_shared=2) is None
+    # duplicate deliveries of already-seen rows in a NEW batch: counts must
+    # not inflate (membership anti-join), while new rows still extend pairs
+    df2 = spark.createDataFrame([(1, 10), (1, 12), (3, 100)], "g long, v long")
+    e1 = apply_cooccurrence_graph_batch(df2, 1, state, "g", "v", min_shared=2)
+    want = cooccurrence_edges(
+        df.unionByName(df2), "g", "v", min_shared=2
+    )
+    assert e1.exceptAll(want).count() == 0 and want.exceptAll(e1).count() == 0
+
+
+def test_streaming_cooccurrence_graph_e2e_stream(spark, tmp_path):
+    """End-to-end through a real file-source stream with one file per
+    microbatch: the last edges snapshot equals the batch operator."""
+    import os
+
+    from emdatapipelines_spark.operators.graph import cooccurrence_edges
+    from emdatapipelines_spark.streaming.incremental import (
+        cooccurrence_graph_ingest,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .filter(F.col("l_orderkey") < 900)  # deterministic subset
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        li.filter(F.abs(F.xxhash64("l_orderkey", "l_suppkey")) % 3 == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, f"f{i}"))
+    stream = (
+        spark.readStream.schema("l_orderkey long, l_suppkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = cooccurrence_graph_ingest(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "edges"),
+        str(tmp_path / "ckpt"),
+        "l_orderkey",
+        "l_suppkey",
+        min_shared=2,
+    )
+    q.awaitTermination(180)
+    batches = sorted(os.listdir(str(tmp_path / "edges")))
+    final = spark.read.parquet(os.path.join(str(tmp_path / "edges"), batches[-1]))
+    want = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=2)
+    assert final.exceptAll(want).count() == 0 and want.exceptAll(final).count() == 0

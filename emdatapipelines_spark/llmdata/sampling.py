@@ -170,3 +170,54 @@ def pack_sequences_plan(
     return d.withColumn(
         out, F.expr(f"CAST(__tokens_before div {int(budget)} AS BIGINT)")
     ).drop("__gi_rn", "__tokens_before")
+
+
+def water_fill_allocations(
+    srcs: DataFrame,
+    key_col: str = "source",
+    tokens_col: str = "t",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Max-min fair token allocation ("water filling") across sources:
+    given budget B = total · budget_num div budget_den, find the common
+    level ``cap`` with Σ min(tokens_s, cap) ≤ B — sources below the level
+    keep everything, sources above clip to it (the allocation every
+    training-mix design solves for a fixed token budget).
+
+    Exact integer arithmetic end-to-end: sort ascending, exclusive prefix
+    sums, candidate level (B − prefix) div (remaining) per rank; the first
+    rank whose candidate falls below its own size fixes the level. All
+    windows run over the per-source frame — metadata-rate after the one
+    corpus aggregation that produced it, where a global window is the
+    right plan (the suite plan guard allows aggregate-bounded funnels).
+
+    Returns (key, n_tokens, allocation, saturated) ordered by key.
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(tokens_col, key_col)
+    w_pre = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = srcs.select(
+        F.col(key_col).alias("source"),
+        F.col(tokens_col).cast("bigint").alias("t"),
+        F.row_number().over(w_ord).alias("i"),
+        F.coalesce(F.sum(tokens_col).over(w_pre), F.lit(0)).cast("bigint").alias("p"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.expr(
+            f"SUM({tokens_col}) OVER () * {int(budget_num)} div {int(budget_den)}"
+        ).alias("b"),
+    )
+    cands = ranked.withColumn("cand", F.expr("(b - p) div (n - i + 1)"))
+    lvl = cands.withColumn(
+        "i_star", F.expr("MIN(CASE WHEN cand < t THEN i END) OVER ()")
+    ).withColumn("cap", F.expr("MAX(CASE WHEN i = i_star THEN cand END) OVER ()"))
+    return lvl.select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        F.expr(
+            "CAST(CASE WHEN i_star IS NULL THEN t ELSE LEAST(t, cap) END AS BIGINT)"
+        ).alias("allocation"),
+        F.expr("i_star IS NOT NULL AND t > cap").alias("saturated"),
+    ).orderBy("source")

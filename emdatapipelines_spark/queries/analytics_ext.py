@@ -2982,3 +2982,52 @@ def gr_powerlaw_degree(spark, sf_dir):
             / 1000000.0
         ).alias("loglog_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: connected components of the supplier co-occurrence graph
+# — the partition structure every per-component rollup needs (and the
+# graph-side twin of dedup's cluster step: dd_embedding_clusters runs the
+# same operator over similarity edges). Engine: iterative min-label
+# propagation with pointer jumping (O(log diameter) rounds,
+# llmdata/dedup.py:connected_components); oracle: recursive-CTE
+# reachability + MIN label — different algorithm, same fixpoint.
+# Output covers nodes with >= 1 edge (isolated suppliers have no component
+# identity in an edge-list graph).
+# ---------------------------------------------------------------------------
+@query(
+    "gr_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 5),
+    edges AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+    reach AS (
+      SELECT DISTINCT a AS id, a AS r FROM edges
+      UNION
+      SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+    comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id)
+    SELECT id AS node, c AS component_id,
+           CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT) AS component_size
+    FROM comp ORDER BY node
+    """,
+)
+def gr_components(spark, sf_dir):
+    from ..llmdata.dedup import connected_components
+    from ..operators.graph import cooccurrence_edges
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
+    cc = connected_components(edges, id_a="src", id_b="dst")
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(
+            F.col("doc_id").alias("node"),
+            F.col("cluster_id").alias("component_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("component_size"),
+        )
+        .orderBy("node")
+    )

@@ -8064,3 +8064,163 @@ def a38_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# llm: token-budget water-filling — the allocation problem every training
+# mix solves: given a token budget B (here half the corpus), find the
+# water level `cap` with sum_s min(tokens_s, cap) <= B < sum + n_open,
+# i.e. small sources keep everything, large sources are clipped to a
+# COMMON level (max-min fair allocation / "water filling"). Exact integer
+# arithmetic end-to-end: sort sources ascending, prefix sums, candidate
+# level (B - prefix) div (remaining sources) per rank, first violation
+# fixes the level. All windows run on the per-source frame (metadata-rate
+# after one corpus agg) where a global window is the right plan.
+# ---------------------------------------------------------------------------
+@query(
+    "llm_token_budget",
+    f"""
+    WITH toked AS (
+      SELECT source,
+             CASE WHEN length({_NORM_SQL}) = 0 THEN 0 ELSE len({_TOKS_SQL}) END AS nt
+      FROM documents),
+    srcs AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS t FROM toked GROUP BY source),
+    ranked AS (
+      SELECT source, t,
+             ROW_NUMBER() OVER (ORDER BY t, source) AS i,
+             COALESCE(SUM(t) OVER (ORDER BY t, source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+             COUNT(*) OVER () AS n,
+             SUM(t) OVER () // 2 AS b
+      FROM srcs),
+    cands AS (
+      SELECT *, (b - p) // (n - i + 1) AS cand FROM ranked),
+    star AS (
+      SELECT *, MIN(CASE WHEN cand < t THEN i END) OVER () AS i_star FROM cands),
+    lvl AS (
+      SELECT *, MAX(CASE WHEN i = i_star THEN cand END) OVER () AS cap FROM star)
+    SELECT source, t AS n_tokens,
+           CAST(CASE WHEN i_star IS NULL THEN t ELSE LEAST(t, cap) END AS BIGINT)
+             AS allocation,
+           (i_star IS NOT NULL AND t > cap) AS saturated
+    FROM lvl ORDER BY source
+    """,
+)
+def llm_token_budget(spark, sf_dir):
+    from ..llmdata.sampling import water_fill_allocations
+
+    d = t(spark, sf_dir, "documents")
+    srcs = (
+        d.select("source", token_count("text").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("t"))
+    )
+    return water_fill_allocations(srcs, "source", "t", budget_num=1, budget_den=2)
+
+
+# ---------------------------------------------------------------------------
+# ml eval: Cohen's kappa — inter-rater agreement between two deterministic
+# labeling rules (two thresholds on the same signal: the "does a cheap
+# heuristic agree with the expensive one beyond chance" question every
+# weak-supervision pipeline asks). Exact integer arithmetic: kappa =
+# (po - pe) / (1 - pe) scaled by n² gives
+# (n·agree - ap·bp - an·bn) / (n² - ap·bp - an·bn) — all BIGINT counts,
+# emitted as ppm via integer div. One hash agg per event_type; the kappa
+# arithmetic runs on the 5-row group frame.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN value >= 300 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN value >= 350 THEN 1 ELSE 0 END AS rb
+      FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(ra) AS BIGINT) AS ap,
+             CAST(SUM(rb) AS BIGINT) AS bp
+      FROM lab GROUP BY event_type)
+    SELECT event_type, n, agree, ap AS rater_a_pos, bp AS rater_b_pos,
+           CAST((n * agree - ap * bp - (n - ap) * (n - bp)) * 1000000
+                // NULLIF(n * n - ap * bp - (n - ap) * (n - bp), 0) AS BIGINT)
+             AS kappa_ppm
+    FROM c ORDER BY event_type
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    lab = e.select(
+        "event_type",
+        (F.col("value") >= 300).cast("long").alias("ra"),
+        (F.col("value") >= 350).cast("long").alias("rb"),
+    )
+    c = lab.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("ra") == F.col("rb")).cast("long")).cast("bigint").alias("agree"),
+        F.sum("ra").cast("bigint").alias("ap"),
+        F.sum("rb").cast("bigint").alias("bp"),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        "agree",
+        F.col("ap").alias("rater_a_pos"),
+        F.col("bp").alias("rater_b_pos"),
+        F.expr(
+            "CAST((n * agree - ap * bp - (n - ap) * (n - bp)) * 1000000"
+            " div NULLIF(n * n - ap * bp - (n - ap) * (n - bp), 0) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# ts: order-priority transition matrix — per customer, consecutive orders'
+# (prev → next) priority transitions with row-normalized probabilities:
+# the first-order Markov summary of customer behavior (the sequence-stats
+# sibling of w6's sessionization). One customer-keyed window (lag) + one
+# hash agg; probabilities are exact integer ppm within each prev row.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_priority_transitions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS cur,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders),
+    tr AS (
+      SELECT prev AS prev_priority, cur AS next_priority,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT prev_priority, next_priority, n_transitions,
+           CAST(n_transitions * 1000000 // (SUM(n_transitions) OVER
+                (PARTITION BY prev_priority)) AS BIGINT) AS p_ppm
+    FROM tr ORDER BY prev_priority, next_priority
+    """,
+)
+def ts_priority_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    tr = seq.groupBy(
+        F.col("prev").alias("prev_priority"), F.col("cur").alias("next_priority")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    w_row = Window.partitionBy("prev_priority")
+    return tr.select(
+        "prev_priority",
+        "next_priority",
+        "n_transitions",
+        F.expr(
+            "CAST(n_transitions * 1000000 div "
+            "(SUM(n_transitions) OVER (PARTITION BY prev_priority)) AS BIGINT)"
+        ).alias("p_ppm"),
+    ).orderBy("prev_priority", "next_priority")

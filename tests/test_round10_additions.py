@@ -185,3 +185,30 @@ def test_streaming_cooccurrence_graph_e2e_stream(spark, tmp_path):
     final = spark.read.parquet(os.path.join(str(tmp_path / "edges"), batches[-1]))
     want = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=2)
     assert final.exceptAll(want).count() == 0 and want.exceptAll(final).count() == 0
+
+
+def test_token_budget_water_filling_skewed(spark):
+    """The fixture's sources are balanced (everything saturates), so pin
+    the mixed regime here: skewed sources where small ones keep all their
+    tokens and large ones clip to a common level, vs a Python reference."""
+    import __spark_entry__ as entry  # noqa: F401  (query import side effect)
+    from emdatapipelines_spark.queries.extensions import llm_token_budget  # noqa: F401
+
+    from emdatapipelines_spark.llmdata.sampling import water_fill_allocations
+
+    sizes = {"tiny": 10, "small": 50, "mid": 200, "big": 1000, "huge": 4000}
+    srcs = spark.createDataFrame(list(sizes.items()), "source string, t long")
+    out = {
+        r["source"]: (r["allocation"], r["saturated"])
+        for r in water_fill_allocations(srcs, "source", "t").collect()
+    }
+    # python reference: B = 2630, sorted [10,50,200,1000,4000]
+    # prefix 0: cand=526>=10 keep; 10: (2620)/4=655>=50; 60: 2570/3=856>=200;
+    # 260: 2370/2=1185>=1000; 1260: 1370/1=1370<4000 -> cap=1370
+    assert out["tiny"] == (10, False)
+    assert out["small"] == (50, False)
+    assert out["mid"] == (200, False)
+    assert out["big"] == (1000, False)
+    assert out["huge"] == (1370, True)
+    total_alloc = sum(a for a, _ in out.values())
+    assert total_alloc <= 2630 and 2630 - total_alloc < 1  # exact here

@@ -8224,3 +8224,329 @@ def ts_priority_transitions(spark, sf_dir):
             "(SUM(n_transitions) OVER (PARTITION BY prev_priority)) AS BIGINT)"
         ).alias("p_ppm"),
     ).orderBy("prev_priority", "next_priority")
+
+
+# ---------------------------------------------------------------------------
+# text: C4-style boilerplate detection — the span-level twin of
+# dd_paragraph_dedup. C4 (Raffel et al. 2020, §2.2) drops any
+# three-sentence span that occurs more than once in the corpus; the
+# fixtures' documents are single-line word streams, so the span unit here
+# is the non-overlapping 8-token chunk and "boilerplate" means the chunk
+# text appears verbatim in MORE THAN ONE distinct document. Per-source
+# mart: how much of each source's chunk mass is boilerplate — the signal
+# that decides whether a source needs span-level cleaning before training.
+# Scale: one JVM-side transform/slice (no token explode — chunks are built
+# inside the array), one chunk-keyed agg, one chunk-keyed join (exchange
+# reuse dedupes the scan), one source-keyed agg. At 100 TB the chunk key
+# would be xxhash64(chunk) to shuffle 8 bytes instead of strings; the
+# fixtures keep the text key so the oracle is byte-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_boilerplate_chunks",
+    f"""
+    WITH arrs AS (
+      SELECT doc_id, source, {_TOKS_SQL} AS a FROM documents),
+    chunks AS (
+      SELECT doc_id, source,
+             array_to_string(a[(CAST(i AS INT)*8+1):(CAST(i AS INT)*8+8)], ' ') AS chunk
+      FROM arrs, UNNEST(range(len(a) // 8)) AS u(i)
+      WHERE len(a) >= 8),
+    df AS (
+      SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM chunks GROUP BY chunk)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_chunks,
+           CAST(COUNT(DISTINCT CASE WHEN nd >= 2 THEN chunk END) AS BIGINT)
+             AS distinct_boiler_chunks,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS boiler_ppm
+    FROM chunks JOIN df USING (chunk)
+    GROUP BY source ORDER BY source
+    """,
+)
+def tx_boilerplate_chunks(spark, sf_dir):
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    chunks = (
+        d.select("doc_id", "source", F.split(_norm("text"), " ").alias("a"))
+        .filter(F.size("a") >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) div 8 - 1),"
+                    " i -> array_join(slice(a, i*8+1, 8), ' '))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    docfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    )
+    flagged = chunks.join(docfreq, "chunk")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long")).cast("bigint").alias("boiler_chunks"),
+            F.countDistinct(F.when(F.col("nd") >= 2, F.col("chunk")))
+            .cast("bigint")
+            .alias("distinct_boiler_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "boiler_chunks",
+            "distinct_boiler_chunks",
+            F.expr("CAST(boiler_chunks * 1000000 div n_chunks AS BIGINT)").alias(
+                "boiler_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text: per-lang subword fertility — BPE-ish tokens per whitespace word.
+# Fertility is the standard tokenizer-quality metric (how many subwords a
+# word fragments into); per-language fertility decides whether a shared
+# vocabulary under-serves a language in the training mix. Pure column
+# kernels (the same two counters tx_token_counts oracles) + one hash agg.
+# ---------------------------------------------------------------------------
+@query(
+    "tx_subword_fertility",
+    f"""
+    WITH c AS (
+      SELECT lang,
+             CAST(CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                  ELSE len({_TOKS_SQL}) END AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text,
+                  '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+)')) AS BIGINT) AS bpe
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(bpe) * 1000000 // NULLIF(SUM(ws), 0) AS BIGINT) AS fertility_ppm
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def tx_subword_fertility(spark, sf_dir):
+    from ..llmdata.text import bpe_ish_token_count, token_count
+
+    d = t(spark, sf_dir, "documents")
+    c = d.select(
+        "lang",
+        token_count("text").cast("bigint").alias("ws"),
+        bpe_ish_token_count("text").cast("bigint").alias("bpe"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr(
+                "CAST(bpe_tokens * 1000000 div NULLIF(ws_tokens, 0) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm: Jensen-Shannon divergence of each source's unigram distribution vs
+# the whole corpus — the data-mix diagnostic that ranks sources by how
+# distributionally far they sit from the blend they feed (high JSD ⇒ the
+# source shifts the mix; near-duplicate sources cluster near 0). Computed
+# WITHOUT a sources×vocab dense grid: for terms the source lacks (p=0) the
+# JSD integrand collapses to ½·q·ln2, so the out-of-vocabulary mass folds
+# into one closed-form correction ½·ln2·(1−qcov) and only the (source,
+# term) pairs that EXIST are joined — corpus-vocabulary rate, not
+# vocabulary×sources rate. Per-term contributions are rounded to 8dp and
+# summed through DECIMAL (order-independent, the lm_zipf_slope precedent);
+# the corpus-total frame is a 1-row broadcast (BNLJ allowlist).
+# ---------------------------------------------------------------------------
+@query(
+    "lm_js_divergence",
+    f"""
+    WITH toks AS (SELECT source, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tm AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tm GROUP BY 1),
+    st AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS t_s FROM tm GROUP BY 1),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tm),
+    c AS (
+      SELECT tm.source, cf.cf, st.t_s, tot.t,
+             ROUND((tm.tf * 1.0 / st.t_s) * LN(tm.tf * 1.0 / st.t_s)
+                 + (cf.cf * 1.0 / tot.t) * LN(cf.cf * 1.0 / tot.t)
+                 - (tm.tf * 1.0 / st.t_s + cf.cf * 1.0 / tot.t)
+                   * LN((tm.tf * 1.0 / st.t_s + cf.cf * 1.0 / tot.t) / 2),
+                 8) AS c
+      FROM tm JOIN cf USING (term) JOIN st USING (source) CROSS JOIN tot)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           t_s AS source_tokens,
+           ROUND(0.5 * CAST(SUM(CAST(c AS DECIMAL(28,8))) AS DOUBLE)
+               + 0.5 * LN(2) * (1.0 - CAST(SUM(cf) AS DOUBLE) / ANY_VALUE(t)),
+               6) AS jsd_nats
+    FROM c GROUP BY source, t_s ORDER BY source
+    """,
+)
+def lm_js_divergence(spark, sf_dir):
+    from ..llmdata.text import _norm
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split(_norm("text"), " ")).alias("term"))
+    tm = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    cf = tm.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cf"))
+    st = tm.groupBy("source").agg(F.sum("tf").cast("bigint").alias("t_s"))
+    tot = tm.agg(F.sum("tf").cast("bigint").alias("t"))
+    c = (
+        tm.join(cf, "term")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "cf",
+            "t_s",
+            "t",
+            F.expr(
+                "ROUND((tf * 1.0D / t_s) * LN(tf * 1.0D / t_s)"
+                " + (cf * 1.0D / t) * LN(cf * 1.0D / t)"
+                " - (tf * 1.0D / t_s + cf * 1.0D / t)"
+                "   * LN((tf * 1.0D / t_s + cf * 1.0D / t) / 2), 8)"
+            ).alias("c"),
+        )
+    )
+    return (
+        c.groupBy("source", "t_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.col("c").cast("decimal(28,8)")).alias("sc"),
+            F.sum("cf").alias("scf"),
+            F.first("t").alias("t"),
+        )
+        .select(
+            "source",
+            "n_terms",
+            F.col("t_s").alias("source_tokens"),
+            F.expr(
+                "ROUND(0.5 * CAST(sc AS DOUBLE)"
+                " + 0.5 * LN(2) * (1.0D - CAST(scf AS DOUBLE) / t), 6)"
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts: 1-D Wasserstein (earth-mover) drift — per event type, the W1
+# distance between its value distribution and the all-events blend:
+# W1 = ∫|F_et − F_all| dx over the QUANTIZED value grid (1dp buckets).
+# Quantization is what makes this a 100 TB shape: the windowed frame is
+# the distinct-bucket grid (bounded by the value range × 10, NOT the
+# event count), crossed with the handful of event types — so the
+# per-event-type cumulative windows run over metadata-rate rows. The
+# |F_et − F_all| numerator is exact integer arithmetic
+# (|cum_et·t_all − cum_all·t_et|); only the final gap product and the
+# grand sum touch doubles (12dp-rounded, DECIMAL-summed).
+# ---------------------------------------------------------------------------
+@query(
+    "ts_wasserstein_drift",
+    """
+    WITH vt AS (
+      SELECT event_type, ROUND(value, 1) AS vb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    vals AS (SELECT vb, CAST(SUM(n) AS BIGINT) AS n_all FROM vt GROUP BY 1),
+    ets AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t_et FROM vt GROUP BY 1),
+    grid AS (
+      SELECT e.event_type, v.vb, v.n_all, e.t_et, COALESCE(c.n, 0) AS n_et
+      FROM ets e CROSS JOIN vals v
+      LEFT JOIN vt c ON c.event_type = e.event_type AND c.vb = v.vb),
+    cum AS (
+      SELECT event_type, vb, t_et,
+             SUM(n_et) OVER w AS cum_et,
+             SUM(n_all) OVER w AS cum_all,
+             SUM(n_all) OVER (PARTITION BY event_type) AS t_all,
+             LEAD(vb) OVER w AS nxt
+      FROM grid
+      WINDOW w AS (PARTITION BY event_type ORDER BY vb)),
+    contrib AS (
+      SELECT event_type, t_et,
+             CASE WHEN nxt IS NULL THEN CAST(0.0 AS DOUBLE)
+                  ELSE ROUND(ABS(cum_et * t_all - cum_all * t_et) * 1.0
+                             / (t_et * t_all) * (nxt - vb), 12) END AS c
+      FROM cum)
+    SELECT event_type,
+           t_et AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(CAST(SUM(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 8) AS w1_distance
+    FROM contrib GROUP BY event_type, t_et ORDER BY event_type
+    """,
+)
+def ts_wasserstein_drift(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    vt = e.groupBy("event_type", F.round("value", 1).alias("vb")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    vals = vt.groupBy("vb").agg(F.sum("n").cast("bigint").alias("n_all"))
+    ets = vt.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t_et"))
+    # dense (event_type x bucket) grid, then left-join the observed counts
+    dense = F.broadcast(ets).crossJoin(vals)
+    grid = dense.join(
+        vt.withColumnRenamed("n", "n_et_raw"), ["event_type", "vb"], "left"
+    ).select(
+        "event_type",
+        "vb",
+        "n_all",
+        "t_et",
+        F.coalesce("n_et_raw", F.lit(0)).cast("bigint").alias("n_et"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vb")
+    w_all = Window.partitionBy("event_type")
+    cum = grid.select(
+        "event_type",
+        "vb",
+        "t_et",
+        F.sum("n_et").over(w).alias("cum_et"),
+        F.sum("n_all").over(w).alias("cum_all"),
+        F.sum("n_all").over(w_all).alias("t_all"),
+        F.lead("vb").over(w).alias("nxt"),
+    )
+    contrib = cum.select(
+        "event_type",
+        "t_et",
+        F.expr(
+            "CASE WHEN nxt IS NULL THEN CAST(0.0 AS DOUBLE)"
+            " ELSE ROUND(ABS(cum_et * t_all - cum_all * t_et) * 1.0D"
+            "            / (t_et * t_all) * (nxt - vb), 12) END"
+        ).alias("c"),
+    )
+    return (
+        contrib.groupBy("event_type", "t_et")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.col("c").cast("decimal(38,12)")).alias("sc"),
+        )
+        .select(
+            "event_type",
+            F.col("t_et").alias("n_events"),
+            "n_buckets",
+            F.expr("ROUND(CAST(sc AS DOUBLE), 8)").alias("w1_distance"),
+        )
+        .orderBy("event_type")
+    )

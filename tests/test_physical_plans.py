@@ -141,6 +141,8 @@ BNLJ_ALLOWED = {
     "gr_clustering_coeff",  # 1-row triangle count crossJoined onto 1-row wedge stats
     "sim_ann_param_sweep",  # all 3 ANN families' broadcast-probe non-equi scoring x9
     "ml_bootstrap_ci",  # 32-row resample-mean frame crossJoins the 1-row point stats
+    "lm_js_divergence",  # 1-row corpus-token total broadcast onto the (source, term) frame
+    "ts_wasserstein_drift",  # 5-row event-type margin crossed onto the quantized value grid
 }
 
 

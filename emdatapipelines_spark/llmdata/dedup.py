@@ -89,22 +89,38 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6.
     """
+    return jaccard_pairs_from_hashes(
+        hashed_shingles(docs, id_col, text_col, n),
+        threshold=threshold,
+        max_shingle_df=max_shingle_df,
+    )
+
+
+def jaccard_pairs_from_hashes(
+    hashes: DataFrame,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+    persist: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from a pre-built ``(id, h)`` frame
+    (:func:`hashed_shingles`). ``persist=False`` when the caller already
+    materialized the frame (the `plans/text_marts.py` path) — a second
+    cache of the same rows buys nothing.
+
+    Shingles arrive collapsed to a 64-bit xxhash: the shuffle moves 8-byte
+    keys instead of ~n·word strings, and hash/compare in the join is
+    constant-time (collision odds for d distinct shingles ≈ d²/2⁶⁵ —
+    negligible against near-dup thresholds)."""
     from pyspark import StorageLevel
 
-    # The exploded shingle frame feeds three consumers (sizes, both join
-    # sides); persist so the regex-normalize + shingle explode — the scan-cost
-    # term at 100 TB — runs once, not per consumer. ReuseExchange already
-    # dedupes the two identical join-side shuffles; persistence removes the
-    # remaining recomputation for the sizes aggregate. Shingles are collapsed
-    # to a 64-bit xxhash before the join: the shuffle moves 8-byte keys
-    # instead of ~n·word strings, and hash/compare in the join is
-    # constant-time (collision odds for d distinct shingles ≈ d²/2⁶⁵ —
-    # negligible against near-dup thresholds).
-    sh = (
-        docs.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl"))
-        .select("id", F.xxhash64("sgl").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # The shingle frame feeds three consumers (sizes, both join sides);
+    # persist so the regex-normalize + shingle explode — the scan-cost term
+    # at 100 TB — runs once, not per consumer. ReuseExchange already dedupes
+    # the two identical join-side shuffles; persistence removes the
+    # remaining recomputation for the sizes aggregate.
+    sh = hashes.select("id", F.col("h").alias("shingle"))
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -380,6 +396,34 @@ def containment_pairs(
     )
 
 
+def hashed_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The shared root frame of the shingle-dedup family: one ``(id, h)``
+    row per distinct word-``n``-gram, with the variable-length shingle
+    string collapsed to a 64-bit ``xxhash64`` at the source. Every
+    downstream consumer (MinHash signatures, exact-Jaccard joins, df
+    capping) works off the 8-byte key — the shuffle moves fixed-width
+    longs, and in mart form (`plans/text_marts.py`) this frame
+    materializes ONCE for the whole family instead of per query."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
+    ).select("id", F.xxhash64("shingle").alias("h"))
+
+
+def minhash_signatures_from_hashes(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """MinHash signatures from a pre-built ``(id, h)`` hashed-shingle frame
+    (see :func:`hashed_shingles`): ``sig[i] = min(xxhash64(h, seed=i))``.
+    One groupBy with ``num_hashes`` min-aggregates — a single shuffle,
+    map-side combined."""
+    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -392,15 +436,10 @@ def minhash_signatures(
     ``num_hashes`` family members re-hash only that fixed 8-byte long
     (``sig[i] = min(xxhash64(h, seed=i))``). Same independence as hashing the
     string per seed, but the per-seed work drops from O(len(shingle)) to
-    O(8 bytes) — ~an order of magnitude less CPU on the dominant stage.
-    One explode + one groupBy with ``num_hashes`` min-aggregates — a single
-    shuffle, map-side combined."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("h"))
-    aggs = [F.min(F.xxhash64("h", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    O(8 bytes) — ~an order of magnitude less CPU on the dominant stage."""
+    return minhash_signatures_from_hashes(
+        hashed_shingles(docs, id_col, text_col, n), num_hashes=num_hashes
+    )
 
 
 def banded_buckets(

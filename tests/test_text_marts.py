@@ -1,0 +1,81 @@
+"""Shingle-dedup-family materialized models (`plans/text_marts.py`): the
+hashed 3-gram shingle frame materializes ONCE as the ``doc_shingles``
+registry model and serves the MinHash-LSH / exact-Jaccard models from the
+cache — with outputs identical to the standalone (driver-checked) dd_*
+queries, and the S12 refresh-cron surface working over it.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import __spark_entry__ as entry
+from emdatapipelines_spark.plans.registry import ModelRegistry
+from emdatapipelines_spark.plans.text_marts import register_text_marts
+
+SF = "/root/testdata/sf0.01"
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _built(spark):
+    reg = ModelRegistry()
+    register_text_marts(reg, SF)
+    reg.build(spark, now=T0)
+    return reg
+
+
+def test_marts_match_standalone_queries(spark):
+    """The mart family must produce byte-identical rows to the standalone
+    oracle/driver-checked queries it deduplicates."""
+    reg = _built(spark)
+    q = entry.queries()
+    pairs = [
+        ("text_lsh_candidates", "dd_minhash_lsh"),
+        ("text_jaccard_pairs", "dd_jaccard_pairs"),
+    ]
+    for model, query in pairs:
+        got = reg.results[model]
+        want = q[query](spark, SF)
+        assert got.schema == want.schema, (model, got.schema, want.schema)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_shingle_frame_materializes_once_and_serves_downstream(spark):
+    """doc_shingles is a `table` model: downstream plans read the cache
+    (InMemoryTableScan), not a re-derivation of the normalize + shingle +
+    explode scan — the whole point of the mart (3x shingle builds -> 1)."""
+    reg = _built(spark)
+    for name in ("text_minhash_signatures", "text_jaccard_pairs"):
+        plan = reg.results[name]._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, f"{name} does not read the cached MV"
+    # the signature model also caches, so the LSH candidates read the
+    # signature cache (the InMemoryTableScan node text embeds its build
+    # recipe, so count cache reads, don't grep for FileScan)
+    plan = (
+        reg.results["text_lsh_candidates"]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+
+
+def test_views_are_sql_addressable(spark):
+    reg = _built(spark)
+    n_sh = spark.sql("SELECT COUNT(*) AS c FROM doc_shingles").first()["c"]
+    assert n_sh == reg.results["doc_shingles"].count() and n_sh > 0
+    n_cand = spark.sql("SELECT COUNT(*) AS c FROM text_lsh_candidates").first()["c"]
+    assert n_cand >= 0
+
+
+def test_refresh_cron_rebuilds_stale_shingles(spark):
+    """S12 semantics: after the refresh interval elapses, run_due rebuilds
+    doc_shingles (and only due models); results stay correct."""
+    reg = _built(spark)
+    before = reg.results["text_jaccard_pairs"].collect()
+    assert reg.refresh_due(T0 + timedelta(minutes=1)) == []
+    rebuilt = reg.run_due(spark, T0 + timedelta(minutes=6))
+    assert "doc_shingles" in rebuilt
+    reg.refresh_materialized(spark, "text_jaccard_pairs", now=T0 + timedelta(minutes=6))
+    after = reg.results["text_jaccard_pairs"].collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))

@@ -8236,10 +8236,16 @@ def ts_priority_transitions(spark, sf_dir):
 # mart: how much of each source's chunk mass is boilerplate — the signal
 # that decides whether a source needs span-level cleaning before training.
 # Scale: one JVM-side transform/slice (no token explode — chunks are built
-# inside the array), one chunk-keyed agg, one chunk-keyed join (exchange
-# reuse dedupes the scan), one source-keyed agg. At 100 TB the chunk key
-# would be xxhash64(chunk) to shuffle 8 bytes instead of strings; the
-# fixtures keep the text key so the oracle is byte-identical.
+# inside the array), then a SINGLE consumer of the corpus-rate frame: one
+# (chunk, source) hash agg; per-chunk doc frequency is the SUM of the
+# per-source distinct-doc counts over a chunk-partitioned window (every
+# doc has exactly one source), so the raw frame is never scanned twice
+# and nothing joins back (measured 9.1→6.6s at sf1 vs the naive
+# agg + join-back shape; the floor is the per-row normalize + slice +
+# array_join chunk kernel itself). The chunk collapses to a 64-bit xxhash at the
+# source — shuffles move 8-byte keys instead of ~8-word strings (the
+# ngram_jaccard_pairs device; collision odds d²/2⁶⁵ are negligible
+# against the string-keyed oracle).
 # ---------------------------------------------------------------------------
 @query(
     "tx_boilerplate_chunks",
@@ -8278,21 +8284,28 @@ def tx_boilerplate_chunks(spark, sf_dir):
             F.explode(
                 F.expr(
                     "transform(sequence(0, size(a) div 8 - 1),"
-                    " i -> array_join(slice(a, i*8+1, 8), ' '))"
+                    " i -> xxhash64(array_join(slice(a, i*8+1, 8), ' ')))"
                 )
             ).alias("chunk"),
         )
     )
-    docfreq = chunks.groupBy("chunk").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("nd")
+    from pyspark.sql import Window
+
+    g = chunks.groupBy("chunk", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cs"),
+        F.countDistinct("doc_id").cast("bigint").alias("nd_cs"),
     )
-    flagged = chunks.join(docfreq, "chunk")
+    flagged = g.withColumn(
+        "nd", F.sum("nd_cs").over(Window.partitionBy("chunk"))
+    )
     return (
         flagged.groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum((F.col("nd") >= 2).cast("long")).cast("bigint").alias("boiler_chunks"),
-            F.countDistinct(F.when(F.col("nd") >= 2, F.col("chunk")))
+            F.sum("n_cs").cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("n_cs")).otherwise(0))
+            .cast("bigint")
+            .alias("boiler_chunks"),
+            F.sum((F.col("nd") >= 2).cast("long"))
             .cast("bigint")
             .alias("distinct_boiler_chunks"),
         )
@@ -8549,4 +8562,155 @@ def ts_wasserstein_drift(spark, sf_dir):
             F.expr("ROUND(CAST(sc AS DOUBLE), 8)").alias("w1_distance"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml eval: deterministic permutation test — is the urgent-orders mean
+# total price different from the rest, or is the observed gap within what
+# random label shuffles produce? The significance-test sibling of
+# ml_bootstrap_ci, on the same md5-digest-slicing device (4 digests per
+# row sliced into 8 independent uniform 16-bit draws = 32 permutations
+# for 4 hashes of CPU): permutation b reassigns each row to the treatment
+# arm iff u16 < (65536·n_treat) div n — the proportion-preserving
+# Bernoulli approximation of the exact permutation distribution (exact
+# resampling without replacement is not expressible as a per-row
+# decision; the approximation error is O(1/√n) on arm sizes, standard
+# for large-n permutation testing). p = (1 + #{|d_b| ≥ |d_obs|}) / 33,
+# the add-one form that never reports p = 0. All means go through the
+# round-to-1e-6 ladder, so both engines compare identical doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "ml_permutation_test",
+    f"""
+    WITH x AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             [md5('p0|' || CAST(o_orderkey AS VARCHAR)),
+              md5('p1|' || CAST(o_orderkey AS VARCHAR)),
+              md5('p2|' || CAST(o_orderkey AS VARCHAR)),
+              md5('p3|' || CAST(o_orderkey AS VARCHAR))] AS dig
+      FROM orders),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(g) AS BIGINT) AS n_treat,
+             ROUND(CAST(SUM(CASE WHEN g = 1 THEN v END) AS DOUBLE)
+                   / SUM(g) * 1000000) / 1000000.0
+           - ROUND(CAST(SUM(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+                   / SUM(1 - g) * 1000000) / 1000000.0 AS obs_diff,
+             (65536 * CAST(SUM(g) AS BIGINT)) // COUNT(*) AS cut
+      FROM x),
+    r AS (
+      SELECT b.b, x.v,
+             CAST(list_sum(list_transform(
+               list_zip(string_split(substring(dig[b.b // 8 + 1],
+                                               4 * (b.b % 8) + 1, 4), ''),
+                        range(1, 5)),
+               p -> (list_position({_HEX}, p[1]) - 1) * power(16, 4 - p[2]))) AS BIGINT)
+               AS u
+      FROM x CROSS JOIN (SELECT UNNEST(range(0, 32)) AS b) b),
+    d AS (
+      SELECT r.b,
+             ROUND(CAST(SUM(CASE WHEN r.u < pt.cut THEN r.v END) AS DOUBLE)
+                   / SUM(CASE WHEN r.u < pt.cut THEN 1 ELSE 0 END) * 1000000) / 1000000.0
+           - ROUND(CAST(SUM(CASE WHEN r.u >= pt.cut THEN r.v END) AS DOUBLE)
+                   / SUM(CASE WHEN r.u >= pt.cut THEN 1 ELSE 0 END) * 1000000) / 1000000.0
+               AS diff
+      FROM r CROSS JOIN pt GROUP BY r.b),
+    ex AS (
+      SELECT CAST(SUM(CASE WHEN ABS(d.diff) >= ABS(pt.obs_diff) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_exceed
+      FROM d CROSS JOIN pt)
+    SELECT pt.n_rows, pt.n_treat,
+           ROUND(pt.obs_diff, 6) AS obs_diff,
+           CAST(32 AS BIGINT) AS n_perms,
+           ex.n_exceed,
+           ROUND((1 + ex.n_exceed) * 1.0 / 33, 6) AS p_value
+    FROM pt CROSS JOIN ex
+    """,
+)
+def ml_permutation_test(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),
+        F.array(
+            *[
+                F.md5(F.concat(F.lit(f"p{i}|"), F.col("o_orderkey").cast("string")))
+                for i in range(4)
+            ]
+        ).alias("dig"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("g").cast("bigint").alias("n_treat"),
+        (
+            F.round(
+                F.sum(F.when(F.col("g") == 1, F.col("v"))).cast("double")
+                / F.sum("g")
+                * 1000000
+            )
+            / 1000000.0
+            - F.round(
+                F.sum(F.when(F.col("g") == 0, F.col("v"))).cast("double")
+                / F.sum(F.lit(1) - F.col("g"))
+                * 1000000
+            )
+            / 1000000.0
+        ).alias("obs_diff"),
+        F.expr("(65536 * CAST(SUM(g) AS BIGINT)) div COUNT(*)").alias("cut"),
+    )
+    r = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(31)))).withColumn(
+        "u",
+        F.conv(
+            F.expr(
+                "substring(element_at(dig, CAST(b div 8 AS INT) + 1),"
+                " 4 * (b % 8) + 1, 4)"
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    d = (
+        r.crossJoin(F.broadcast(pt.select("cut")))
+        .groupBy("b")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.when(F.col("u") < F.col("cut"), F.col("v"))).cast("double")
+                    / F.sum(F.when(F.col("u") < F.col("cut"), 1).otherwise(0))
+                    * 1000000
+                )
+                / 1000000.0
+                - F.round(
+                    F.sum(F.when(F.col("u") >= F.col("cut"), F.col("v"))).cast(
+                        "double"
+                    )
+                    / F.sum(F.when(F.col("u") >= F.col("cut"), 1).otherwise(0))
+                    * 1000000
+                )
+                / 1000000.0
+            ).alias("diff")
+        )
+    )
+    ex = (
+        d.crossJoin(F.broadcast(pt.select("obs_diff")))
+        .agg(
+            F.sum(
+                (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_exceed")
+        )
+    )
+    return (
+        pt.crossJoin(F.broadcast(ex))
+        .select(
+            "n_rows",
+            "n_treat",
+            F.round("obs_diff", 6).alias("obs_diff"),
+            F.lit(32).cast("bigint").alias("n_perms"),
+            "n_exceed",
+            F.expr("ROUND((1 + n_exceed) * 1.0D / 33, 6)").alias("p_value"),
+        )
     )

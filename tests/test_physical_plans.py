@@ -142,6 +142,7 @@ BNLJ_ALLOWED = {
     "sim_ann_param_sweep",  # all 3 ANN families' broadcast-probe non-equi scoring x9
     "ml_bootstrap_ci",  # 32-row resample-mean frame crossJoins the 1-row point stats
     "lm_js_divergence",  # 1-row corpus-token total broadcast onto the (source, term) frame
+    "ml_permutation_test",  # three 1-row stat broadcasts (cut / obs_diff / exceed-count)
     "ts_wasserstein_drift",  # 5-row event-type margin crossed onto the quantized value grid
 }
 

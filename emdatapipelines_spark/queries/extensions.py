@@ -8481,7 +8481,7 @@ def lm_js_divergence(spark, sf_dir):
     """
     WITH vt AS (
       SELECT event_type, ROUND(value, 1) AS vb, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     vals AS (SELECT vb, CAST(SUM(n) AS BIGINT) AS n_all FROM vt GROUP BY 1),
     ets AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS t_et FROM vt GROUP BY 1),
     grid AS (
@@ -8512,7 +8512,12 @@ def lm_js_divergence(spark, sf_dir):
 def ts_wasserstein_drift(spark, sf_dir):
     from pyspark.sql import Window
 
-    e = t(spark, sf_dir, "events")
+    # NULL measurements carry no distributional mass — and the engines
+    # disagree on NULL sort position (Spark NULLS FIRST vs DuckDB NULLS
+    # LAST in ASC windows), so the exclusion must be EXPLICIT on both
+    # sides rather than left to fixture luck (the with_overlap_chunks
+    # null-key lesson, ADVICE r9).
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     vt = e.groupBy("event_type", F.round("value", 1).alias("vb")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -91,6 +91,10 @@ def synth_dir(spark, tmp_path_factory):
             (2, "2024-01-01 00:00:01", 10, "A", 1.0, "{}"),
             (3, "2024-01-01 00:00:02", 11, "B", 0.0, "{}"),
             (4, "2024-01-01 00:00:03", 11, "B", 0.0, "{}"),
+            # NULL measurement: must carry no distributional mass (and the
+            # engines disagree on NULL sort position, so it must be
+            # excluded, not merely tolerated).
+            (5, "2024-01-01 00:00:04", 10, "A", None, "{}"),
         ],
         "event_id bigint, ts string, user_id bigint, event_type string,"
         " value double, props string",

@@ -93,6 +93,7 @@ def ngram_jaccard_pairs(
         hashed_shingles(docs, id_col, text_col, n),
         threshold=threshold,
         max_shingle_df=max_shingle_df,
+        persist=True,
     )
 
 
@@ -100,12 +101,20 @@ def jaccard_pairs_from_hashes(
     hashes: DataFrame,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard near-dup pairs from a pre-built ``(id, h)`` frame
-    (:func:`hashed_shingles`). ``persist=False`` when the caller already
-    materialized the frame (the `plans/text_marts.py` path) — a second
-    cache of the same rows buys nothing.
+    (:func:`hashed_shingles`).
+
+    ``persist``: defaults to False — callers that already materialized the
+    frame (the `plans/text_marts.py` path) get no second cache of the same
+    rows. ``persist=True`` (the standalone :func:`ngram_jaccard_pairs`
+    path, where the shingle explode would otherwise re-run per consumer)
+    caches MEMORY_AND_DISK and the CALLER owns the cache lifetime: the
+    frame stays pinned until Spark's LRU evicts it or the session ends, so
+    a long-lived session invoking this repeatedly with ``persist=True``
+    should ``spark.catalog.clearCache()`` between invocations if memory
+    pressure matters (r10 ADVICE).
 
     Shingles arrive collapsed to a 64-bit xxhash: the shuffle moves 8-byte
     keys instead of ~n·word strings, and hash/compare in the join is

@@ -1029,6 +1029,175 @@ def lsh_cosine_topk(
 
 
 # ---------------------------------------------------------------------------
+# tagged candidates: single-pass parameter sweeps (VERDICT r10 #1)
+#
+# A recall-vs-cost sweep prices the SAME index at several probe settings.
+# Running the probe once per setting re-scores the same candidates
+# |settings| times — at 9 sweep points that made `sim_ann_param_sweep` the
+# suite's costliest sf0.1 query. The fix is the classic minimal-config
+# labeling: score the candidate set of the LARGEST setting once, tagging
+# every candidate with the MINIMAL setting that reaches it (IVF: the rank
+# of its cell in the query's centroid ordering; LSH: the Hamming distance
+# of its bucket from the query's). Any smaller setting's result is then a
+# FILTER + re-rank over the already-scored frame — per-family corpus work
+# drops from O(settings · candidates) to O(candidates_max).
+# ---------------------------------------------------------------------------
+def topk_from_tagged(
+    tagged: DataFrame, tag_col: str, setting: int, k: int = 5
+) -> DataFrame:
+    """Reconstruct the top-k result at probe ``setting`` from a tagged
+    candidate frame: keep candidates whose minimal setting ≤ ``setting``,
+    re-rank per query. Byte-identical to running the family's
+    ``*_cosine_topk`` at that setting (same dedup + tie-break:
+    cosine DESC, neighbor_id ASC) — pinned by
+    `tests/test_tagged_sweep.py`."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        tagged.filter(F.col(tag_col) <= setting)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_tagged_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 64,
+    max_nprobe: int = 8,
+    kmeans_iters: int = 0,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Every candidate the ``nprobe=max_nprobe`` IVF probe would score,
+    tagged with ``min_nprobe`` — the 1-based rank of its cell in the
+    query's centroid-similarity ordering, i.e. the minimal nprobe whose
+    probe set contains it. ``filter(min_nprobe <= p)`` reproduces
+    ``ivf_cosine_topk(nprobe=p)``'s candidate set exactly (the probe set
+    at p is the length-p prefix of the SAME argsort both functions
+    compute), so one scored pass prices every sweep point. Returns
+    (query_id, neighbor_id, cosine, min_nprobe)."""
+    bc = _ivf_centroid_bc(corpus, nlist, kmeans_iters, c_id, c_vec)
+
+    def assign_ranked(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, cmat, cnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ cmat.T) / (norms[:, None] * cnorm[None, :])
+            # SAME tie-break path as ivf_cosine_topk's assign() (full
+            # argsort, prefix-sliced) so tagged prefixes agree per-point
+            top = np.argsort(-sims, axis=1)[:, :max_nprobe]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "vec": pdf["vec"],
+                    "cells": [ids_[row].tolist() for row in top],
+                }
+            )
+
+    if corpus_cells is not None:
+        c_cells = corpus_cells
+    else:
+        c_cells = ivf_corpus_cells(corpus, nlist=nlist, kmeans_iters=kmeans_iters,
+                                   c_id=c_id, c_vec=c_vec)
+    q_in = queries.select(F.col(q_id).alias("item_id"), F.col(q_vec).alias("vec"))
+    q_cells = q_in.mapInPandas(
+        assign_ranked, "item_id long, vec array<float>, cells array<long>"
+    ).select(
+        F.col("item_id").alias("query_id"),
+        F.col("vec").alias("qv"),
+        F.posexplode("cells").alias("cell_rank0", "cell"),
+    ).withColumn("min_nprobe", (F.col("cell_rank0") + 1).cast("int"))
+    joined = c_cells.join(F.broadcast(q_cells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qa, ca = _as_double(F.col("qv")), _as_double(F.col("cv"))
+    return joined.withColumn(
+        "cosine", F.round(_dot(qa, ca) / (_norm(qa) * _norm(ca)), 6)
+    ).select("query_id", "neighbor_id", "cosine", "min_nprobe")
+
+
+def lsh_tagged_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    max_multiprobe: int = 2,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Every candidate the radius-``max_multiprobe`` multiprobe would
+    score, tagged with ``min_radius`` — the Hamming distance between the
+    candidate's bucket and the query's home bucket, i.e. the minimal
+    multiprobe radius that reaches it. Each corpus vector lives in exactly
+    ONE bucket and the probe keys are distinct, so every (query, neighbor)
+    pair appears once with its exact radius; ``filter(min_radius <= r)``
+    reproduces ``lsh_cosine_topk(multiprobe=r)``'s candidate set exactly.
+    Returns (query_id, neighbor_id, cosine, min_radius)."""
+    from itertools import combinations
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    q = _lsh_prep(queries, q_id, q_vec, "query_id", "qv", "qn", planes)
+    flips: list[tuple[int, ...]] = [()]
+    for r in range(1, max_multiprobe + 1):
+        flips.extend(combinations(range(n_planes), r))
+
+    def probe_key(mask: tuple[int, ...]):
+        if not mask:
+            return F.col("bucket")
+        parts = []
+        for i in range(n_planes):
+            ch = F.substring("bucket", i + 1, 1)
+            if i in mask:
+                ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+            parts.append(ch)
+        return F.concat(*parts)
+
+    q = q.withColumn(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        probe_key(m).alias("bucket"),
+                        F.lit(len(m)).cast("int").alias("min_radius"),
+                    )
+                    for m in flips
+                ]
+            )
+        ),
+    ).select(
+        "query_id", "qv", "qn",
+        F.col("probe.bucket").alias("bucket"),
+        F.col("probe.min_radius").alias("min_radius"),
+    )
+    if corpus_buckets is not None:
+        c = corpus_buckets
+    else:
+        c = _lsh_prep(corpus, c_id, c_vec, "neighbor_id", "cv", "cn", planes)
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine", "min_radius")
+    )
+
+
+# ---------------------------------------------------------------------------
 # product quantization: memory-bounded ANN (the BYTES-bounded scale path,
 # complementing IVF's candidate-bounded path and LSH's bucket-bounded path)
 # ---------------------------------------------------------------------------

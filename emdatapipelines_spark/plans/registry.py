@@ -165,23 +165,40 @@ class ModelRegistry:
 
     def refresh_due(self, now: datetime) -> list[str]:
         """Models whose ``refresh_interval`` has elapsed (or that were never
-        built), in dependency order. Pure planning — no Spark work."""
-        due: list[str] = []
-        for name in self.topo_order():
-            m = self._models[name]
+        built), PLUS the transitive dependents of each — a refreshed root
+        invalidates everything built on it (and ``refresh_materialized``
+        unpersists the old root cache downstream results were computed
+        against), so a scheduler tick must cascade the way dbt's
+        ``--select model+`` or a StarRocks MV chain does (r10 ADVICE).
+        Dependency order. Pure planning — no Spark work."""
+        roots: set[str] = set()
+        for name, m in self._models.items():
             if m.refresh_interval is None:
                 continue
             last = self.last_built.get(name)
             if last is None or now - last >= m.refresh_interval:
-                due.append(name)
-        return due
+                roots.add(name)
+        if not roots:
+            return []
+        # transitive closure over built dependents: a model never built has
+        # no stale result to invalidate (and may lack dep results to build
+        # from) — it stays on-demand until its first explicit build()
+        stale = set(roots)
+        for name in self.topo_order():
+            if name in stale:
+                continue
+            m = self._models[name]
+            if name in self.results and any(d in stale for d in m.deps):
+                stale.add(name)
+        return [n for n in self.topo_order() if n in stale]
 
     def run_due(self, spark: SparkSession, now: datetime) -> list[str]:
-        """One scheduler tick: rebuild every due model (dependency order), skip
-        fresh ones, stamp ``last_built``. Returns the names rebuilt. The caller
-        owns the loop cadence — in production a real cron/airflow tick, in
-        tests an advancing injected clock — so the engine itself never reads
-        the wall clock (determinism convention, `clock.py`)."""
+        """One scheduler tick: rebuild every due model AND its built
+        transitive dependents (dependency order), skip fresh ones, stamp
+        ``last_built``. Returns the names rebuilt. The caller owns the loop
+        cadence — in production a real cron/airflow tick, in tests an
+        advancing injected clock — so the engine itself never reads the
+        wall clock (determinism convention, `clock.py`)."""
         due = self.refresh_due(now)
         for name in due:
             self.refresh_materialized(spark, name, now=now)

@@ -8581,9 +8581,14 @@ def ts_wasserstein_drift(spark, sf_dir):
 # Bernoulli approximation of the exact permutation distribution (exact
 # resampling without replacement is not expressible as a per-row
 # decision; the approximation error is O(1/√n) on arm sizes, standard
-# for large-n permutation testing). p = (1 + #{|d_b| ≥ |d_obs|}) / 33,
-# the add-one form that never reports p = 0. All means go through the
-# round-to-1e-6 ladder, so both engines compare identical doubles.
+# for large-n permutation testing). A permutation that leaves one arm
+# EMPTY yields a NULL mean difference — such permutations are excluded
+# from both the exceed count and the denominator (r10 ADVICE: counting
+# them as non-exceeding while still dividing by 33 biases p low), so
+# p = (1 + #{valid: |d_b| ≥ |d_obs|}) / (1 + #valid), the add-one form
+# that never reports p = 0 and n_perms reports #valid. All means go
+# through the round-to-1e-6 ladder, so both engines compare identical
+# doubles.
 # ---------------------------------------------------------------------------
 @query(
     "ml_permutation_test",
@@ -8617,20 +8622,23 @@ def ts_wasserstein_drift(spark, sf_dir):
     d AS (
       SELECT r.b,
              ROUND(CAST(SUM(CASE WHEN r.u < pt.cut THEN r.v END) AS DOUBLE)
-                   / SUM(CASE WHEN r.u < pt.cut THEN 1 ELSE 0 END) * 1000000) / 1000000.0
+                   / NULLIF(SUM(CASE WHEN r.u < pt.cut THEN 1 ELSE 0 END), 0)
+                   * 1000000) / 1000000.0
            - ROUND(CAST(SUM(CASE WHEN r.u >= pt.cut THEN r.v END) AS DOUBLE)
-                   / SUM(CASE WHEN r.u >= pt.cut THEN 1 ELSE 0 END) * 1000000) / 1000000.0
+                   / NULLIF(SUM(CASE WHEN r.u >= pt.cut THEN 1 ELSE 0 END), 0)
+                   * 1000000) / 1000000.0
                AS diff
       FROM r CROSS JOIN pt GROUP BY r.b),
     ex AS (
       SELECT CAST(SUM(CASE WHEN ABS(d.diff) >= ABS(pt.obs_diff) THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_exceed
+                  AS BIGINT) AS n_exceed,
+             CAST(COUNT(d.diff) AS BIGINT) AS n_valid
       FROM d CROSS JOIN pt)
     SELECT pt.n_rows, pt.n_treat,
            ROUND(pt.obs_diff, 6) AS obs_diff,
-           CAST(32 AS BIGINT) AS n_perms,
+           ex.n_valid AS n_perms,
            ex.n_exceed,
-           ROUND((1 + ex.n_exceed) * 1.0 / 33, 6) AS p_value
+           ROUND((1 + ex.n_exceed) * 1.0 / (1 + ex.n_valid), 6) AS p_value
     FROM pt CROSS JOIN ex
     """,
 )
@@ -8683,7 +8691,10 @@ def ml_permutation_test(spark, sf_dir):
             (
                 F.round(
                     F.sum(F.when(F.col("u") < F.col("cut"), F.col("v"))).cast("double")
-                    / F.sum(F.when(F.col("u") < F.col("cut"), 1).otherwise(0))
+                    / F.nullif(
+                        F.sum(F.when(F.col("u") < F.col("cut"), 1).otherwise(0)),
+                        F.lit(0),
+                    )
                     * 1000000
                 )
                 / 1000000.0
@@ -8691,13 +8702,18 @@ def ml_permutation_test(spark, sf_dir):
                     F.sum(F.when(F.col("u") >= F.col("cut"), F.col("v"))).cast(
                         "double"
                     )
-                    / F.sum(F.when(F.col("u") >= F.col("cut"), 1).otherwise(0))
+                    / F.nullif(
+                        F.sum(F.when(F.col("u") >= F.col("cut"), 1).otherwise(0)),
+                        F.lit(0),
+                    )
                     * 1000000
                 )
                 / 1000000.0
             ).alias("diff")
         )
     )
+    # empty-arm permutations (diff IS NULL) are excluded from BOTH the
+    # exceed count and the p-value denominator (r10 ADVICE)
     ex = (
         d.crossJoin(F.broadcast(pt.select("obs_diff")))
         .agg(
@@ -8705,7 +8721,8 @@ def ml_permutation_test(spark, sf_dir):
                 (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))).cast("long")
             )
             .cast("bigint")
-            .alias("n_exceed")
+            .alias("n_exceed"),
+            F.count("diff").cast("bigint").alias("n_valid"),
         )
     )
     return (
@@ -8714,8 +8731,8 @@ def ml_permutation_test(spark, sf_dir):
             "n_rows",
             "n_treat",
             F.round("obs_diff", 6).alias("obs_diff"),
-            F.lit(32).cast("bigint").alias("n_perms"),
+            F.col("n_valid").alias("n_perms"),
             "n_exceed",
-            F.expr("ROUND((1 + n_exceed) * 1.0D / 33, 6)").alias("p_value"),
+            F.expr("ROUND((1 + n_exceed) * 1.0D / (1 + n_valid), 6)").alias("p_value"),
         )
     )

@@ -95,3 +95,46 @@ def test_scheduled_refresh_loop(spark):
     ran = reg.run_due(spark, t0 + timedelta(minutes=10))
     assert ran == ["ingest", "mv"] and builds == {"ingest": 2, "mv": 3}
     assert reg.results["mv"].first()["total"] == 10
+
+
+def test_run_due_cascades_to_built_dependents(spark):
+    """r10 ADVICE: a refreshed root invalidates built downstream models —
+    run_due must rebuild the transitive dependents (in dependency order),
+    not leave them serving results computed against the unpersisted old
+    cache. Never-built models stay on-demand."""
+    from datetime import datetime, timedelta
+
+    builds = {"root": 0, "mid": 0, "leaf": 0, "never_built": 0}
+    reg = ModelRegistry()
+
+    @reg.model("root", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def root(s, deps):
+        builds["root"] += 1
+        return s.range(4).withColumnRenamed("id", "n")
+
+    @reg.model("mid", deps=["root"], materialization="table")
+    def mid(s, deps):
+        builds["mid"] += 1
+        return deps["root"].filter(F.col("n") % 2 == 0)
+
+    @reg.model("leaf", deps=["mid"])
+    def leaf(s, deps):
+        builds["leaf"] += 1
+        return deps["mid"].agg(F.sum("n").alias("total"))
+
+    @reg.model("never_built", deps=["root"])
+    def never_built(s, deps):
+        builds["never_built"] += 1
+        return deps["root"]
+
+    t0 = datetime(2024, 2, 1)
+    reg.build(spark, select=["leaf"], now=t0)
+    assert builds == {"root": 1, "mid": 1, "leaf": 1, "never_built": 0}
+
+    ran = reg.run_due(spark, t0 + timedelta(minutes=6))
+    # root due; mid/leaf cascade because they were built on it; the
+    # never-built dependent is NOT pulled in
+    assert ran == ["root", "mid", "leaf"]
+    assert builds == {"root": 2, "mid": 2, "leaf": 2, "never_built": 0}
+    assert reg.results["leaf"].first()["total"] == 2

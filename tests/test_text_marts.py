@@ -70,12 +70,22 @@ def test_views_are_sql_addressable(spark):
 
 def test_refresh_cron_rebuilds_stale_shingles(spark):
     """S12 semantics: after the refresh interval elapses, run_due rebuilds
-    doc_shingles (and only due models); results stay correct."""
+    doc_shingles AND cascades to its built transitive dependents (r10
+    ADVICE: downstream models must not keep serving results computed
+    against an unpersisted old root); results stay correct."""
     reg = _built(spark)
     before = reg.results["text_jaccard_pairs"].collect()
     assert reg.refresh_due(T0 + timedelta(minutes=1)) == []
     rebuilt = reg.run_due(spark, T0 + timedelta(minutes=6))
     assert "doc_shingles" in rebuilt
-    reg.refresh_materialized(spark, "text_jaccard_pairs", now=T0 + timedelta(minutes=6))
+    # cascade: every built dependent of the refreshed root is rebuilt too,
+    # in dependency order — no manual refresh_materialized needed
+    for downstream in (
+        "text_minhash_signatures",
+        "text_lsh_candidates",
+        "text_jaccard_pairs",
+    ):
+        assert downstream in rebuilt
+    assert rebuilt.index("doc_shingles") < rebuilt.index("text_jaccard_pairs")
     after = reg.results["text_jaccard_pairs"].collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))

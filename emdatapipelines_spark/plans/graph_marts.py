@@ -1,26 +1,37 @@
-"""Graph-family materialized models (VERDICT r9 #3).
+"""Graph-family materialized models (VERDICT r9 #3, completed r11 per
+r10 VERDICT #3).
 
-The supplier co-occurrence edge list — a thresholded lineitem self-join —
-is the shared root of the gr_* family: ``gr_triangles``,
-``gr_clustering_coeff``, and ``gr_powerlaw_degree`` each independently
-rebuild it when run standalone (their oracle contract requires a
-self-contained plan). In a production pipeline you build it ONCE as an
-async-refresh materialized view and serve the family from it — the
-reference's MV surface (`macros/create_starrocks_materialized_view.sql:2-16`,
-5-minute refresh cron `definitions.py:84-94`), here expressed as registry
-models on `plans/registry.py` (S12).
+TWO shared roots serve the whole gr_* family:
 
-Measured saving (sf0.1, local[32], see SCALING.md round-10): the three
-standalone queries re-derive the edge list 3×; the mart builds it once and
-the downstream models read the cache.
+- ``graph_edges`` — the supplier co-occurrence edge list (thresholded
+  lineitem self-join), root of ``gr_triangles``, ``gr_clustering_coeff``,
+  ``gr_powerlaw_degree``, and ``gr_components``.
+- ``trade_flow`` — the nation→nation weighted trade edge list (the 5-way
+  fact join), root of ``gr_pagerank_trade`` / ``gr_hits`` directly and,
+  through the sparse top-2 projection ``trade_edges``, of
+  ``gr_khop_reach``, ``gr_label_prop``, ``gr_degree_assortativity``,
+  ``gr_closeness_k3``, ``gr_kcore``, ``gr_reciprocity``, and
+  ``gr_link_prediction``.
+
+Standalone, each query re-derives its root (their oracle contract
+requires self-contained plans); in a production pipeline the roots
+materialize ONCE as async-refresh MVs — the reference's MV surface
+(`macros/create_starrocks_materialized_view.sql:2-16`, 5-minute refresh
+cron `definitions.py:84-94`), expressed as registry models on
+`plans/registry.py` (S12). Every downstream model calls the SAME
+``_*_from_edges`` / ``_*_from_flow`` helper its standalone query calls
+(`queries/analytics_ext.py`), so mart-served ≡ standalone is true by
+construction and pinned per consumer by `tests/test_graph_marts.py`.
+Measured savings: SCALING.md round-10/11 + BENCH_marts.json.
 
 Usage::
 
     reg = ModelRegistry()
     register_graph_marts(reg, sf_dir)
-    reg.build(spark, now=tick)          # graph_edges materializes once
+    reg.build(spark, now=tick)          # roots materialize once
     reg.results["graph_clustering"]     # served from the cached edge list
     reg.run_due(spark, later_tick)      # refresh cron: re-derives stale MVs
+                                        # and cascades to built dependents
 """
 
 from __future__ import annotations
@@ -121,3 +132,67 @@ def register_graph_marts(
                 / 1000000.0
             ).alias("loglog_intercept"),
         )
+
+    # -- co-occurrence root: remaining consumer (r10 VERDICT #3) ------------
+
+    @registry.model("graph_components", deps=["graph_edges"])
+    def graph_components(spark, deps):
+        """Same rows as the standalone ``gr_components``."""
+        from ..queries.analytics_ext import _components_from_edges
+
+        return _components_from_edges(deps["graph_edges"])
+
+    # -- nation-trade root + its consumers ----------------------------------
+
+    @registry.model(
+        "trade_flow", materialization="table", refresh_interval=refresh_interval
+    )
+    def trade_flow(spark, deps):
+        """coalesce(1): the flow is ≤ |nations|² rows at ANY corpus scale
+        (nation is a dimension) — caching it across shuffle_partitions
+        slices makes every downstream stage pay a full-width task wave
+        for a dimension-sized frame."""
+        from ..queries.analytics_ext import _trade_flow
+
+        return _trade_flow(spark, sf_dir).coalesce(1)
+
+    @registry.model("trade_edges", deps=["trade_flow"], materialization="table")
+    def trade_edges(spark, deps):
+        from ..queries.analytics_ext import _sparse_trade_edges
+
+        return _sparse_trade_edges(deps["trade_flow"]).coalesce(1)
+
+    def _consumer(name: str, dep: str, helper_name: str) -> None:
+        @registry.model(name, deps=[dep])
+        def model(spark, deps, _h=helper_name, _d=dep):
+            from ..queries import analytics_ext
+
+            return getattr(analytics_ext, _h)(deps[_d])
+
+    _consumer("graph_pagerank", "trade_flow", "_pagerank_from_flow")
+    _consumer("graph_hits", "trade_flow", "_hits_from_flow")
+    _consumer("graph_khop", "trade_edges", "_khop_from_edges")
+    _consumer("graph_label_prop", "trade_edges", "_label_prop_from_edges")
+    _consumer("graph_assortativity", "trade_edges", "_assortativity_from_edges")
+    _consumer("graph_closeness", "trade_edges", "_closeness_from_edges")
+    _consumer("graph_kcore", "trade_edges", "_kcore_from_edges")
+    _consumer("graph_reciprocity", "trade_edges", "_reciprocity_from_edges")
+    _consumer("graph_link_prediction", "trade_edges", "_link_prediction_from_edges")
+
+
+#: mart model → standalone query it must byte-match (test + bench surface)
+GRAPH_MART_TWINS = {
+    "graph_triangles": "gr_triangles",
+    "graph_clustering": "gr_clustering_coeff",
+    "graph_powerlaw": "gr_powerlaw_degree",
+    "graph_components": "gr_components",
+    "graph_pagerank": "gr_pagerank_trade",
+    "graph_hits": "gr_hits",
+    "graph_khop": "gr_khop_reach",
+    "graph_label_prop": "gr_label_prop",
+    "graph_assortativity": "gr_degree_assortativity",
+    "graph_closeness": "gr_closeness_k3",
+    "graph_kcore": "gr_kcore",
+    "graph_reciprocity": "gr_reciprocity",
+    "graph_link_prediction": "gr_link_prediction",
+}

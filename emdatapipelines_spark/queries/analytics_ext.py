@@ -790,33 +790,41 @@ def gr_pagerank_trade(spark, sf_dir):
     buyer nations — the influence score a hand-built aggregate
     (`disaster_analytics.sql`-style severity rollups in the reference)
     approximates with one level of weighting; PageRank closes the loop."""
+    return _pagerank_from_flow(_trade_flow(spark, sf_dir))
+
+
+def _pagerank_from_flow(flow):
     from ..operators.graph import pagerank_weighted
 
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
-    s = F.broadcast(t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
-    n = t(spark, sf_dir, "nation")
-    cn = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")))
-    sn = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")))
-    flow = (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(cn, F.col("c_nationkey") == F.col("ck"))
-        .join(sn, F.col("s_nationkey") == F.col("sk"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
     ranks = pagerank_weighted(flow, "src", "dst", "w", iterations=3, damping=0.85)
     return ranks.select(F.col("id").alias("nation"), "rank").orderBy(
         F.col("rank").desc(), "nation"
     )
 
 
+def _sparse_trade_edges(flow):
+    """Top-2 destinations per source nation by flow weight (self-loops
+    dropped) — the sparse (src, dst) edge frame the BFS/peel/degree
+    gr_* family shares. Factored out of the 7 queries that each inlined
+    it (r10 VERDICT #3) so the standalone queries and the
+    `plans/graph_marts.py` `trade_edges` MV serve from ONE code path —
+    byte-equality between the two is then true by construction."""
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
+    )
+    return (
+        flow.filter(F.col("src") != F.col("dst"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= 2)
+        .select("src", "dst")
+    )
+
+
 def _trade_flow(spark, sf_dir):
-    """The nation→nation weighted trade edge list shared by the iterative
-    graph queries (gr_pagerank_trade, gr_hits)."""
+    """The nation→nation weighted trade edge list shared by the gr_*
+    family (directly by gr_pagerank_trade / gr_hits; via
+    `_sparse_trade_edges` by the BFS/peel/degree queries). Materialized
+    once as the `trade_flow` model in `plans/graph_marts.py`."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     c = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
@@ -886,9 +894,12 @@ def _hits_oracle(iters: int) -> str:
 # ---------------------------------------------------------------------------
 @query("gr_hits", _hits_oracle(2))
 def gr_hits(spark, sf_dir):
+    return _hits_from_flow(_trade_flow(spark, sf_dir))
+
+
+def _hits_from_flow(flow):
     from ..operators.graph import hits_weighted
 
-    flow = _trade_flow(spark, sf_dir)
     out = hits_weighted(flow, "src", "dst", "w", iterations=2)
     return out.select(F.col("id").alias("nation"), "hub", "authority").orderBy(
         F.col("authority").desc(), "nation"
@@ -1218,29 +1229,12 @@ def gr_khop_reach(spark, sf_dir):
     unrolled-BFS operator. The heavy work — the 5-way fact join — is the
     same broadcast-dim plan gr_pagerank_trade uses; the BFS rounds touch
     only the 50-row edge list."""
+    return _khop_from_edges(_sparse_trade_edges(_trade_flow(spark, sf_dir)))
+
+
+def _khop_from_edges(e):
     from ..operators.graph import khop_min_hops
 
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     return khop_min_hops(e, "src", "dst", k=3)
 
 
@@ -1644,29 +1638,12 @@ def gr_label_prop(spark, sf_dir):
     fact join is the same broadcast-dim plan as gr_pagerank_trade; the
     propagation rounds touch only the ~50-row edge list (one node-keyed
     shuffle per round at any graph size)."""
+    return _label_prop_from_edges(_sparse_trade_edges(_trade_flow(spark, sf_dir)))
+
+
+def _label_prop_from_edges(e):
     from ..operators.graph import label_propagation_min
 
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     lbl = label_propagation_min(e, iterations=3)
     return lbl.withColumn(
         "community_size",
@@ -1710,27 +1687,12 @@ def gr_degree_assortativity(spark, sf_dir):
     the degree join and moment agg run on the ~50-row edge frame. At any
     graph size this is |edges| rows through two node-keyed broadcast-able
     joins + one scalar agg."""
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+    return _assortativity_from_edges(
+        _sparse_trade_edges(_trade_flow(spark, sf_dir))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+
+
+def _assortativity_from_edges(e):
     fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     adj = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
@@ -1908,29 +1870,12 @@ def gr_closeness_k3(spark, sf_dir):
     the khop_min_hops unrolled BFS (operators/graph.py), then one
     src-keyed rollup of the lcm-scaled reciprocals — everything after
     the shared 5-way fact join touches only the ~50-row edge closure."""
+    return _closeness_from_edges(_sparse_trade_edges(_trade_flow(spark, sf_dir)))
+
+
+def _closeness_from_edges(e):
     from ..operators.graph import khop_min_hops
 
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     mh = khop_min_hops(e, "src", "dst", k=3)
     return (
         mh.groupBy(F.col("src").alias("node"))
@@ -2193,29 +2138,12 @@ def gr_kcore(spark, sf_dir):
     with their surviving degrees. The heavy 5-way fact join is shared
     with the other gr_* queries; each peel round is one degree hash-agg
     + two semi-joins over the shrinking ~50-row edge frame."""
+    return _kcore_from_edges(_sparse_trade_edges(_trade_flow(spark, sf_dir)))
+
+
+def _kcore_from_edges(e):
     from ..operators.graph import kcore_peel
 
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
     return kcore_peel(e, k=3, rounds=3)
 
 
@@ -2569,27 +2497,10 @@ def gr_reciprocity(spark, sf_dir):
     """Edge-level reciprocity: the directed edge list left-joins its own
     transpose (both ~50 rows after the shared fact-join rollup); one
     integer-ratio division out."""
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+    return _reciprocity_from_edges(_sparse_trade_edges(_trade_flow(spark, sf_dir)))
+
+
+def _reciprocity_from_edges(e):
     r = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")).withColumn(
         "__rec", F.lit(1)
     )
@@ -2639,27 +2550,12 @@ def gr_link_prediction(spark, sf_dir):
     checkpointed derivation shared with the other gr_* rounds); at web
     scale the wedge join is the m^1.5-bounded shape triangle counting
     already uses."""
-    o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem")
-    c = t(spark, sf_dir, "customer")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
-    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    flow = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(s, l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
-        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+    return _link_prediction_from_edges(
+        _sparse_trade_edges(_trade_flow(spark, sf_dir))
     )
-    rn = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.desc("w"), F.col("dst"))
-    )
-    e = flow.withColumn("rn", rn).filter(F.col("rn") <= 2).select("src", "dst")
+
+
+def _link_prediction_from_edges(e):
     fwd = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     rev = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     adj = fwd.unionByName(rev).filter(F.col("u") != F.col("v")).distinct()
@@ -3016,11 +2912,16 @@ def gr_powerlaw_degree(spark, sf_dir):
     """,
 )
 def gr_components(spark, sf_dir):
-    from ..llmdata.dedup import connected_components
     from ..operators.graph import cooccurrence_edges
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
+    return _components_from_edges(edges)
+
+
+def _components_from_edges(edges):
+    from ..llmdata.dedup import connected_components
+
     cc = connected_components(edges, id_a="src", id_b="dst")
     w = Window.partitionBy("cluster_id")
     return (

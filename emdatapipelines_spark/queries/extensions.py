@@ -282,6 +282,16 @@ def dd_incremental_index(spark, sf_dir):
     Output is the planted-copy slice (id ≥ 10^12) with max est_jaccard per
     id — deterministically 1.0 for every planted copy."""
     d = t(spark, sf_dir, "documents")
+    corpus, batch = _incremental_split(d)
+    index = minhash_signatures(corpus, n=3, num_hashes=64)
+    return _incremental_probe_from_index(batch, index)
+
+
+def _incremental_split(d):
+    """(corpus, batch) split of the documents table for the incremental-
+    index probe: corpus = eligible docs off the %4 slice; batch = the %4
+    slice + planted copies of %10==1 corpus docs (id-shifted by 10^12) —
+    shared by the standalone query and `plans/text_marts.py`."""
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     eligible = d.filter(F.col("text").isNotNull()).filter(
         F.size(F.split(norm, " ")) >= 3
@@ -295,7 +305,14 @@ def dd_incremental_index(spark, sf_dir):
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
         .unionByName(planted)
     )
-    index = minhash_signatures(corpus, n=3, num_hashes=64)
+    return corpus, batch
+
+
+def _incremental_probe_from_index(batch, index):
+    """Flag the batch against a PERSISTED signature index (the mart path
+    passes the filtered ``text_minhash_signatures`` model — per-doc
+    signatures are independent, so signatures(corpus) ≡
+    signatures(all).filter(corpus ids), pinned by test_text_marts.py)."""
     step = incremental_minhash_dedup(
         batch, index, n=3, num_hashes=64, bands=16, rows_per_band=4, threshold=0.8
     )
@@ -5681,16 +5698,24 @@ def dd_minhash_estimate(spark, sf_dir):
     is ≤4, so the cap changes zero output rows; the signature side keeps
     the full shingle set (production MinHash hashes everything). The join
     itself runs on xxhash64-collapsed 8-byte keys (output-invariant)."""
-    from pyspark import StorageLevel
-
     from ..llmdata.dedup import _shingles
 
     d = t(spark, sf_dir, "documents")
-    # persist: feeds sizes, the df-cap frequency agg, both join sides, and
-    # the 16-seed signature fan-out — five consumers of one explode.
-    sh = d.select(
-        "doc_id", F.explode(_shingles("text", 5)).alias("shingle")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
+    return _minhash_estimate_from_shingles(sh, persist=True)
+
+
+def _minhash_estimate_from_shingles(sh, persist: bool = False):
+    """Downstream of the raw n=5 shingle frame ``(doc_id, shingle)`` —
+    shared by the standalone ``dd_minhash_estimate`` (persist=True: the
+    frame feeds sizes, the df-cap frequency agg, both join sides, and the
+    16-seed signature fan-out — five consumers of one explode) and the
+    `plans/text_marts.py` ``text_minhash_estimate`` model (persist=False:
+    the dep is already a cached table)."""
+    from pyspark import StorageLevel
+
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     cold = (
         sh.groupBy("shingle")
@@ -7379,12 +7404,14 @@ def sim_pairwise_diversity(spark, sf_dir):
     """,
 )
 def dd_shingle_profile(spark, sf_dir):
-    from pyspark.sql import Window
-
     from ..llmdata.dedup import _shingles
 
     d = t(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
+    return _shingle_profile_from_shingles(sh)
+
+
+def _shingle_profile_from_shingles(sh):
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     b = df.select(
         F.when(F.col("df") == 1, "1")
@@ -7722,14 +7749,25 @@ def sim_ann_param_sweep(spark, sf_dir):
     dim×4 float vector — PQ scans every code, its lever is compression).
     One row per (family, config) with both cost axes in ppm, so the mart
     prices the row-pruning families and the byte-pruning family on the
-    same table."""
+    same table.
+
+    SINGLE-PASS (r10 VERDICT #1): the row-pruning families score their
+    MAX-setting candidate set once, tagged with the minimal setting that
+    reaches each candidate (IVF: rank of the candidate's cell in the
+    query's centroid ordering; LSH: Hamming distance of its bucket), and
+    every smaller sweep point is a FILTER + re-rank over the
+    localCheckpointed scored frame (`ivf_tagged_candidates` /
+    `lsh_tagged_candidates`, per-setting byte-identity pinned by
+    tests/test_tagged_sweep.py). Corpus-rate work: one brute-force exact
+    pass + one tagged pass per row-pruning family + one encode/scan per
+    PQ codebook (PQ's two configs use DIFFERENT codebooks — nothing to
+    share), instead of one probe pass per sweep point (9)."""
     import math
 
     from ..llmdata.similarity import (
         brute_force_cosine_topk,
-        ivf_corpus_cells,
-        lsh_corpus_buckets,
-        lsh_cosine_topk,
+        ivf_tagged_candidates,
+        lsh_tagged_candidates,
         pq_cosine_topk,
         with_recall_vs_exact,
     )
@@ -7738,16 +7776,20 @@ def sim_ann_param_sweep(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 8)
     dim_bytes = 64 * 4
     # ONE corpus-scanning brute-force pass prices all 9 sweep points (the
-    # 40-row exact baseline is localCheckpointed and re-broadcast per point),
-    # and each family's INDEX materializes once — nprobe/multiprobe only fan
-    # out the query side, exactly like a deployed index
+    # 40-row exact baseline is localCheckpointed and re-broadcast per point);
+    # each tagged frame is |q|-bounded × the max-setting candidate rate and
+    # materializes once
     exact = (
         brute_force_cosine_topk(q, e, k=5)
         .select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
         .localCheckpoint(eager=True)
     )
-    ivf_index = ivf_corpus_cells(e, nlist=64).localCheckpoint(eager=True)
-    lsh_index = lsh_corpus_buckets(e, n_planes=8).localCheckpoint(eager=True)
+    ivf_tagged = ivf_tagged_candidates(q, e, nlist=64, max_nprobe=8).localCheckpoint(
+        eager=True
+    )
+    lsh_tagged = lsh_tagged_candidates(
+        q, e, n_planes=8, max_multiprobe=2
+    ).localCheckpoint(eager=True)
 
     def sweep_row(approx, family, config, scan_ppm, bytes_ppm):
         r = with_recall_vs_exact(approx, q, e, k=5, exact=exact)
@@ -7768,37 +7810,94 @@ def sim_ann_param_sweep(spark, sf_dir):
             ).alias("mean_recall_at_k"),
         )
 
-    sweeps = []
-    for nprobe in (1, 2, 4, 8):
-        sweeps.append(
-            sweep_row(
-                ivf_cosine_topk(
-                    q, e, k=5, nlist=64, nprobe=nprobe, corpus_cells=ivf_index
-                ),
-                "ivf",
-                f"nprobe={nprobe}",
-                nprobe * 1_000_000 // 64,
-                1_000_000,
+    def family_recalls(tagged, tag_col, settings):
+        """ALL of a family's sweep points from its tagged frame in ONE
+        window + ONE recall join + ONE grouped aggregation: a candidate
+        replicates to every setting whose probe reaches it (explode +
+        filter on the minimal-setting tag), the per-(setting, query)
+        top-k is a single window pass, and recall aggregates grouped by
+        setting — arithmetic identical to sweep_row's per-point path
+        (same round-to-6 / decimal-sum ladder)."""
+        from pyspark.sql import Window
+
+        cand = tagged.withColumn(
+            "setting", F.explode(F.array(*[F.lit(int(s)) for s in settings]))
+        ).filter(F.col(tag_col) <= F.col("setting"))
+        w = Window.partitionBy("setting", "query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        topk = (
+            cand.dropDuplicates(["setting", "query_id", "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+        )
+        per_q = (
+            topk.alias("a")
+            .join(
+                F.broadcast(exact).alias("e"),
+                (F.col("a.query_id") == F.col("e.query_id"))
+                & (F.col("a.neighbor_id") == F.col("e.exact_neighbor_id")),
+                "left",
+            )
+            .groupBy(
+                F.col("a.setting").alias("setting"),
+                F.col("a.query_id").alias("query_id"),
+            )
+            .agg(
+                F.round(F.count("e.exact_neighbor_id") / F.lit(5.0), 6).alias(
+                    "recall"
+                )
             )
         )
+        return per_q.groupBy("setting").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            (
+                F.round(
+                    F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("mean_recall_at_k"),
+        )
+
+    ivf_rows = family_recalls(ivf_tagged, "min_nprobe", (1, 2, 4, 8)).select(
+        F.lit("ivf").alias("family"),
+        F.concat(F.lit("nprobe="), F.col("setting").cast("string")).alias("config"),
+        F.expr("CAST(setting * 1000000 div 64 AS BIGINT)").alias("scan_fraction_ppm"),
+        F.lit(1_000_000).cast("bigint").alias("bytes_fraction_ppm"),
+        "n_queries",
+        "mean_recall_at_k",
+    )
+    bucket_ppm = F.lit(None).cast("bigint")
     for mp in (0, 1, 2):
         buckets = sum(math.comb(8, i) for i in range(mp + 1))
-        sweeps.append(
-            sweep_row(
-                lsh_cosine_topk(
-                    q, e, k=5, n_planes=8, multiprobe=mp, corpus_buckets=lsh_index
-                ),
-                "lsh",
-                f"multiprobe={mp}",
-                buckets * 1_000_000 // 256,
-                1_000_000,
-            )
+        bucket_ppm = (
+            F.when(F.col("setting") == mp, F.lit(buckets * 1_000_000 // 256))
+            .otherwise(bucket_ppm)
         )
+    lsh_rows = family_recalls(lsh_tagged, "min_radius", (0, 1, 2)).select(
+        F.lit("lsh").alias("family"),
+        F.concat(F.lit("multiprobe="), F.col("setting").cast("string")).alias(
+            "config"
+        ),
+        bucket_ppm.cast("bigint").alias("scan_fraction_ppm"),
+        F.lit(1_000_000).cast("bigint").alias("bytes_fraction_ppm"),
+        "n_queries",
+        "mean_recall_at_k",
+    )
+    sweeps = [ivf_rows, lsh_rows]
     for m, k_cent in ((8, 16), (16, 16)):
         nbits = int(math.log2(k_cent))
+        # with_recall_vs_exact references its approx frame TWICE (hits +
+        # join-back); checkpoint the ≤|q|·k-row top-k so the PQ corpus
+        # scan runs once per codebook, not twice
+        approx = pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent).localCheckpoint(
+            eager=True
+        )
         sweeps.append(
             sweep_row(
-                pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent),
+                approx,
                 "pq",
                 f"m={m},k={k_cent}",
                 1_000_000,

@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cached MV serving (plans/*_marts.py): by default AQE refuses to
+        # change the output partitioning of plans feeding a table cache,
+        # so every shuffle above an InMemoryTableScan keeps the full
+        # shuffle_partitions fan-out even for a 50-row mart — measured
+        # 5.0s vs 1.9s on the khop consumer at sf0.1 (r11). Allowing it
+        # costs at most a cache-rebuild on partitioning mismatch, which
+        # the registry's explicit refresh model already owns.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

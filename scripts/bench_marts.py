@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Registry-served vs standalone bench for the mart families
+(VERDICT r10 #3): the number that justifies the MV layer at 100 TB.
+
+For every mart consumer (GRAPH_MART_TWINS + TEXT_MART_TWINS) this times
+(a) the standalone oracle-contract query, which re-derives its root, and
+(b) the registry-served model after ONE build of the shared roots —
+including the root-build cost in the mart total, so the comparison is
+end-to-end honest. Writes BENCH_marts.json.
+
+Usage: python scripts/bench_marts.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_marts.json"
+
+    import __spark_entry__ as entry
+    from emdatapipelines_spark.plans.graph_marts import (
+        GRAPH_MART_TWINS,
+        register_graph_marts,
+    )
+    from emdatapipelines_spark.plans.registry import ModelRegistry
+    from emdatapipelines_spark.plans.text_marts import (
+        TEXT_MART_TWINS,
+        register_text_marts,
+    )
+    from emdatapipelines_spark.session import get_spark
+
+    spark = get_spark("bench-marts")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    twins = {**GRAPH_MART_TWINS, **TEXT_MART_TWINS}
+
+    # warm the JVM/scan path once so neither side pays first-job JIT
+    qs["gr_triangles"](spark, sf_dir).collect()
+
+    # min of 2 runs per side: both sides measured warm, order effects out
+    standalone: dict[str, float] = {}
+    for model, query in twins.items():
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[query](spark, sf_dir).collect()
+            times.append(time.time() - t0)
+        standalone[query] = round(min(times), 3)
+
+    reg = ModelRegistry()
+    register_graph_marts(reg, sf_dir)
+    register_text_marts(reg, sf_dir)
+    t0 = time.time()
+    # build the DAG, then force-materialize every `table` model (cache()
+    # is lazy — without this the first consumer would silently absorb the
+    # root-build cost and the split would flatter the serve numbers)
+    reg.build(spark, now=datetime(2024, 1, 1))
+    for name, model in reg._models.items():
+        if model.materialization == "table":
+            reg.results[name].count()
+    build_s = round(time.time() - t0, 3)
+
+    served: dict[str, float] = {}
+    for model in twins:
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            reg.results[model].collect()
+            times.append(time.time() - t0)
+        served[model] = round(min(times), 3)
+
+    res = {
+        "sf_dir": sf_dir,
+        "consumers": len(twins),
+        "standalone_total_s": round(sum(standalone.values()), 3),
+        "mart_build_s": build_s,
+        "mart_serve_total_s": round(sum(served.values()), 3),
+        "mart_total_s": round(build_s + sum(served.values()), 3),
+        "speedup_end_to_end": round(
+            sum(standalone.values()) / max(build_s + sum(served.values()), 1e-9), 3
+        ),
+        "standalone": standalone,
+        "mart_served": served,
+    }
+    with open(out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,19 +25,22 @@ def _built(spark):
 
 
 def test_marts_match_standalone_queries(spark):
-    """The mart family must produce byte-identical rows to the standalone
-    oracle/driver-checked queries it deduplicates."""
+    """EVERY mart consumer must produce byte-identical rows to the
+    standalone oracle/driver-checked query it deduplicates (r10 VERDICT
+    #3: estimate/profile/incremental-probe added r11 — the probe pair
+    also proves signatures(corpus) ≡ signatures(all).filter(ids))."""
+    from emdatapipelines_spark.plans.text_marts import TEXT_MART_TWINS
+
     reg = _built(spark)
     q = entry.queries()
-    pairs = [
-        ("text_lsh_candidates", "dd_minhash_lsh"),
-        ("text_jaccard_pairs", "dd_jaccard_pairs"),
-    ]
-    for model, query in pairs:
+    assert len(TEXT_MART_TWINS) == 5
+    for model, query in TEXT_MART_TWINS.items():
         got = reg.results[model]
         want = q[query](spark, SF)
         assert got.schema == want.schema, (model, got.schema, want.schema)
-        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        assert (
+            got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        ), f"{model} != {query}"
 
 
 def test_shingle_frame_materializes_once_and_serves_downstream(spark):

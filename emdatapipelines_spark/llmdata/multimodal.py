@@ -214,6 +214,65 @@ def _gray_histogram(rgb: "np.ndarray", dim: int) -> list:
     return (hist / total).astype(np.float64).tolist()
 
 
+def with_stub_f0(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "f0_expected"
+) -> DataFrame:
+    """Attach a JVM-side recomputation of the STUB kernel's FIRST feature
+    — an independent cross-check of the Arrow `decode_and_featurize`
+    path (r10 VERDICT #5: make the rows-only multimodal query
+    self-proving).
+
+    Mirrors `_fake_decode_batch` for idx=1 exactly: seed = first 8
+    payload bytes little-endian (zero-padded), x = seed + GOLDEN,
+    x ^= x >>> 30, x *= M1, x ^= x >>> 27, f0 = (x >>> 11) / 2^53.
+    Spark 4 ANSI mode throws on bigint overflow, so the uint64 wrap
+    numpy gets for free is spelled out in exact DECIMAL(38,0) mod-2^64
+    arithmetic over 32-bit limbs; XOR and logical shifts run on the
+    signed-bigint two's-complement form (same 64 bits). Each step is a
+    NAMED column — nesting them as one expression duplicates subtrees
+    exponentially and OOMs the analyzer."""
+    two64 = str(1 << 64)
+    dec = "decimal(38,0)"
+    golden = 0x9E3779B97F4A7C15
+    m1 = 0xBF58476D1CE4E5B9
+
+    def byte_at(k: int) -> str:  # 1-based, 0 when past payload end
+        return (
+            f"COALESCE(CAST(CONV(HEX(SUBSTRING({payload_col}, {k}, 1)), 16, 10)"
+            f" AS BIGINT), CAST(0 AS BIGINT))"
+        )
+
+    # little-endian 32-bit limbs of the seed (each < 2^32 — no overflow)
+    lo = " + ".join(f"{byte_at(k + 1)} * {1 << (8 * k)}" for k in range(4))
+    hi = " + ".join(f"{byte_at(k + 5)} * {1 << (8 * k)}" for k in range(4))
+    steps = {
+        "__seed_u": f"CAST({lo} AS {dec}) + CAST({hi} AS {dec}) * CAST(4294967296 AS {dec})",
+        # x1 = (seed + GOLDEN) mod 2^64, as unsigned decimal
+        "__x1_u": f"PMOD(__seed_u + CAST({golden} AS {dec}), CAST({two64} AS {dec}))",
+        # to signed bigint for XOR/shift
+        "__x1": f"CAST(CASE WHEN __x1_u >= CAST({1 << 63} AS {dec})"
+                f" THEN __x1_u - CAST({two64} AS {dec}) ELSE __x1_u END AS BIGINT)",
+        "__x2": "__x1 ^ SHIFTRIGHTUNSIGNED(__x1, 30)",
+        # back to unsigned limbs for the mod-2^64 multiply by M1
+        "__x2_u": f"CASE WHEN __x2 < 0 THEN CAST(__x2 AS {dec}) + CAST({two64} AS {dec})"
+                  f" ELSE CAST(__x2 AS {dec}) END",
+        "__a_lo": f"PMOD(__x2_u, CAST(4294967296 AS {dec}))",
+        "__a_hi": f"CAST((__x2_u - __a_lo) / CAST(4294967296 AS {dec}) AS {dec})",
+        "__mid": f"PMOD(__a_lo * CAST({m1 >> 32} AS {dec})"
+                 f" + __a_hi * CAST({m1 & 0xFFFFFFFF} AS {dec}),"
+                 f" CAST(4294967296 AS {dec}))",
+        "__x3_u": f"PMOD(__a_lo * CAST({m1 & 0xFFFFFFFF} AS {dec})"
+                  f" + __mid * CAST(4294967296 AS {dec}), CAST({two64} AS {dec}))",
+        "__x3": f"CAST(CASE WHEN __x3_u >= CAST({1 << 63} AS {dec})"
+                f" THEN __x3_u - CAST({two64} AS {dec}) ELSE __x3_u END AS BIGINT)",
+        "__x4": "__x3 ^ SHIFTRIGHTUNSIGNED(__x3, 27)",
+        out_col: f"CAST(SHIFTRIGHTUNSIGNED(__x4, 11) AS DOUBLE) / {float(1 << 53)!r}",
+    }
+    for name, expr in steps.items():
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[c for c in steps if c != out_col])
+
+
 def decode_and_featurize(df: DataFrame, feature_dim: int = 8, kernel: str = "auto") -> DataFrame:
     """Decode + feature-extract stage over media batches.
 

@@ -16,6 +16,7 @@ from ..llmdata.dedup import (
     incremental_minhash_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    minhash_signatures_from_hashes,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -209,10 +210,54 @@ def dd_dedup_survivors(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("dd_minhash_lsh")
 def dd_minhash_lsh(spark, sf_dir):
+    """Self-proving rows (r10 VERDICT #5): each candidate pair carries
+    ``mh_matches`` (agreeing signature positions, 0..64 — the MinHash
+    Jaccard estimator ×64) AND ``exact_jaccard_ppm`` computed from the
+    hashed shingle sets of the CANDIDATE pairs only (output-bounded, not
+    corpus-bounded), so the driver's rows-only record shows
+    estimator-vs-exact consistency in-row. tests/test_rows_only_invariants.py
+    asserts the bound: exact duplicates (jaccard=1) agree on all 64
+    positions, and the mean |mh/64 − exact| stays within the √(1/64)
+    binomial envelope."""
+    from ..llmdata.dedup import hashed_shingles
+
     d = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, n=3, num_hashes=64)
+    sh = hashed_shingles(d, "doc_id", "text", n=3)
+    sigs = minhash_signatures_from_hashes(sh, num_hashes=64)
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
-    return cands.orderBy("id_a", "id_b")
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("int").alias("mh_matches"),
+        )
+    )
+    sets = sh.groupBy(F.col("id")).agg(F.collect_set("h").alias("hs"))
+    xa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    xb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    return (
+        est.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "mh_matches",
+            F.expr(
+                "CAST((SIZE(ARRAY_INTERSECT(hs_a, hs_b)) * CAST(1000000 AS BIGINT))"
+                " div (SIZE(hs_a) + SIZE(hs_b) - SIZE(ARRAY_INTERSECT(hs_a, hs_b)))"
+                " AS BIGINT)"
+            ).alias("exact_jaccard_ppm"),
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +412,43 @@ def tx_nb_quality(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("dd_simhash")
 def dd_simhash(spark, sf_dir):
-    return simhash(t(spark, sf_dir, "documents")).orderBy("id")
+    """Self-proving rows (r10 VERDICT #5): each fingerprint row carries
+    its normalized-TOKEN-SET group (two docs with the same distinct-token
+    set MUST hash to the same fingerprint — SimHash is a pure function of
+    that set) and the count of distinct fingerprints in its group, so the
+    driver's rows-only record exposes the determinism invariant in-row:
+    ``n_group_fps`` must be 1 on every row
+    (tests/test_rows_only_invariants.py)."""
+    from pyspark.sql import Window
+
+    from ..llmdata.dedup import _norm_text
+
+    d = t(spark, sf_dir, "documents")
+    fp = simhash(d)
+    keys = d.select(
+        F.col("doc_id").alias("id"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.array_remove(
+                        F.array_distinct(F.split(_norm_text("text"), " ")), ""
+                    )
+                ),
+            )
+        ).alias("token_set_key"),
+    )
+    w = Window.partitionBy("token_set_key")
+    return (
+        fp.join(keys, "id")
+        .select(
+            "id",
+            "simhash",
+            F.count(F.lit(1)).over(w).cast("int").alias("n_group_docs"),
+            F.size(F.collect_set("simhash").over(w)).cast("int").alias("n_group_fps"),
+        )
+        .orderBy("id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -548,12 +629,31 @@ def mm_media_features(spark, sf_dir):
     media = media.withColumn("byte_size", F.length("payload").cast("long"))
     media = partition_by_bytes(media, "byte_size", target_partition_bytes=1 * 1024 * 1024)
     feats = decode_and_featurize(media, feature_dim=8, kernel="stub")  # oracle-pinned
-    return feats.select(
-        "media_id",
-        "mime_type",
-        "decode_status",
-        F.size("feature").alias("feature_dim"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    # self-proving rows (r10 VERDICT #5): f0_expected recomputes the stub
+    # kernel's first feature JVM-side from the payload bytes
+    # (multimodal.stub_f0_expr) — an independent cross-check of the whole
+    # Arrow kernel path, exposed in-row; f0_consistent must be true on
+    # every ok row (tests/test_rows_only_invariants.py)
+    from ..llmdata.multimodal import with_stub_f0
+
+    expected = with_stub_f0(media.select("media_id", "payload")).select(
+        "media_id", F.round("f0_expected", 6).alias("f0_expected")
+    )
+    return (
+        feats.join(expected, "media_id")
+        .select(
+            "media_id",
+            "mime_type",
+            "decode_status",
+            F.size("feature").alias("feature_dim"),
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+            "f0_expected",
+            (
+                (F.col("decode_status") != "ok")
+                | (F.round(F.element_at("feature", 1), 6) == F.col("f0_expected"))
+            ).alias("f0_consistent"),
+        )
+        .orderBy("media_id")
     )
 
 
@@ -1140,8 +1240,19 @@ def ml_forest_predictions(spark, sf_dir):
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
-    pred = model.transform(data)
-    return pred.select("vec_id", "label", F.col("prediction").cast("int").alias("predicted_label"))
+    pred = model.transform(data).select(
+        "vec_id", "label", F.col("prediction").cast("int").alias("predicted_label")
+    )
+    # self-proving rows (r10 VERDICT #5): every row carries the model's
+    # full-data accuracy so the driver's rows-only record exposes the
+    # quality bar; tests/test_rows_only_invariants.py pins the floor
+    acc = pred.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN CAST(label AS INT) = predicted_label THEN 1"
+            " ELSE 0 END) * CAST(1000000 AS BIGINT) div COUNT(*) AS BIGINT)"
+        ).alias("train_accuracy_ppm")
+    )
+    return pred.crossJoin(F.broadcast(acc)).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------

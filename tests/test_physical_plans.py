@@ -86,6 +86,9 @@ BNLJ_ALLOWED = {
     # ANN graph twin: non-equi brute-force recall probe over the broadcast
     # 20-source sample + crossJoin(broadcast(1-row recall aggregate))
     "sim_knn_graph_ann",
+    # self-proving accuracy row (r11, VERDICT r10 #5):
+    # crossJoin(broadcast(1-row train-accuracy aggregate))
+    "ml_forest_predictions",
     # exact k-NN baseline (r8): non-equi join of the broadcast FIXED
     # <=20-source probe set against the corpus — bounded by the probe set,
     # the corpus side never shuffles (replaced the all-pairs O(n^2) graph,
@@ -171,18 +174,33 @@ def test_projection_queries_stay_codegen(spark, name):
 
 
 def test_simhash_plan_is_shuffle_free(spark):
-    """The r4 shuffle-elimination win (commit b965683): SimHash folds
-    row-locally — the ONLY Exchange allowed is the final orderBy's range
-    partitioning. A refactor reintroducing the explode+groupBy shape would
-    shuffle the whole token stream (catastrophic at 100 TB) while still
-    passing value checks."""
-    plan = _plan(spark, "dd_simhash")
-    # allowed: the final orderBy's range partitioning + the ingest-boundary
-    # round-robin repartition (registry._restore_scan_parallelism — moves
-    # document ROWS once, before the fold). Forbidden: any hash exchange,
-    # which is what the explode+groupBy shape would reintroduce.
+    """The r4 shuffle-elimination win (commit b965683): the SimHash
+    OPERATOR folds row-locally — no Exchange at all in its plan. A
+    refactor reintroducing the explode+groupBy shape would shuffle the
+    whole token stream (catastrophic at 100 TB) while still passing
+    value checks."""
+    from emdatapipelines_spark.llmdata.dedup import simhash
+    from emdatapipelines_spark.queries.registry import t as load
+
+    plan = (
+        simhash(load(spark, SF, "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "hashpartitioning" not in plan
-    assert plan.count("Exchange") <= 2 and "rangepartitioning" in plan
+    assert "Generate" not in plan  # the explode+groupBy regression shape
+
+
+def test_simhash_query_shuffles_doc_rate_only(spark):
+    """The dd_simhash QUERY adds the r11 self-proving group-consistency
+    columns (join + window keyed on the md5 token-set key) — those
+    exchanges move DOC-rate rows (id / 32-byte key), never the token
+    stream: no Generate (explode) may appear anywhere in the plan, and
+    the exchange count stays bounded."""
+    plan = _plan(spark, "dd_simhash")
+    assert "Generate" not in plan
+    assert plan.count("Exchange") <= 6
 
 
 def test_repetition_plan_is_shuffle_free(spark):

@@ -109,6 +109,14 @@ def run_one(name: str, sf_dir: str, passes: int) -> int:
     return 0
 
 
+#: r10 VERDICT #6 — tx_nb_quality and tpch_q5_local_supplier doubled at
+#: sf0.1 on byte-identical code (sub-2s, within historical gating noise,
+#: but twice in a row would not be). They join the isolated re-measure set
+#: every run so BENCH artifacts carry fresh-JVM numbers that settle
+#: drift-vs-plan.
+DRIFT_WATCH = ("tx_nb_quality", "tpch_q5_local_supplier")
+
+
 def _isolate(names: list[str], sf_dir: str, passes: int) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for name in names:
@@ -224,6 +232,12 @@ def main() -> int:
         line["failures"] = failures
     if isolate_n:
         top = sorted(timings, key=lambda n: -timings[n])[:isolate_n]
+        # drift suspects (r10 VERDICT #6): queries that moved on
+        # byte-identical code ride along in every isolation run until the
+        # drift-vs-plan question is settled, regardless of rank
+        for name in DRIFT_WATCH:
+            if name in timings and name not in top:
+                top.append(name)
         line["isolated"] = _isolate(top, sf_dir, passes)
 
     # Full record to a repo artifact (the driver keeps only the LAST 2000

@@ -32,8 +32,14 @@ from ..plans.registry import ModelRegistry
 from ..queries.registry import t
 
 
-def build_emergency_dag(spark: SparkSession, sf_dir: str) -> ModelRegistry:
-    reg = ModelRegistry()
+def build_emergency_dag(
+    spark: SparkSession, sf_dir: str, registry: ModelRegistry | None = None
+) -> ModelRegistry:
+    """``registry``: pass a pre-built registry (e.g. one carrying a
+    GovernanceLog, or one the graph/text marts are also registered on) to
+    compose the emergency DAG into a larger governed run
+    (`pipelines/governed.py`)."""
+    reg = registry if registry is not None else ModelRegistry()
 
     # -- sources ------------------------------------------------------------
     @reg.model("src_declarations")

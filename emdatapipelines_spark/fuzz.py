@@ -311,6 +311,15 @@ class _Gen:
             )
         if k == "trim":
             a = self.gen_str(env, d - 1)
+            if self.r.random() < 0.4:
+                fn = self.r.choice(("lpad", "rpad"))
+                n = self.r.randint(3, 12)
+                pad = self.r.choice(("_", "0", "ab"))
+                return Expr(
+                    f"{fn}({a.spark}, {n}, '{pad}')",
+                    f"{fn}({a.duck}, {n}, '{pad}')",
+                    "str",
+                )
             return Expr(f"trim({a.spark})", f"trim({a.duck})", "str")
         if k == "replace":
             a = self.gen_str(env, d - 1)
@@ -349,6 +358,9 @@ class _Gen:
         if k == "int_cmp":
             if ic and self.r.random() < 0.7:
                 c = self.r.choice(ic)
+                if self.r.random() < 0.2 and len(c.lits) >= 2:
+                    lo, hi = sorted(self.r.sample(list(c.lits), 2))
+                    return Expr.same(f"({c.name} BETWEEN {lo} AND {hi})", "bool")
                 op = self.r.choice(("<", "<=", ">", ">=", "=", "<>"))
                 lit = self.r.choice(c.lits)
                 return Expr.same(f"({c.name} {op} {lit})", "bool")
@@ -405,9 +417,17 @@ class _Gen:
     def gen_agg(self, env: list[Col]) -> Expr:
         k = self.r.choice(
             ("count", "count_distinct", "min_int", "max_int", "sum_int",
-             "min_str", "max_str", "min_ts", "max_ts", "sum_dec")
+             "min_str", "max_str", "min_ts", "max_ts", "sum_dec",
+             "min_dbl", "max_dbl")
         )
         ic = self._col(env, "int")
+        if k in ("min_dbl", "max_dbl"):
+            # min/max of a stored double is an exact parquet value — safe
+            # to compare (no arithmetic, both engines return the same bits)
+            dcol = self._col(env, "double")
+            if dcol is None:
+                return Expr.same("CAST(COUNT(*) AS BIGINT)", "int")
+            return Expr.same(f"{k[:3].upper()}({dcol.name})", "dbl")
         if k == "count":
             return Expr.same("CAST(COUNT(*) AS BIGINT)", "int")
         if k == "count_distinct" and ic is not None:

@@ -28,7 +28,6 @@ from datetime import timedelta
 from ..llmdata.dedup import (
     hashed_shingles,
     jaccard_pairs_from_hashes,
-    minhash_lsh_candidates,
     minhash_signatures_from_hashes,
 )
 from ..queries.registry import t
@@ -66,12 +65,14 @@ def register_text_marts(
             deps["doc_shingles"], num_hashes=NUM_HASHES
         )
 
-    @registry.model("text_lsh_candidates", deps=["text_minhash_signatures"])
+    @registry.model("text_lsh_candidates", deps=["doc_shingles"])
     def text_lsh_candidates(spark, deps):
-        """Same rows as the standalone ``dd_minhash_lsh``."""
-        return minhash_lsh_candidates(
-            deps["text_minhash_signatures"], bands=BANDS, rows_per_band=ROWS_PER_BAND
-        ).orderBy("id_a", "id_b")
+        """Same rows as the standalone ``dd_minhash_lsh`` (r11: including
+        its self-proving mh_matches / exact_jaccard_ppm invariant columns,
+        so the mart serves the same enriched shape)."""
+        from ..queries.extensions import _lsh_candidates_with_invariants
+
+        return _lsh_candidates_with_invariants(deps["doc_shingles"])
 
     @registry.model("text_jaccard_pairs", deps=["doc_shingles"])
     def text_jaccard_pairs(spark, deps):

@@ -223,6 +223,13 @@ def dd_minhash_lsh(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     sh = hashed_shingles(d, "doc_id", "text", n=3)
+    return _lsh_candidates_with_invariants(sh)
+
+
+def _lsh_candidates_with_invariants(sh):
+    """Enriched LSH candidates from a hashed-shingle frame — shared by the
+    standalone ``dd_minhash_lsh`` and the `plans/text_marts.py`
+    ``text_lsh_candidates`` model (byte-equality pinned per consumer)."""
     sigs = minhash_signatures_from_hashes(sh, num_hashes=64)
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))

@@ -41,14 +41,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # cached MV serving (plans/*_marts.py): by default AQE refuses to
-        # change the output partitioning of plans feeding a table cache,
-        # so every shuffle above an InMemoryTableScan keeps the full
-        # shuffle_partitions fan-out even for a 50-row mart — measured
-        # 5.0s vs 1.9s on the khop consumer at sf0.1 (r11). Allowing it
-        # costs at most a cache-rebuild on partitioning mismatch, which
-        # the registry's explicit refresh model already owns.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # NOTE (r11): canChangeCachedPlanOutputPartitioning stays at its
+        # FALSE default. Enabling it fixed cached-MV serving (AQE could
+        # coalesce stages above InMemoryTableScans) but coalesces
+        # byte-small/CPU-heavy persisted frames too — dd_containment's
+        # verify join dropped from 32 tasks to 4 and slowed ~1.5x. The MV
+        # fix that survives both workloads is partition-sizing the mart
+        # roots themselves (coalesce(1) on dimension-sized models in
+        # plans/graph_marts.py); with that, serving is equally fast with
+        # the conf off (A/B in SCALING.md round-11).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

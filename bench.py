@@ -61,11 +61,19 @@ def _session():
 
 
 def _time_passes(spark, fn, sf_dir: str, passes: int) -> list[float]:
+    from emdatapipelines_spark.cachectl import release_tracked
+
     out = []
     for _ in range(passes):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         out.append(time.perf_counter() - t0)
+        # r11 VERDICT #1: queries that pin intermediates (eager
+        # localCheckpoints, persisted shingle frames) register them on the
+        # cachectl ledger; release AFTER materialization so pinned blocks
+        # never leak into the next pass/query's memory budget. clearCache
+        # still sweeps catalog-level caches (cannot reach checkpoints).
+        release_tracked()
         spark.catalog.clearCache()
     return out
 
@@ -91,9 +99,12 @@ def _host_calibration() -> float:
 def run_one(name: str, sf_dir: str, passes: int) -> int:
     """Single-query mode (used by --isolate subprocesses): fresh JVM, one
     same-query warmup, then ``passes`` timed passes; prints min/median."""
+    from emdatapipelines_spark.cachectl import release_tracked
+
     spark, queries = _session()
     fn = queries[name]
     _force(fn(spark, sf_dir))  # warm this query's codegen in the fresh JVM
+    release_tracked()
     spark.catalog.clearCache()
     times = _time_passes(spark, fn, sf_dir, passes)
     print(
@@ -155,8 +166,11 @@ def main() -> int:
     spark, queries = _session()
 
     # Warmup: trigger codegen/JIT + parquet footer reads once.
+    from emdatapipelines_spark.cachectl import release_tracked
+
     warm = queries.get("a1_pricing_summary") or next(iter(queries.values()))
     _force(warm(spark, sf_dir))
+    release_tracked()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}

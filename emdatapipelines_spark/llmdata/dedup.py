@@ -110,18 +110,16 @@ def jaccard_pairs_from_hashes(
     frame (the `plans/text_marts.py` path) get no second cache of the same
     rows. ``persist=True`` (the standalone :func:`ngram_jaccard_pairs`
     path, where the shingle explode would otherwise re-run per consumer)
-    caches MEMORY_AND_DISK and the CALLER owns the cache lifetime: the
-    frame stays pinned until Spark's LRU evicts it or the session ends, so
-    a long-lived session invoking this repeatedly with ``persist=True``
-    should ``spark.catalog.clearCache()`` between invocations if memory
-    pressure matters (r10 ADVICE).
+    caches MEMORY_AND_DISK through the :mod:`..cachectl` ledger, so the
+    CALLER can release the pin deterministically with
+    ``cachectl.release_tracked()`` after materializing the result —
+    per-frame, instead of the blunt ``spark.catalog.clearCache()``
+    (r11 ADVICE; the harness does this after every query).
 
     Shingles arrive collapsed to a 64-bit xxhash: the shuffle moves 8-byte
     keys instead of ~n·word strings, and hash/compare in the join is
     constant-time (collision odds for d distinct shingles ≈ d²/2⁶⁵ —
     negligible against near-dup thresholds)."""
-    from pyspark import StorageLevel
-
     # The shingle frame feeds three consumers (sizes, both join sides);
     # persist so the regex-normalize + shingle explode — the scan-cost term
     # at 100 TB — runs once, not per consumer. ReuseExchange already dedupes
@@ -129,7 +127,9 @@ def jaccard_pairs_from_hashes(
     # remaining recomputation for the sizes aggregate.
     sh = hashes.select("id", F.col("h").alias("shingle"))
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        from ..cachectl import tracked_persist
+
+        sh = tracked_persist(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_shingle_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -186,7 +186,7 @@ def prefix_jaccard_pairs(
     full token arrays for CANDIDATE pairs only (output-bounded, not
     corpus-bounded). Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    from pyspark import StorageLevel
+    from ..cachectl import tracked_persist
 
     # The shingle stream feeds two consumers (df counts, the ordered-set
     # build) and the ordered-set frame feeds three (prefix index, both
@@ -195,13 +195,11 @@ def prefix_jaccard_pairs(
     # scans / 0 reused exchanges without). Runtime exchange reuse can NOT
     # dedupe these (each consumer shuffles to a different key: ptok / id_a /
     # id_b), so unlike triangle_count the cache pays: sf1 warm 6.2s
-    # persisted vs 10.2s not.
-    sh = (
+    # persisted vs 10.2s not. Tracked (cachectl): harness-releasable.
+    sh = tracked_persist(
         docs.select(
             F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sgl")
-        )
-        .select("id", F.xxhash64("sgl").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).select("id", F.xxhash64("sgl").alias("shingle"))
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # Global rarest-first order = (df, shingle); the per-doc sorted array is
@@ -236,8 +234,8 @@ def prefix_jaccard_pairs(
                 F.filter("__ord", lambda s: s["df"] > 1), lambda s: s["shingle"]
             ).alias("toks"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grouped = tracked_persist(grouped)
     prefix = grouped.select("id", F.explode("ptoks").alias("ptok"))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
@@ -330,12 +328,12 @@ def containment_pairs(
             ).alias("toks"),
         )
     )
-    from pyspark import StorageLevel
+    from ..cachectl import tracked_persist
 
     # consumed by three branches (prefix probe, full index, both verify
     # sides) that shuffle to different keys — the measured prefix-join
-    # persist rationale applies unchanged
-    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist rationale applies unchanged (tracked: harness-releasable)
+    grouped = tracked_persist(grouped)
     # probe/index rows carry their set size so the |B| >= ceil(t*|A|)
     # size filter runs INSIDE the candidate join — pairs that can never
     # qualify are dropped before the distinct and before any full shingle
@@ -814,12 +812,16 @@ def duplicated_ngram_spans(
     # birthday-bounded ~1e-9 per 6M grams — acceptable for dedup counting.
     # Persisted: the positional gram stream feeds BOTH the df count and the
     # anchor join, and the normalize+gram-build scan is the dominant cost
-    # (same two-consumer device as ngram_jaccard_pairs).
-    from pyspark import StorageLevel
+    # (same two-consumer device as ngram_jaccard_pairs). Tracked:
+    # harness-releasable (cachectl).
+    from ..cachectl import tracked_persist
 
-    grams = base.select(
-        "id", F.posexplode(F.transform(acc, lambda g: F.xxhash64(g))).alias("pos", "gh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    grams = tracked_persist(
+        base.select(
+            "id",
+            F.posexplode(F.transform(acc, lambda g: F.xxhash64(g))).alias("pos", "gh"),
+        )
+    )
     df_agg = grams.groupBy("gh").agg(F.count_distinct("id").alias("df"))
     dup = df_agg.filter(F.col("df") >= min_docs)
     if max_df is not None:

@@ -73,6 +73,15 @@ class ModelRegistry:
 
         return wrap
 
+    def materialized_names(self) -> list[str]:
+        """Names of every ``table``-materialized model, topo order — the
+        public accessor harnesses use to force-materialize the cached
+        layer (r11 ADVICE: scripts iterating private ``_models`` state
+        would silently break on a registry refactor)."""
+        return [
+            n for n in self.topo_order() if self._models[n].materialization == "table"
+        ]
+
     def topo_order(self) -> list[str]:
         order: list[str] = []
         state: dict[str, int] = {}

@@ -219,18 +219,32 @@ def dd_minhash_lsh(spark, sf_dir):
     asserts the bound: exact duplicates (jaccard=1) agree on all 64
     positions, and the mean |mh/64 − exact| stays within the √(1/64)
     binomial envelope."""
+    from ..cachectl import tracked_persist
     from ..llmdata.dedup import hashed_shingles
 
     d = t(spark, sf_dir, "documents")
-    sh = hashed_shingles(d, "doc_id", "text", n=3)
+    # r11 ADVICE: the helper consumes the shingle frame twice (signature
+    # build + collect_set exact-Jaccard) — the standalone path persists it
+    # so the normalize+shingle explode runs once; the mart path already
+    # serves it from a cached dep. Tracked: harness releases post-collect.
+    sh = tracked_persist(hashed_shingles(d, "doc_id", "text", n=3))
     return _lsh_candidates_with_invariants(sh)
 
 
 def _lsh_candidates_with_invariants(sh):
     """Enriched LSH candidates from a hashed-shingle frame — shared by the
     standalone ``dd_minhash_lsh`` and the `plans/text_marts.py`
-    ``text_lsh_candidates`` model (byte-equality pinned per consumer)."""
-    sigs = minhash_signatures_from_hashes(sh, num_hashes=64)
+    ``text_lsh_candidates`` model (byte-equality pinned per consumer).
+
+    The signature frame feeds THREE consumers (LSH banding + both sides of
+    the estimator join); it is doc-count × 64-int small, so an eager
+    tracked checkpoint materializes it once instead of re-aggregating the
+    shingle frame per consumer (r11 ADVICE)."""
+    from ..cachectl import tracked_local_checkpoint
+
+    sigs = tracked_local_checkpoint(
+        minhash_signatures_from_hashes(sh, num_hashes=64)
+    )
     cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
@@ -1247,8 +1261,15 @@ def ml_forest_predictions(spark, sf_dir):
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
-    pred = model.transform(data).select(
-        "vec_id", "label", F.col("prediction").cast("int").alias("predicted_label")
+    from ..cachectl import tracked_local_checkpoint
+
+    # the frame feeds both the accuracy aggregate and the returned rows —
+    # checkpoint so the forest scoring pass executes once per collect, not
+    # twice (r11 ADVICE); tracked: harness releases post-collect
+    pred = tracked_local_checkpoint(
+        model.transform(data).select(
+            "vec_id", "label", F.col("prediction").cast("int").alias("predicted_label")
+        )
     )
     # self-proving rows (r10 VERDICT #5): every row carries the model's
     # full-data accuracy so the driver's rows-only record exposes the
@@ -5829,11 +5850,12 @@ def _minhash_estimate_from_shingles(sh, persist: bool = False):
     frame feeds sizes, the df-cap frequency agg, both join sides, and the
     16-seed signature fan-out — five consumers of one explode) and the
     `plans/text_marts.py` ``text_minhash_estimate`` model (persist=False:
-    the dep is already a cached table)."""
-    from pyspark import StorageLevel
+    the dep is already a cached table). Pins go through the cachectl
+    ledger so the harness releases them post-collect (r11 ADVICE)."""
+    from ..cachectl import tracked_persist
 
     if persist:
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = tracked_persist(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     cold = (
         sh.groupBy("shingle")
@@ -5891,7 +5913,7 @@ def _minhash_estimate_from_shingles(sh, persist: bool = False):
     # pair_ids) and sits downstream of the expensive shingle self-join —
     # persist it (near-dup pairs: a handful of rows) or the join runs
     # twice (measured 26.6s vs 8s at sf1).
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = tracked_persist(pairs)
     pair_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -7846,6 +7868,74 @@ def dd_contamination_exact(spark, sf_dir):
     return exact_lcs_contamination(d.filter(~is_eval), d.filter(is_eval))
 
 
+def _family_recalls(tagged, tag_col, settings, exact):
+    """ALL of a family's sweep points (``sim_ann_param_sweep``) from its
+    tagged frame in ONE
+    window + ONE recall join + ONE grouped aggregation: a candidate
+    replicates to every setting whose probe reaches it (explode +
+    filter on the minimal-setting tag), the per-(setting, query)
+    top-k is a single window pass, and recall aggregates grouped by
+    setting — arithmetic identical to sweep_row's per-point path
+    (same round-to-6 / decimal-sum ladder)."""
+    from pyspark.sql import Window
+
+    cand = tagged.withColumn(
+        "setting", F.explode(F.array(*[F.lit(int(s)) for s in settings]))
+    ).filter(F.col(tag_col) <= F.col("setting"))
+    w = Window.partitionBy("setting", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = (
+        cand.dropDuplicates(["setting", "query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    per_q = (
+        topk.alias("a")
+        .join(
+            F.broadcast(exact).alias("e"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.exact_neighbor_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.setting").alias("setting"),
+            F.col("a.query_id").alias("query_id"),
+        )
+        .agg(
+            F.round(F.count("e.exact_neighbor_id") / F.lit(5.0), 6).alias(
+                "recall"
+            )
+        )
+    )
+    computed = per_q.groupBy("setting").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        (
+            F.round(
+                F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("mean_recall_at_k"),
+    )
+    # r11 ADVICE: a sweep setting reached by ZERO candidates (degenerate
+    # corpus/seed corner) would emit no grouped row and silently shrink
+    # the published 9-row shape; the per-point sweep_row path always
+    # emitted one (n_queries=0, mean NULL). Left-join onto the literal
+    # settings frame so every config always appears, identically.
+    all_settings = tagged.sparkSession.createDataFrame(
+        [(int(s),) for s in settings], "setting int"
+    )
+    return all_settings.join(computed, "setting", "left").select(
+        "setting",
+        F.coalesce(F.col("n_queries"), F.lit(0).cast("bigint")).alias(
+            "n_queries"
+        ),
+        "mean_recall_at_k",
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity: ANN parameter-sweep mart (recall-vs-cost) — the table an ANN
 # deployment decision actually reads: for nprobe ∈ {1,2,4,8} on the same
@@ -7882,6 +7972,7 @@ def sim_ann_param_sweep(spark, sf_dir):
     share), instead of one probe pass per sweep point (9)."""
     import math
 
+    from ..cachectl import tracked_local_checkpoint
     from ..llmdata.similarity import (
         brute_force_cosine_topk,
         ivf_tagged_candidates,
@@ -7897,17 +7988,20 @@ def sim_ann_param_sweep(spark, sf_dir):
     # 40-row exact baseline is localCheckpointed and re-broadcast per point);
     # each tagged frame is |q|-bounded × the max-setting candidate rate and
     # materializes once
-    exact = (
-        brute_force_cosine_topk(q, e, k=5)
-        .select("query_id", F.col("neighbor_id").alias("exact_neighbor_id"))
-        .localCheckpoint(eager=True)
+    # tracked (cachectl): the r11 bench measured this query at 21.3s gated
+    # vs 9.6s isolated with the leaked eager checkpoints as prime suspect —
+    # the harness releases them after materializing the result
+    exact = tracked_local_checkpoint(
+        brute_force_cosine_topk(q, e, k=5).select(
+            "query_id", F.col("neighbor_id").alias("exact_neighbor_id")
+        )
     )
-    ivf_tagged = ivf_tagged_candidates(q, e, nlist=64, max_nprobe=8).localCheckpoint(
-        eager=True
+    ivf_tagged = tracked_local_checkpoint(
+        ivf_tagged_candidates(q, e, nlist=64, max_nprobe=8)
     )
-    lsh_tagged = lsh_tagged_candidates(
-        q, e, n_planes=8, max_multiprobe=2
-    ).localCheckpoint(eager=True)
+    lsh_tagged = tracked_local_checkpoint(
+        lsh_tagged_candidates(q, e, n_planes=8, max_multiprobe=2)
+    )
 
     def sweep_row(approx, family, config, scan_ppm, bytes_ppm):
         r = with_recall_vs_exact(approx, q, e, k=5, exact=exact)
@@ -7928,58 +8022,7 @@ def sim_ann_param_sweep(spark, sf_dir):
             ).alias("mean_recall_at_k"),
         )
 
-    def family_recalls(tagged, tag_col, settings):
-        """ALL of a family's sweep points from its tagged frame in ONE
-        window + ONE recall join + ONE grouped aggregation: a candidate
-        replicates to every setting whose probe reaches it (explode +
-        filter on the minimal-setting tag), the per-(setting, query)
-        top-k is a single window pass, and recall aggregates grouped by
-        setting — arithmetic identical to sweep_row's per-point path
-        (same round-to-6 / decimal-sum ladder)."""
-        from pyspark.sql import Window
-
-        cand = tagged.withColumn(
-            "setting", F.explode(F.array(*[F.lit(int(s)) for s in settings]))
-        ).filter(F.col(tag_col) <= F.col("setting"))
-        w = Window.partitionBy("setting", "query_id").orderBy(
-            F.desc("cosine"), F.asc("neighbor_id")
-        )
-        topk = (
-            cand.dropDuplicates(["setting", "query_id", "neighbor_id"])
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-        )
-        per_q = (
-            topk.alias("a")
-            .join(
-                F.broadcast(exact).alias("e"),
-                (F.col("a.query_id") == F.col("e.query_id"))
-                & (F.col("a.neighbor_id") == F.col("e.exact_neighbor_id")),
-                "left",
-            )
-            .groupBy(
-                F.col("a.setting").alias("setting"),
-                F.col("a.query_id").alias("query_id"),
-            )
-            .agg(
-                F.round(F.count("e.exact_neighbor_id") / F.lit(5.0), 6).alias(
-                    "recall"
-                )
-            )
-        )
-        return per_q.groupBy("setting").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            (
-                F.round(
-                    F.sum(F.col("recall").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1))
-                    * 1000000.0
-                )
-                / 1000000.0
-            ).alias("mean_recall_at_k"),
-        )
-
-    ivf_rows = family_recalls(ivf_tagged, "min_nprobe", (1, 2, 4, 8)).select(
+    ivf_rows = _family_recalls(ivf_tagged, "min_nprobe", (1, 2, 4, 8), exact).select(
         F.lit("ivf").alias("family"),
         F.concat(F.lit("nprobe="), F.col("setting").cast("string")).alias("config"),
         F.expr("CAST(setting * 1000000 div 64 AS BIGINT)").alias("scan_fraction_ppm"),
@@ -7994,7 +8037,7 @@ def sim_ann_param_sweep(spark, sf_dir):
             F.when(F.col("setting") == mp, F.lit(buckets * 1_000_000 // 256))
             .otherwise(bucket_ppm)
         )
-    lsh_rows = family_recalls(lsh_tagged, "min_radius", (0, 1, 2)).select(
+    lsh_rows = _family_recalls(lsh_tagged, "min_radius", (0, 1, 2), exact).select(
         F.lit("lsh").alias("family"),
         F.concat(F.lit("multiprobe="), F.col("setting").cast("string")).alias(
             "config"
@@ -8009,9 +8052,9 @@ def sim_ann_param_sweep(spark, sf_dir):
         nbits = int(math.log2(k_cent))
         # with_recall_vs_exact references its approx frame TWICE (hits +
         # join-back); checkpoint the ≤|q|·k-row top-k so the PQ corpus
-        # scan runs once per codebook, not twice
-        approx = pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent).localCheckpoint(
-            eager=True
+        # scan runs once per codebook, not twice (tracked: harness-released)
+        approx = tracked_local_checkpoint(
+            pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent)
         )
         sweeps.append(
             sweep_row(

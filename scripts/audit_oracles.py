@@ -115,6 +115,8 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_con(sf_dir)
 
+    from emdatapipelines_spark.cachectl import release_tracked
+
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
     bad = 0
     for name, sql in oracles.items():
@@ -124,6 +126,9 @@ def main() -> int:
             problems = audit_one(name, queries[name], sql, spark, con, sf_dir)
         except Exception as exc:  # noqa: BLE001
             problems = [f"EXCEPTION {type(exc).__name__}: {exc}"[:300]]
+        # release engine-pinned intermediates (cachectl ledger) so a 275-
+        # query session doesn't accumulate checkpoint/persist blocks
+        release_tracked()
         if problems:
             bad += 1
             print(f"FAIL {name}")

@@ -64,9 +64,8 @@ def main() -> int:
     # is lazy — without this the first consumer would silently absorb the
     # root-build cost and the split would flatter the serve numbers)
     reg.build(spark, now=datetime(2024, 1, 1))
-    for name, model in reg._models.items():
-        if model.materialization == "table":
-            reg.results[name].count()
+    for name in reg.materialized_names():
+        reg.results[name].count()
     build_s = round(time.time() - t0, 3)
 
     served: dict[str, float] = {}

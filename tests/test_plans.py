@@ -38,6 +38,13 @@ def test_build_topo_and_views(spark):
     assert spark.sql("SELECT COUNT(*) AS c FROM stg_even").first()["c"] == 5
 
 
+def test_materialized_names_public_accessor(spark):
+    # r11 ADVICE: harnesses force-materialize the cached layer through this
+    # instead of iterating private ``_models`` state
+    reg = _dag(spark)
+    assert reg.materialized_names() == ["stg_even"]
+
+
 def test_selective_build_pulls_deps(spark):
     reg = _dag(spark)
     results = reg.build(spark, select=["mart_sum"])

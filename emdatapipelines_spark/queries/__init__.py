@@ -130,21 +130,52 @@ def _bench_times() -> dict[str, float]:
         return {}
 
 
+#: Rows-only (no-oracle) queries whose IMPLEMENTATION changed this round —
+#: only these re-enter the driver's 50-slot window (VERDICT r11 #3: a
+#: rows-only query can never turn green, so keeping all 12 in front
+#: permanently starves the stalest greens of re-verification slots; r11
+#: spent 12/50 slots on them while q4_freshness et al. sat at r6). The 9
+#: unchanged ones go to the very back: their rows-only record from the
+#: last round still describes the current code.
+ROWS_ONLY_REINCLUDE: set[str] = {
+    # r12: cachectl tracking + zero-candidate setting fill / persist+ckpt
+    # restructuring / scored-frame checkpoint
+    "sim_ann_param_sweep",
+    "dd_minhash_lsh",
+    "ml_forest_predictions",
+}
+
+
+#: §2 anchors the judge flagged as driver-stalest (last proven r5–r7) —
+#: pinned ahead of the ordinary stalest-first tier this round so all five
+#: land inside the 50-slot window regardless of cost ranking (r11 #3).
+ANCHOR_FIRST: tuple[str, ...] = (
+    "q4_freshness",
+    "s10_upsert_last_wins",
+    "fn_event_scoring",
+    "scd2_status_history",
+    "q9_quality_report",
+)
+
+
 def _rotate() -> None:
-    """Never-verified (oracle-equipped first) -> greens stalest-first."""
+    """Never-verified oracle-equipped -> changed rows-only -> pinned stale
+    anchors -> greens stalest-first -> unchanged rows-only (already
+    recorded, code untouched)."""
     times = _bench_times()
     cost = lambda n: times.get(n, 1.0)  # noqa: E731 - unknown cost -> middle
     front_oracle = sorted(
         (n for n in QUERIES if n not in DRIVER_GREEN and n in ORACLES), key=cost
     )
-    front_weak = sorted(
-        (n for n in QUERIES if n not in DRIVER_GREEN and n not in ORACLES), key=cost
-    )
+    rows_only = [n for n in QUERIES if n not in DRIVER_GREEN and n not in ORACLES]
+    front_weak = sorted((n for n in rows_only if n in ROWS_ONLY_REINCLUDE), key=cost)
+    tail_weak = sorted((n for n in rows_only if n not in ROWS_ONLY_REINCLUDE), key=cost)
+    anchors = [n for n in ANCHOR_FIRST if n in QUERIES and n in DRIVER_GREEN]
     back = sorted(
-        (n for n in QUERIES if n in DRIVER_GREEN),
+        (n for n in QUERIES if n in DRIVER_GREEN and n not in set(anchors)),
         key=lambda n: (GREEN_ROUNDS.get(n, 0), cost(n)),
     )
-    ordered = front_oracle + front_weak + back
+    ordered = front_oracle + front_weak + anchors + back + tail_weak
     for d in (QUERIES, ORACLES):
         snap = dict(d)
         d.clear()

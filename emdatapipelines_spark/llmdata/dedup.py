@@ -274,6 +274,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """DIRECTED near-subset pairs: (contained_id, container_id, containment)
     with ``containment = |A∩B| / |A| >= threshold`` over distinct word
@@ -382,6 +383,12 @@ def containment_pairs(
         .select(F.col("a.id").alias("contained_id"), F.col("b.id").alias("container_id"))
         .distinct()
     )
+    if stats is not None:
+        # ladder diagnostics (scripts/containment_ladder.py): materialize
+        # the candidate frame once and record its size — off the default
+        # path so production plans stay single-pass
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidates"] = cand.count()
     ga = grouped.select(
         F.col("id").alias("contained_id"),
         F.col("set_size").alias("size_a"),
@@ -401,6 +408,71 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "containment")
     )
+
+
+def containment_pairs_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Banded-LSH rung of the containment accuracy-vs-cost ladder
+    (VERDICT r11 #6): MinHash-LSH candidate generation + exact directed
+    containment verification on candidates only.
+
+    The DECLARED approximation: LSH banding recalls pairs by their
+    symmetric JACCARD (P(candidate | j) = 1 − (1 − j^r)^b, ≈ 0.9998 at
+    j = 0.8 for 16×4), so high-containment / low-Jaccard pairs — a small
+    doc quoted inside a much larger one, where j ≈ |A|/|B| → 0 while
+    C(A→B) = 1 — can be MISSED. That asymmetric blind spot is exactly
+    what the exact PPJoin rung (:func:`containment_pairs`) pays its
+    full-index join for; the ladder (scripts/containment_ladder.py,
+    SCALING.md) quantifies the trade per rung: candidates, wall,
+    recall-of-true-pairs. Scale shape: candidate volume is bucket-
+    collision-bounded (never the all-pairs |sharing a shingle| volume of
+    the naive rung), and full shingle sets move for candidates only.
+    """
+    from ..cachectl import tracked_persist
+
+    sh = tracked_persist(hashed_shingles(docs, id_col, text_col, n))
+    sigs = minhash_signatures_from_hashes(sh, num_hashes=num_hashes)
+    cand = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
+    if stats is not None:
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidates"] = cand.count()
+    sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"))
+    xa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    xb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    # one consumer of the candidate-verify join: both directions explode
+    # from the same row (the dd_snapshot_dedup_rate symmetrize lesson)
+    directed = (
+        cand.join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("contained_id"),
+                        F.col("id_b").alias("container_id"),
+                        F.round(inter * 1.0 / F.size("hs_a"), 6).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("contained_id"),
+                        F.col("id_a").alias("container_id"),
+                        F.round(inter * 1.0 / F.size("hs_b"), 6).alias("containment"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    return directed.filter(F.col("containment") >= threshold)
 
 
 def hashed_shingles(

@@ -39,10 +39,29 @@ class Model:
     refresh_interval: timedelta | None = None
 
 
+class StaleModelWarning(UserWarning):
+    """A consumer read a materialized model past its refresh_interval."""
+
+
+class _StaleGuardResults(dict):
+    """``registry.results`` with a staleness check on ``[]`` access
+    (VERDICT r11 stretch #7): ``run_due`` cascades correctly on the cron
+    tick, but a consumer reading BETWEEN ticks could silently serve a
+    stale root. Plain-dict semantics everywhere else (``get``/``in``/
+    iteration bypass the guard — internal build paths use those)."""
+
+    def __init__(self, registry: "ModelRegistry") -> None:
+        super().__init__()
+        self._reg = registry
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self._reg._check_stale(name, super().__getitem__(name))
+
+
 class ModelRegistry:
-    def __init__(self, governance=None) -> None:
+    def __init__(self, governance=None, stale_policy: str = "warn") -> None:
         self._models: dict[str, Model] = {}
-        self.results: dict[str, DataFrame] = {}
+        self.results: dict[str, DataFrame] = _StaleGuardResults(self)
         #: last successful build/refresh time per model (scheduler state)
         self.last_built: dict[str, datetime] = {}
         #: optional GovernanceLog (`lineage.py`): when set, every build /
@@ -50,6 +69,44 @@ class ModelRegistry:
         #: target), the reference's `create_data_lineage_record.sql`
         #: post-hook analog
         self.governance = governance
+        #: staleness-on-read policy: ``ignore`` | ``warn`` | ``rebuild``.
+        #: Active only when ``now_provider`` is set (the engine never reads
+        #: the wall clock — determinism convention, `clock.py`).
+        self.stale_policy = stale_policy
+        #: injectable read-time clock: ``Callable[[], datetime]`` or None
+        self.now_provider = None
+        self._guard_disabled = False
+
+    def _check_stale(self, name: str, df: DataFrame) -> DataFrame:
+        """Cheap staleness check on results[] access: compares the model's
+        ``last_built`` stamp against its ``refresh_interval`` under the
+        injected read clock; warns or rebuilds per ``stale_policy``."""
+        if (
+            self._guard_disabled
+            or self.stale_policy == "ignore"
+            or self.now_provider is None
+        ):
+            return df
+        m = self._models.get(name)
+        if m is None or m.refresh_interval is None:
+            return df
+        last = self.last_built.get(name)
+        if last is None:
+            return df
+        now = self.now_provider()
+        if now - last < m.refresh_interval:
+            return df
+        if self.stale_policy == "rebuild":
+            return self.refresh_materialized(df.sparkSession, name, now=now)
+        import warnings
+
+        warnings.warn(
+            f"model '{name}' is stale: last built {last}, refresh_interval "
+            f"{m.refresh_interval}, read at {now}",
+            StaleModelWarning,
+            stacklevel=3,
+        )
+        return df
 
     def register(self, model: Model) -> None:
         if model.name in self._models:
@@ -112,6 +169,18 @@ class ModelRegistry:
 
         ``now`` (injectable, never wall-clock — `clock.py`) stamps scheduler
         state so a later :meth:`run_due` tick knows what is fresh."""
+        self._guard_disabled = True  # internal dep reads are not consumer reads
+        try:
+            return self._build(spark, select, now)
+        finally:
+            self._guard_disabled = False
+
+    def _build(
+        self,
+        spark: SparkSession,
+        select: list[str] | None = None,
+        now: datetime | None = None,
+    ) -> dict[str, DataFrame]:
         wanted = set(select) if select else None
         for name in self.topo_order():
             if wanted is not None and name not in wanted and not self._is_dep_of(name, wanted):
@@ -151,24 +220,31 @@ class ModelRegistry:
     ) -> DataFrame:
         """S12 — async-MV analog: re-run one model (and re-cache), leaving the
         rest of the DAG untouched (`macros/create_starrocks_materialized_view.sql:2-16`)."""
-        m = self._models[name]
-        deps = {d: self.results[d] for d in m.deps if d in self.results}
-        df = m.fn(spark, deps)
-        old = self.results.get(name)
-        if old is not None:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        if m.materialization == "table":
-            df = df.cache()
-        df.createOrReplaceTempView(name)
-        self.results[name] = df
-        if now is not None:
-            self.last_built[name] = now
-        if self.governance is not None:
-            self.governance.lineage_record(m.deps, name, f"refresh:{m.materialization}")
-        return df
+        was_disabled = self._guard_disabled
+        self._guard_disabled = True  # dep reads inside a refresh are internal
+        try:
+            m = self._models[name]
+            deps = {d: self.results[d] for d in m.deps if d in self.results}
+            df = m.fn(spark, deps)
+            old = self.results.get(name)
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            if m.materialization == "table":
+                df = df.cache()
+            df.createOrReplaceTempView(name)
+            self.results[name] = df
+            if now is not None:
+                self.last_built[name] = now
+            if self.governance is not None:
+                self.governance.lineage_record(
+                    m.deps, name, f"refresh:{m.materialization}"
+                )
+            return df
+        finally:
+            self._guard_disabled = was_disabled
 
     # -- scheduled refresh loop (reference `definitions.py:84-94` crons) ----
 

@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Execute the governed STREAMING run (VERDICT r11 #4) and write the
+committed artifact.
+
+Usage: python scripts/run_governed_stream.py [sf_dir] [out_json]
+Default sf0.1: the streaming layer's per-batch cost is index-rate bound
+(never corpus-rate), so sf0.1 exercises the same plans the batch governed
+run proved at sf1; the kill/restart recovery numbers are the point here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "GOVERNED_STREAM.json"
+
+    from emdatapipelines_spark.pipelines.governed_stream import run_governed_stream
+    from emdatapipelines_spark.session import get_spark
+
+    spark = get_spark("governed-stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="governed_stream_")
+    try:
+        report = run_governed_stream(spark, sf_dir, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    ok = (
+        report["gate_status"] == "pass"
+        and all(report["equivalence"].values())
+        and report["dedup"]["crashed_as_planned"]
+        and report["dedup"]["replayed"]
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

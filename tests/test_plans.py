@@ -58,6 +58,85 @@ def test_refresh_materialized(spark):
     assert refreshed.count() == 5
 
 
+def test_stale_read_warns(spark):
+    """VERDICT r11 stretch #7: a consumer reading results[] between cron
+    ticks gets a StaleModelWarning when the model's refresh_interval has
+    elapsed under the injected read clock."""
+    import warnings
+    from datetime import datetime, timedelta
+
+    from emdatapipelines_spark.plans.registry import StaleModelWarning
+
+    reg = ModelRegistry()  # default policy: warn
+
+    @reg.model("mv_counts", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def mv_counts(s, deps):
+        return s.range(5).agg(F.count("*").alias("c"))
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    reg.build(spark, now=t0)
+    reg.now_provider = lambda: t0 + timedelta(minutes=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fresh read must NOT warn
+        assert reg.results["mv_counts"].first()["c"] == 5
+    reg.now_provider = lambda: t0 + timedelta(minutes=9)
+    with pytest.warns(StaleModelWarning, match="mv_counts"):
+        reg.results["mv_counts"]
+
+
+def test_stale_read_rebuilds_under_policy(spark):
+    from datetime import datetime, timedelta
+
+    reg = ModelRegistry(stale_policy="rebuild")
+    builds = []
+
+    @reg.model("mv_live", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def mv_live(s, deps):
+        builds.append(1)
+        return s.range(3).agg(F.count("*").alias("c"))
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    reg.build(spark, now=t0)
+    assert len(builds) == 1
+    stale_t = t0 + timedelta(minutes=30)
+    reg.now_provider = lambda: stale_t
+    df = reg.results["mv_live"]  # stale read → rebuilt inline
+    assert len(builds) == 2
+    assert df.first()["c"] == 3
+    assert reg.last_built["mv_live"] == stale_t
+    # the rebuild stamped last_built, so the next read is fresh: no rebuild
+    reg.results["mv_live"]
+    assert len(builds) == 2
+
+
+def test_internal_build_reads_bypass_guard(spark):
+    """Dep reads inside build()/refresh_materialized are not consumer
+    reads — the guard must not warn or recurse there."""
+    import warnings
+    from datetime import datetime, timedelta
+
+    reg = ModelRegistry()
+
+    @reg.model("root", materialization="table",
+               refresh_interval=timedelta(minutes=1))
+    def root(s, deps):
+        return s.range(4).withColumnRenamed("id", "n")
+
+    @reg.model("child", deps=["root"])
+    def child(s, deps):
+        return deps["root"].agg(F.sum("n").alias("t"))
+
+    t0 = datetime(2024, 1, 1)
+    reg.build(spark, now=t0)
+    reg.now_provider = lambda: t0 + timedelta(hours=1)  # root long stale
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # run_due/refresh paths read deps internally — must stay silent
+        reg.run_due(spark, t0 + timedelta(hours=1))
+
+
 def test_cycle_detection(spark):
     reg = ModelRegistry()
     reg.register(Model("a", lambda s, d: s.range(1), deps=["b"]))

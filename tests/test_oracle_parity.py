@@ -16,6 +16,17 @@ def con():
     c.close()
 
 
+@pytest.fixture(autouse=True)
+def _release_pins(spark):
+    """Release engine-pinned intermediates (cachectl ledger) after each
+    query — 287 queries in one JVM otherwise accumulate checkpoint/persist
+    blocks (r11 VERDICT #1)."""
+    yield
+    from emdatapipelines_spark.cachectl import release_tracked
+
+    release_tracked()
+
+
 @pytest.mark.parametrize("name", sorted(q.ORACLES.keys()))
 def test_oracle_parity(spark, con, name):
     df = q.QUERIES[name](spark, SF_SMALL)

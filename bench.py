@@ -60,14 +60,23 @@ def _session():
     return spark, entrymod.queries()
 
 
-def _time_passes(spark, fn, sf_dir: str, passes: int) -> list[float]:
-    from emdatapipelines_spark.cachectl import release_tracked
+def _time_passes(spark, fn, sf_dir: str, passes: int) -> tuple[list[float], float]:
+    """Returns (per-pass seconds, max pinned MB observed after any pass).
+
+    The pinned high-water (VERDICT r12 stretch #8) is read from the block
+    manager AFTER materialization and BEFORE release, so a query whose
+    pins would leak without the ledger shows its footprint in the
+    artifact itself instead of surfacing as an unexplained gated-vs-
+    isolated gap two rounds later."""
+    from emdatapipelines_spark.cachectl import pinned_bytes, release_tracked
 
     out = []
+    pinned_hw = 0
     for _ in range(passes):
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         out.append(time.perf_counter() - t0)
+        pinned_hw = max(pinned_hw, pinned_bytes(spark))
         # r11 VERDICT #1: queries that pin intermediates (eager
         # localCheckpoints, persisted shingle frames) register them on the
         # cachectl ledger; release AFTER materialization so pinned blocks
@@ -75,7 +84,7 @@ def _time_passes(spark, fn, sf_dir: str, passes: int) -> list[float]:
         # still sweeps catalog-level caches (cannot reach checkpoints).
         release_tracked()
         spark.catalog.clearCache()
-    return out
+    return out, round(pinned_hw / (1024 * 1024), 2)
 
 
 def _host_calibration() -> float:
@@ -106,7 +115,7 @@ def run_one(name: str, sf_dir: str, passes: int) -> int:
     _force(fn(spark, sf_dir))  # warm this query's codegen in the fresh JVM
     release_tracked()
     spark.catalog.clearCache()
-    times = _time_passes(spark, fn, sf_dir, passes)
+    times, _pinned = _time_passes(spark, fn, sf_dir, passes)
     print(
         json.dumps(
             {
@@ -125,7 +134,26 @@ def run_one(name: str, sf_dir: str, passes: int) -> int:
 #: but twice in a row would not be). They join the isolated re-measure set
 #: every run so BENCH artifacts carry fresh-JVM numbers that settle
 #: drift-vs-plan.
-DRIFT_WATCH = ("tx_nb_quality", "tpch_q5_local_supplier")
+#:
+#: r12 VERDICT #1 — the driver's r12 gated run showed the ITERATIVE
+#: multi-job family (k-core peel, HITS, k-hop BFS, components, label
+#: propagation, k-means) at 1.7–3.5× calibrated vs r11 while the builder's
+#: same-code gated run was flat; suite/host contention is the hypothesis,
+#: but the family had no isolated numbers so the protocol's
+#: suite-vs-isolated attribution rule could not fire. They ride in every
+#: isolation set (including the default no-flag run, below) so both
+#: driver- and builder-produced artifacts always carry fresh-JVM numbers
+#: for the most scheduler-sensitive queries.
+DRIFT_WATCH = (
+    "tx_nb_quality",
+    "tpch_q5_local_supplier",
+    "gr_kcore",
+    "gr_hits",
+    "gr_khop_reach",
+    "gr_components",
+    "gr_label_prop",
+    "ml_kmeans_model",
+)
 
 
 def _isolate(names: list[str], sf_dir: str, passes: int) -> dict[str, dict]:
@@ -175,6 +203,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     cold: dict[str, float] = {}
+    pinned: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(queries):
         try:
@@ -185,11 +214,13 @@ def main() -> int:
             # times up to 3x, run-order dependent. A production driver owns
             # its cache lifecycle; the bench isolates per query (clearCache
             # inside _time_passes).
-            ts = _time_passes(spark, queries[name], sf_dir, passes)
+            ts, pin_mb = _time_passes(spark, queries[name], sf_dir, passes)
             cold[name] = round(ts[0], 4)
             warm_ts = ts[1:] if len(ts) > 1 else ts
             timings[name] = round(min(warm_ts), 4)
             medians[name] = round(statistics.median(warm_ts), 4)
+            if pin_mb >= 0.5:  # sub-half-MB noise stays out of the artifact
+                pinned[name] = pin_mb
         except Exception as exc:  # noqa: BLE001 - report, don't abort the suite
             # keep head+tail so the artifact records the full exception class
             # and the end of the message (truncating mid-token loses both)
@@ -214,7 +245,7 @@ def main() -> int:
 
     for name in list(_inversions()):
         try:
-            ts = _time_passes(spark, queries[name], sf_dir, passes)
+            ts, _pin = _time_passes(spark, queries[name], sf_dir, passes)
         except Exception:  # noqa: BLE001 - keep the original numbers
             continue
         cold[name] = min(cold[name], round(ts[0], 4))
@@ -238,20 +269,28 @@ def main() -> int:
         "per_query_stat": "min_of_warm_passes",
         "median_pass": medians,
         "host_calib_sec": _host_calibration(),
+        # pinned-block high-water per query (VERDICT r12 stretch #8): the
+        # bytes the query held in the block manager at its peak, read
+        # post-materialization / pre-release — a cache-lifetime leak now
+        # shows up as a growing pinned_mb column, not a 2.5× gated anomaly
+        "pinned_mb": pinned,
     }
     if passes > 1:
         line["cold_pass"] = cold
         line["inversions"] = inversions  # {} on a clean run
     if failures:
         line["failures"] = failures
-    if isolate_n:
-        top = sorted(timings, key=lambda n: -timings[n])[:isolate_n]
-        # drift suspects (r10 VERDICT #6): queries that moved on
-        # byte-identical code ride along in every isolation run until the
-        # drift-vs-plan question is settled, regardless of rank
-        for name in DRIFT_WATCH:
-            if name in timings and name not in top:
-                top.append(name)
+    # Isolation set: top-N slowest when --isolate was given, PLUS the
+    # DRIFT_WATCH family ALWAYS (r12 VERDICT #1: the driver refreshes
+    # BENCH_FULL.json by running bench.py with no flags, which used to
+    # drop the `isolated` section entirely — now every artifact carries
+    # fresh-JVM numbers for the contention-sensitive set, so a suite-side
+    # regression can always be attributed against an isolated twin).
+    top = sorted(timings, key=lambda n: -timings[n])[:isolate_n]
+    for name in DRIFT_WATCH:
+        if name in timings and name not in top:
+            top.append(name)
+    if top:
         line["isolated"] = _isolate(top, sf_dir, passes)
 
     # Full record to a repo artifact (the driver keeps only the LAST 2000
@@ -266,6 +305,7 @@ def main() -> int:
     out.pop("cold_pass", None)  # full maps live in BENCH_FULL.json
     out.pop("median_pass", None)
     out.pop("isolated", None)
+    out.pop("pinned_mb", None)
     if failures:
         out["failures"] = sorted(failures)  # names only; messages in BENCH_FULL.json
     q = dict(sorted(timings.items(), key=lambda kv: -kv[1]))

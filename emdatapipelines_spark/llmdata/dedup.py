@@ -386,8 +386,13 @@ def containment_pairs(
     if stats is not None:
         # ladder diagnostics (scripts/containment_ladder.py): materialize
         # the candidate frame once and record its size — off the default
-        # path so production plans stay single-pass
-        cand = cand.localCheckpoint(eager=True)
+        # path so production plans stay single-pass. Tracked (r12 ADVICE):
+        # the in-process ladder runs three rungs in one session, and a
+        # bare checkpoint here would outlive release_tracked()/clearCache()
+        # between rungs.
+        from ..cachectl import tracked_local_checkpoint
+
+        cand = tracked_local_checkpoint(cand)
         stats["candidates"] = cand.count()
     ga = grouped.select(
         F.col("id").alias("contained_id"),
@@ -443,7 +448,11 @@ def containment_pairs_lsh(
     sigs = minhash_signatures_from_hashes(sh, num_hashes=num_hashes)
     cand = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=rows_per_band)
     if stats is not None:
-        cand = cand.localCheckpoint(eager=True)
+        # tracked for the same reason as the exact rung's stats branch:
+        # the ladder harness releases between rungs (r12 ADVICE)
+        from ..cachectl import tracked_local_checkpoint
+
+        cand = tracked_local_checkpoint(cand)
         stats["candidates"] = cand.count()
     sets = sh.groupBy("id").agg(F.collect_set("h").alias("hs"))
     xa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))

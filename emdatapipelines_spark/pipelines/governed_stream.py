@@ -276,6 +276,14 @@ def run_governed_stream(
     batch_partials = partial_aggregate(
         events.withColumn("event_date", F.to_date("ts")), keys, measures
     )
+    # Exact equality here is deterministic, not flaky (r12 ADVICE): both
+    # paths cast each row's double `value` to DECIMAL(28,2) BEFORE summing
+    # (`partial_aggregate`), and `combine_partials` merges decimal sums —
+    # decimal addition is associative, so chunked-then-merged equals
+    # one-pass bit-for-bit regardless of microbatch boundaries or
+    # partitioning. min/max/count are order-independent selections of
+    # input values. Pinned by tests/test_incremental_rollup.py::
+    # test_rollup_partials_are_merge_order_independent.
     eq_rollup = _same_rows(stream_partials, batch_partials)
     report["rollup"] = {
         "event_chunks": n_event_chunks,

@@ -138,23 +138,48 @@ def _bench_times() -> dict[str, float]:
 #: unchanged ones go to the very back: their rows-only record from the
 #: last round still describes the current code.
 ROWS_ONLY_REINCLUDE: set[str] = {
-    # r12: cachectl tracking + zero-candidate setting fill / persist+ckpt
-    # restructuring / scored-frame checkpoint
+    # r13: these three pin intermediates through the cachectl ledger, and
+    # the driver surface (__spark_entry__) now wraps pinning queries with
+    # an inline checkpoint-release — their driver-path evaluation changed,
+    # so their rows-only record is re-taken under the new plan
     "sim_ann_param_sweep",
     "dd_minhash_lsh",
     "ml_forest_predictions",
 }
 
 
-#: §2 anchors the judge flagged as driver-stalest (last proven r5–r7) —
-#: pinned ahead of the ordinary stalest-first tier this round so all five
-#: land inside the 50-slot window regardless of cost ranking (r11 #3).
+#: The full r6-tier backlog (VERDICT r12 #2): the 25 queries whose last
+#: green driver row is round 6 — pinned ahead of the ordinary
+#: stalest-first tier so every one lands inside the 50-slot window this
+#: round regardless of cost ranking; the remaining slots fall to the r7
+#: tier via the ordinary stalest-first ordering. (The r12 anchors —
+#: q4_freshness et al. — greened in r12 and rotate back automatically.)
 ANCHOR_FIRST: tuple[str, ...] = (
-    "q4_freshness",
-    "s10_upsert_last_wins",
-    "fn_event_scoring",
-    "scd2_status_history",
-    "q9_quality_report",
+    "a3_yearly_trend",
+    "a11_percentiles",
+    "a17_salted_skew_agg",
+    "a27_usage_metrics",
+    "a28_api_performance",
+    "dd_containment",
+    "fn_state_mask",
+    "j4_date_key_join",
+    "j6_consistency_join",
+    "llm_shuffle_order",
+    "mm_frame_plan",
+    "rag_bm25_topk",
+    "rag_mmr_rerank",
+    "sim_cosine_topk",
+    "ts_corr_pairs",
+    "ts_cusum_changepoints",
+    "ts_holt_forecast",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "u4_intersect_except",
+    "w13_percent_rank",
 )
 
 

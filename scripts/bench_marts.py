@@ -77,9 +77,69 @@ def main() -> int:
             times.append(time.time() - t0)
         served[model] = round(min(times), 3)
 
+    # -- staleness-guard exercise in the SERVING path (VERDICT r12 #6) ------
+    # (c) guard fresh-path cost: activate the read clock inside the refresh
+    # interval and re-serve every consumer — the delta vs the unguarded
+    # serve pass is the guard's cost (pure dict lookups, expected ~0).
+    reg.stale_policy = "rebuild"
+    read_clock = [datetime(2024, 1, 1, 0, 1)]
+    reg.now_provider = lambda: read_clock[0]
+    calls: list[str] = []
+    orig_refresh = reg.refresh_materialized
+
+    def counting_refresh(s, n, now=None):
+        calls.append(n)
+        return orig_refresh(s, n, now=now)
+
+    reg.refresh_materialized = counting_refresh
+    t0 = time.time()
+    for model in twins:
+        reg.results[model].collect()
+    fresh_guarded_s = round(time.time() - t0, 3)
+    rebuilds_while_fresh = len(calls)
+
+    # (b) snapshot one consumer per root family before the tick
+    probe_models = list(twins)[:3]
+    before = {m: sorted(map(repr, reg.results[m].collect())) for m in probe_models}
+
+    # (a) tick the clock past every refresh_interval: the FIRST stale read
+    # rebuilds its chain; repeat reads must rebuild nothing (last_built
+    # was stamped at the tick time).
+    read_clock[0] = datetime(2024, 1, 1, 0, 30)
+    calls.clear()
+    t0 = time.time()
+    first = reg.results[probe_models[0]].collect()
+    rebuild_serve_s = round(time.time() - t0, 3)
+    rebuilds_first_stale_read = len(calls)
+    calls.clear()
+    second = reg.results[probe_models[0]].collect()
+    rebuilds_second_read = len(calls)
+    after = {probe_models[0]: sorted(map(repr, first))}
+    for m in probe_models[1:]:
+        after[m] = sorted(map(repr, reg.results[m].collect()))
+    reg.now_provider = None
+
+    stale_guard = {
+        "fresh_guarded_serve_total_s": fresh_guarded_s,
+        "guard_fresh_overhead_s": round(
+            fresh_guarded_s - sum(served.values()), 3
+        ),
+        "rebuilds_while_fresh": rebuilds_while_fresh,  # must be 0
+        "rebuilds_first_stale_read": rebuilds_first_stale_read,  # chain, >=1
+        "rebuilds_second_read": rebuilds_second_read,  # must be 0: fired once
+        "rebuild_serve_s": rebuild_serve_s,
+        "post_rebuild_identical": before == after,  # must be True
+    }
+    assert rebuilds_while_fresh == 0, "guard rebuilt a fresh chain"
+    assert rebuilds_first_stale_read >= 1, "stale read did not rebuild"
+    assert rebuilds_second_read == 0, "rebuild fired more than once"
+    assert before == after, "rebuild changed consumer rows on unchanged input"
+    assert sorted(map(repr, second)) == sorted(map(repr, first))
+
     res = {
         "sf_dir": sf_dir,
         "consumers": len(twins),
+        "stale_guard": stale_guard,
         "standalone_total_s": round(sum(standalone.values()), 3),
         "mart_build_s": build_s,
         "mart_serve_total_s": round(sum(served.values()), 3),

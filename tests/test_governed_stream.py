@@ -24,11 +24,11 @@ def report(spark, tmp_path_factory):
 def test_crash_was_injected_and_replayed(report):
     d = report["dedup"]
     assert d["crashed_as_planned"], "the kill never fired"
-    # the killed batch is absent from leg 1's committed set and present in
-    # leg 2 (the replay) — the exactly-once recovery in one line
-    assert d["kill_batch"] not in [b for b in d["leg1_batches"] if b >= 0] or (
-        d["kill_batch"] in d["leg1_batches"]
-    )
+    # the injected crash fires AFTER the sink write but BEFORE the
+    # watermark append, so the killed batch must be absent from leg 1's
+    # committed set — the exactly-once recovery in one line (r12 ADVICE:
+    # the previous or-form was vacuously true)
+    assert d["kill_batch"] not in d["leg1_batches"]
     assert d["replayed"], "restart did not replay the killed batch"
     # the watermark at crash had NOT advanced past the killed batch (the
     # crash sat between sink and commit), and the final watermark covers

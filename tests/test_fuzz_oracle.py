@@ -51,23 +51,42 @@ def test_generator_is_deterministic():
 
 
 def test_generator_covers_all_shapes():
-    """The first 200 seeds must exercise every final shape (incl. phase
-    2's setop), at least one join of each type, a two-join chain, and a
-    null-masked case — guards against a refactor silently collapsing the
-    grammar."""
+    """The first 300 seeds must exercise every final shape (incl. phase
+    2's setop), at least one join of each type, a multi-join chain, a
+    null-masked case, and every phase-3 feature (self-join, 3-hop chain,
+    decimal arithmetic, guarded ROUND bridge, numeric HAVING) — guards
+    against a refactor silently collapsing the grammar."""
     shapes = set()
     joins = set()
     chained = masked = False
-    for seed in range(1, 201):
+    selfj = chain3 = dec = round_bridge = hv_num = 0
+    for seed in range(1, 301):
         c = generate_case(seed)
         shapes.add(c.shape.split("->")[-1])
         if "+" in c.shape:
-            joins.add(c.shape.split("+")[1].split(":")[0])
+            tags = [t for t in c.shape.split("->")[0].split("+")[1:] if ":" in t]
+            joins.update(t.split(":")[0] for t in tags)
         if c.shape.count("+") >= 2:
             chained = True
         if "~null" in c.shape:
             masked = True
+        if "+self" in c.shape:
+            selfj += 1
+        if c.shape.count("+") >= 3:
+            chain3 += 1
+        if "DECIMAL(12,2)" in c.duck_sql:
+            dec += 1
+        if "FLOOR(" in c.duck_sql and "ROUND(" in c.duck_sql:
+            round_bridge += 1
+        tail = c.duck_sql.split("fz_h WHERE ")[-1] if "fz_h WHERE" in c.duck_sql else ""
+        if tail and "VARCHAR" not in tail and ">" in tail:
+            hv_num += 1
     assert shapes == {"project", "aggregate", "window", "setop"}
     assert {"inner", "left_semi", "left_anti"} <= joins
-    assert chained, "no two-join chain in 200 seeds"
-    assert masked, "no null-masked case in 200 seeds"
+    assert chained, "no two-join chain in 300 seeds"
+    assert masked, "no null-masked case in 300 seeds"
+    assert selfj >= 5, f"only {selfj} self-join cases in 300 seeds"
+    assert chain3 >= 3, f"only {chain3} three-hop chains in 300 seeds"
+    assert dec >= 10, f"only {dec} decimal-arithmetic cases in 300 seeds"
+    assert round_bridge >= 5, f"only {round_bridge} guarded-ROUND cases"
+    assert hv_num >= 5, f"only {hv_num} numeric-HAVING cases"

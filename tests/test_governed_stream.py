@@ -50,3 +50,36 @@ def test_gates_and_governance(report):
     assert report["lineage_records"] >= 8
     # crash + recovery compliance events at minimum
     assert report["compliance_events"] >= 2
+
+
+@pytest.fixture(scope="module")
+def rollup_kill_report(spark, tmp_path_factory):
+    """VERDICT r12 #4: the crash injected in a DIFFERENT leg — the rollup's
+    post-commit/pre-checkpoint window, the dual of the dedup leg's
+    post-sink/pre-commit kill."""
+    work = str(tmp_path_factory.mktemp("governed_stream_rollup_kill"))
+    return run_governed_stream(spark, SF, work, kill_leg="rollup")
+
+
+def test_rollup_kill_crashes_and_replay_skips(rollup_kill_report):
+    r = rollup_kill_report["rollup"]
+    assert rollup_kill_report["kill_leg"] == "rollup"
+    assert r["crashed_as_planned"], "the rollup kill never fired"
+    # leg 1 COMMITTED the killed batch before the crash (applied=True) …
+    assert {"batch": r["kill_batch"], "applied": True} in r["leg1_batches"]
+    # … so the replay must SKIP it (applied=False) — re-applying would
+    # double-count the partials
+    assert r["replay_skipped"], r["leg2_batches"]
+    assert {"batch": r["kill_batch"], "applied": False} in r["leg2_batches"]
+    assert r["recovery_sec"] > 0
+    # every later chunk applied exactly once across both legs
+    applied = [b["batch"] for b in r["leg1_batches"] + r["leg2_batches"] if b["applied"]]
+    assert sorted(applied) == sorted(set(applied))
+
+
+def test_rollup_kill_final_states_equal_batch_twins(rollup_kill_report):
+    eq = rollup_kill_report["equivalence"]
+    assert all(eq.values()), f"stream ≠ batch twin: {eq}"
+    # the un-killed dedup leg ran crash-free in this configuration
+    assert not rollup_kill_report["dedup"]["crashed_as_planned"]
+    assert rollup_kill_report["gate_status"] == "pass"

@@ -30,9 +30,15 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        r = round(v, 6)
+        # normalize signed zero: Spark's ROUND goes through BigDecimal and
+        # returns +0.0 where DuckDB's IEEE rounding keeps -0.0 — equal
+        # values, but str(-0.0) != str(0.0) scrambles the canonical sort
+        # (fuzz seeds 986/1156)
+        return 0.0 if r == 0 else r
     if isinstance(v, Decimal):
-        return round(float(v), 6)
+        r = round(float(v), 6)
+        return 0.0 if r == 0 else r
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):

@@ -23,15 +23,21 @@ later text double-count every node).
 
 from __future__ import annotations
 
-import __spark_entry__ as entry
+from emdatapipelines_spark.cachectl import release_tracked
+from emdatapipelines_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.01"
 
 
 def _final_plan(spark, name: str) -> str:
-    df = entry.queries()[name](spark, SF)
+    # RAW registry queries, not the __spark_entry__ wrapper: for pinning
+    # queries the wrapper checkpoints the result (its plan is just `Scan
+    # ExistingRDD`), hiding the upstream plan these guards inspect. The
+    # harness contract applies: release the pins after materializing.
+    df = QUERIES[name](spark, SF)
     df.collect()  # finalize AQE
     plan = df._jdf.queryExecution().executedPlan().toString()
+    release_tracked()
     return plan.split("== Initial Plan ==")[0]
 
 

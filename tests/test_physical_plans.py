@@ -11,13 +11,25 @@ import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry
+from emdatapipelines_spark.cachectl import release_tracked
+from emdatapipelines_spark.queries import QUERIES as RAW_QUERIES
 
 SF = "/root/testdata/sf0.01"
 
 
+def _raw_queries():
+    """RAW registry functions for PLAN inspection: the __spark_entry__
+    wrapper checkpoints pinning queries' results (plan = Scan
+    ExistingRDD), which would silently exempt those ~8 queries from the
+    suite-wide plan audits. Callers release the pins the raw fns make."""
+    return RAW_QUERIES
+
+
 def _plan(spark, name: str) -> str:
-    df = entry.queries()[name](spark, SF)
-    return df._jdf.queryExecution().toString()
+    df = _raw_queries()[name](spark, SF)
+    out = df._jdf.queryExecution().toString()
+    release_tracked()
+    return out
 
 
 def test_filter_pushdown_reaches_scan(spark):
@@ -155,8 +167,9 @@ def test_no_accidental_nested_loop_or_cartesian(spark):
     silently plan a BroadcastNestedLoopJoin/CartesianProduct — fine at
     sf0.01, catastrophic at 100 TB."""
     flagged = {}
-    for name, fn in entry.queries().items():
+    for name, fn in _raw_queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().toString()
+        release_tracked()
         if "CartesianProduct" in plan:
             flagged[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
@@ -301,7 +314,8 @@ def test_rank_filters_get_window_group_limit(spark, name):
     whole partition, which is the difference between shuffling k rows per
     group and shuffling the table at 100 TB. An intervening projection or a
     filter form the optimizer can't see through would silently lose it."""
-    plan = entry.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    plan = _raw_queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    release_tracked()
     assert "WindowGroupLimit" in plan
 
 
@@ -399,8 +413,9 @@ def test_no_single_task_corpus_funnel_suite_wide(spark):
     funnels (global windows over aggregated frames, top-k after a partial
     WindowGroupLimit) stay allowed — those receive metadata-rate rows."""
     flagged = {}
-    for name, fn in entry.queries().items():
+    for name, fn in _raw_queries().items():
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        release_tracked()
         bad = _unbounded_single_partition_exchanges(plan)
         if bad:
             flagged[name] = bad
@@ -428,7 +443,7 @@ def test_shuffle_order_plan_is_distributed(spark):
     plan = _plan(spark, "llm_shuffle_order")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert not _unbounded_single_partition_exchanges(
-        entry.queries()["llm_shuffle_order"](spark, SF)
+        _raw_queries()["llm_shuffle_order"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -79,10 +79,23 @@ def _pin_releasing(fn: Callable[[SparkSession, str], DataFrame]):
             except Exception:  # noqa: BLE001 - dead session/frame is already free
                 pass
         m = cachectl.mark()
-        df = fn(spark, sf_dir)
-        if cachectl.tracked_count(since=m) == 0:
-            return df
-        ck = df.localCheckpoint(eager=True)
+        try:
+            df = fn(spark, sf_dir)
+            if cachectl.tracked_count(since=m) == 0:
+                return df
+            ck = df.localCheckpoint(eager=True)
+        except BaseException:
+            # r13 ADVICE: without this, a query fn that raises AFTER
+            # registering tracked pins would orphan them forever — later
+            # wrapped calls release only tokens >= their own mark, and the
+            # external driver never calls release_tracked() itself.
+            cachectl.release_tracked(since=m)
+            raise
+        # Gauge the block-manager peak BEFORE releasing this query's pins:
+        # the harness reads pinned bytes after the query returns, which for
+        # wrapped pinning queries is after release (r13 ADVICE — the bench's
+        # post-return read was dead for exactly the queries it targets).
+        cachectl.note_pinned_high_water(spark)
         cachectl.release_tracked(since=m)
         _RESULT_RESIDUE.append(ck)
         return ck
@@ -93,7 +106,16 @@ def _pin_releasing(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Caller contract: fully materialize (collect/write) each returned frame
+    BEFORE invoking the next query callable. The wrapper frees the previous
+    query's result checkpoint on the next call (bounding driver-side pinned
+    residue to one result frame); a caller that builds several result
+    frames first and collects later would hit a loud "checkpoint block not
+    found" on the earlier frames — a freed localCheckpoint cannot
+    recompute. The external driver (run one, collect, then next) and every
+    in-repo harness satisfy this."""
     from emdatapipelines_spark.queries import QUERIES
 
     return {name: _pin_releasing(fn) for name, fn in QUERIES.items()}

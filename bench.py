@@ -63,12 +63,18 @@ def _session():
 def _time_passes(spark, fn, sf_dir: str, passes: int) -> tuple[list[float], float]:
     """Returns (per-pass seconds, max pinned MB observed after any pass).
 
-    The pinned high-water (VERDICT r12 stretch #8) is read from the block
-    manager AFTER materialization and BEFORE release, so a query whose
-    pins would leak without the ledger shows its footprint in the
-    artifact itself instead of surfacing as an unexplained gated-vs-
-    isolated gap two rounds later."""
-    from emdatapipelines_spark.cachectl import pinned_bytes, release_tracked
+    The pinned high-water (VERDICT r12 stretch #8) combines two reads:
+    the block manager AFTER the query returns (raw-registry queries whose
+    pins are still live here), and the cachectl gauge noted INSIDE the
+    ``__spark_entry__`` pin-scope wrapper just before it releases — for
+    driver-wrapped pinning queries the post-return read is too late (the
+    wrapper already released; r13 ADVICE), so the in-wrapper gauge is the
+    only honest peak for exactly the queries the metric targets."""
+    from emdatapipelines_spark.cachectl import (
+        pinned_bytes,
+        release_tracked,
+        take_pinned_high_water,
+    )
 
     out = []
     pinned_hw = 0
@@ -76,7 +82,7 @@ def _time_passes(spark, fn, sf_dir: str, passes: int) -> tuple[list[float], floa
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         out.append(time.perf_counter() - t0)
-        pinned_hw = max(pinned_hw, pinned_bytes(spark))
+        pinned_hw = max(pinned_hw, pinned_bytes(spark), take_pinned_high_water())
         # r11 VERDICT #1: queries that pin intermediates (eager
         # localCheckpoints, persisted shingle frames) register them on the
         # cachectl ledger; release AFTER materialization so pinned blocks
@@ -154,6 +160,22 @@ DRIFT_WATCH = (
     "gr_label_prop",
     "ml_kmeans_model",
 )
+
+
+def pinned_breaches(
+    pinned: dict[str, float], ratchet: dict[str, float]
+) -> dict[str, list[float]]:
+    """Per-query pinned-MB ceiling check (VERDICT r13 #5): ceiling is the
+    committed high-water x 1.5, floored at 64 MB (queries with no committed
+    value get the bare floor). Returns {name: [observed_mb, ceiling_mb]}
+    for every breach — a cache-lifetime leak now fails the gated run
+    instead of only widening a diagnostic column."""
+    out: dict[str, list[float]] = {}
+    for name, mb in pinned.items():
+        ceiling = max(64.0, ratchet.get(name, 0.0) * 1.5)
+        if mb > ceiling:
+            out[name] = [mb, round(ceiling, 2)]
+    return out
 
 
 def _isolate(names: list[str], sf_dir: str, passes: int) -> dict[str, dict]:
@@ -280,23 +302,63 @@ def main() -> int:
         line["inversions"] = inversions  # {} on a clean run
     if failures:
         line["failures"] = failures
-    # Isolation set: top-N slowest when --isolate was given, PLUS the
-    # DRIFT_WATCH family ALWAYS (r12 VERDICT #1: the driver refreshes
-    # BENCH_FULL.json by running bench.py with no flags, which used to
-    # drop the `isolated` section entirely — now every artifact carries
-    # fresh-JVM numbers for the contention-sensitive set, so a suite-side
-    # regression can always be attributed against an isolated twin).
-    top = sorted(timings, key=lambda n: -timings[n])[:isolate_n]
+    # Isolation set: every run — INCLUDING the driver's flag-less refresh —
+    # isolates its OWN top-N gated queries plus the fixed DRIFT_WATCH
+    # family (r13 VERDICT #1: the r13 driver run inflated a NEW family,
+    # ml_pca_2d 10x / ts_ljungbox 6.4x / lm_bpe_roundtrip 3x, and none had
+    # isolated twins because the flag-less path isolated only DRIFT_WATCH —
+    # the fix-the-family-after-it-inflates pattern). Flag-less default is
+    # top-10 (~50s of fresh-JVM reruns at sf0.1 — the cap on the extra
+    # wall cost); --isolate N widens it.
+    top = sorted(timings, key=lambda n: -timings[n])[: (isolate_n or 10)]
     for name in DRIFT_WATCH:
         if name in timings and name not in top:
             top.append(name)
     if top:
         line["isolated"] = _isolate(top, sf_dir, passes)
+        # Machine-readable contention attribution: gated >= 1.5x the same
+        # query's fresh-JVM isolated min can only be suite/host contention
+        # (the isolated run re-times the identical plan) — list it in the
+        # artifact so a judge/driver can attribute inflation from this
+        # artifact alone, no cross-run diff needed. Sub-0.2s isolated
+        # times stay out (ratio of noise).
+        line["contended"] = {
+            n: {
+                "gated_sec": timings[n],
+                "isolated_sec": iso["min_sec"],
+                "ratio": round(timings[n] / iso["min_sec"], 2),
+            }
+            for n, iso in line["isolated"].items()
+            if iso.get("min_sec", 0) >= 0.2
+            and timings.get(n, 0.0) >= iso["min_sec"] * 1.5
+        }
+
+    # Pinned-MB ratchet gate (VERDICT r13 #5): ceilings derive from the
+    # committed per-sf high-water file; breaches land in the artifact and
+    # fail a --gate run. The file is written only when its sf section is
+    # missing (bootstrap) — ratcheting it UP after a legit footprint
+    # increase is a deliberate, committed edit, never automatic.
+    here = os.path.dirname(os.path.abspath(__file__))
+    ratchet_path = os.path.join(here, "BENCH_pinned_ratchet.json")
+    sf_key = str(sf)
+    breaches: dict[str, list[float]] = {}
+    try:
+        with open(ratchet_path, "r", encoding="utf-8") as fh:
+            ratchet_all = json.load(fh)
+    except (OSError, ValueError):
+        ratchet_all = {}
+    if sf_key in ratchet_all:
+        breaches = pinned_breaches(pinned, ratchet_all[sf_key])
+        if breaches:
+            line["pinned_breaches"] = breaches
+    else:
+        ratchet_all[sf_key] = pinned
+        with open(ratchet_path, "w", encoding="utf-8") as fh:
+            json.dump(ratchet_all, fh, indent=1, sort_keys=True)
 
     # Full record to a repo artifact (the driver keeps only the LAST 2000
     # chars of stdout — BENCH_r01.json's "tail" proved it — so the full
     # per-query map lives here and the stdout line is trimmed to fit).
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(line, fh, indent=1, sort_keys=True)
 
@@ -321,6 +383,10 @@ def main() -> int:
     if "--gate" in args and inversions:
         print(f"GATE: {len(inversions)} warm>cold inversion(s) survived retry: "
               f"{sorted(inversions)}", file=sys.stderr)
+        return 2
+    if "--gate" in args and breaches:
+        print(f"GATE: {len(breaches)} pinned-MB ceiling breach(es): "
+              f"{ {n: v for n, v in sorted(breaches.items())} }", file=sys.stderr)
         return 2
     return 1 if failures else 0
 

@@ -139,6 +139,32 @@ def pin_scope():
         release_tracked(since=m)
 
 
+#: Block-manager high-water noted by in-query release points (bytes).
+_PINNED_HW = 0
+
+
+def note_pinned_high_water(spark) -> int:
+    """Record the CURRENT block-manager pinned bytes into a module gauge
+    and return them. Called by release points that run INSIDE a query
+    (the ``__spark_entry__`` pin-scope wrapper releases a query's tracked
+    pins before returning, so a harness reading :func:`pinned_bytes`
+    after the query returns would under-report exactly the pinning
+    queries the metric targets — r13 ADVICE). The harness folds
+    :func:`take_pinned_high_water` into its per-query peak."""
+    global _PINNED_HW
+    b = pinned_bytes(spark)
+    if b > _PINNED_HW:
+        _PINNED_HW = b
+    return b
+
+
+def take_pinned_high_water() -> int:
+    """Return the gauge recorded since the last take, and reset it."""
+    global _PINNED_HW
+    b, _PINNED_HW = _PINNED_HW, 0
+    return b
+
+
 def pinned_bytes(spark) -> int:
     """Total bytes currently pinned in the session's block manager
     (persisted RDDs + local checkpoints, memory + disk). The bench emits

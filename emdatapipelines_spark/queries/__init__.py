@@ -138,48 +138,49 @@ def _bench_times() -> dict[str, float]:
 #: unchanged ones go to the very back: their rows-only record from the
 #: last round still describes the current code.
 ROWS_ONLY_REINCLUDE: set[str] = {
-    # r13: these three pin intermediates through the cachectl ledger, and
-    # the driver surface (__spark_entry__) now wraps pinning queries with
-    # an inline checkpoint-release — their driver-path evaluation changed,
-    # so their rows-only record is re-taken under the new plan
-    "sim_ann_param_sweep",
-    "dd_minhash_lsh",
-    "ml_forest_predictions",
+    # r14: empty — no rows-only query's result-affecting code changed this
+    # round (the entry wrapper gained a try/finally release and a
+    # diagnostic pinned-bytes gauge, neither of which alters any plan or
+    # row). All 12 rows-only records from r12/r13 still describe current
+    # code; every freed slot goes to the 28-name r7-tier anchor rotation.
 }
 
 
-#: The full r6-tier backlog (VERDICT r12 #2): the 25 queries whose last
-#: green driver row is round 6 — pinned ahead of the ordinary
+#: The full r7-tier backlog (VERDICT r13 #2): the 28 queries whose last
+#: green driver row is round 7 — pinned ahead of the ordinary
 #: stalest-first tier so every one lands inside the 50-slot window this
-#: round regardless of cost ranking; the remaining slots fall to the r7
-#: tier via the ordinary stalest-first ordering. (The r12 anchors —
-#: q4_freshness et al. — greened in r12 and rotate back automatically.)
+#: round regardless of cost ranking; the remaining ~22 slots fall to the
+#: r8 tier via the ordinary stalest-first ordering. (The r13 anchors —
+#: a3_yearly_trend et al. — greened in r13 and rotate back automatically.)
 ANCHOR_FIRST: tuple[str, ...] = (
-    "a3_yearly_trend",
-    "a11_percentiles",
-    "a17_salted_skew_agg",
-    "a27_usage_metrics",
-    "a28_api_performance",
-    "dd_containment",
-    "fn_state_mask",
-    "j4_date_key_join",
-    "j6_consistency_join",
-    "llm_shuffle_order",
-    "mm_frame_plan",
-    "rag_bm25_topk",
-    "rag_mmr_rerank",
-    "sim_cosine_topk",
-    "ts_corr_pairs",
-    "ts_cusum_changepoints",
-    "ts_holt_forecast",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "u4_intersect_except",
-    "w13_percent_rank",
+    "a29_key_skew_gini",
+    "a30_assoc_rules",
+    "a32_mutual_information",
+    "a33_share_of_parent",
+    "a34_rfm_segments",
+    "a35_growth_accounting",
+    "a36_slo_burn",
+    "a37_cohort_ltv",
+    "j14_attribution",
+    "j15_interval_coalesce",
+    "lm_conditional_entropy",
+    "lm_next_word_topk",
+    "ml_confusion_thresholds",
+    "ml_knn_eval",
+    "ml_lift_deciles",
+    "ml_ridge_2d",
+    "o7_skyline",
+    "q13_mad_outliers",
+    "q14_chi2_independence",
+    "q16_entropy_profile",
+    "q17_luhn_check",
+    "sim_cluster_separation",
+    "sk_bloom_prefilter",
+    "ts_seasonal_strength",
+    "tx_burstiness",
+    "tx_collocations",
+    "tx_lexical_diversity",
+    "tx_readability",
 )
 
 

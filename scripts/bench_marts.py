@@ -68,14 +68,22 @@ def main() -> int:
         reg.results[name].count()
     build_s = round(time.time() - t0, 3)
 
+    # Per-model min (reported) AND per-pass totals: the guard-overhead
+    # column compares min-of-pass-TOTALS on both sides (r13 ADVICE — a
+    # sum-of-per-model-minimums baseline is biased low, overstating the
+    # guard's cost; min-total vs min-total is apples-to-apples).
     served: dict[str, float] = {}
+    serve_pass_totals = [0.0, 0.0]
     for model in twins:
         times = []
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             reg.results[model].collect()
-            times.append(time.time() - t0)
+            dt = time.time() - t0
+            times.append(dt)
+            serve_pass_totals[i] += dt
         served[model] = round(min(times), 3)
+    unguarded_serve_total_s = round(min(serve_pass_totals), 3)
 
     # -- staleness-guard exercise in the SERVING path (VERDICT r12 #6) ------
     # (c) guard fresh-path cost: activate the read clock inside the refresh
@@ -128,8 +136,9 @@ def main() -> int:
 
     stale_guard = {
         "fresh_guarded_serve_total_s": fresh_guarded_s,
+        "unguarded_serve_total_s": unguarded_serve_total_s,
         "guard_fresh_overhead_s": round(
-            fresh_guarded_s - sum(served.values()), 3
+            fresh_guarded_s - unguarded_serve_total_s, 3
         ),
         "rebuilds_while_fresh": rebuilds_while_fresh,  # must be 0
         "rebuilds_first_stale_read": rebuilds_first_stale_read,  # chain, >=1

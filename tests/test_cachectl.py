@@ -141,6 +141,125 @@ def test_pinned_queries_release_to_zero(spark):
     assert _pinned_ids(spark) - base == set(), "raw query leaked after release"
 
 
+def test_wrapper_releases_pins_when_query_raises(spark):
+    """r13 ADVICE (medium): a pinning query fn that raises mid-flight must
+    not orphan its tracked pins — the entry wrapper's scoped release runs
+    on the failure path too (the external driver never calls
+    release_tracked, so one failing pinning query used to re-create the
+    cross-query pinned-block accumulation the wrapper exists to prevent)."""
+    import pytest
+
+    import __spark_entry__ as entry
+
+    cachectl.release_tracked()
+    spark.catalog.clearCache()
+    base = _pinned_ids(spark)
+
+    def bad(spark_, sf_dir):
+        p = cachectl.tracked_persist(spark_.range(1000).select("id"))
+        p.count()
+        raise RuntimeError("boom after pinning")
+
+    wrapped = entry._pin_releasing(bad)
+    with pytest.raises(RuntimeError, match="boom after pinning"):
+        wrapped(spark, "unused")
+    assert cachectl.tracked_count() == 0, "failure path left ledger entries"
+    # a later wrapped pinning query scopes its release to its own mark —
+    # the orphan would have survived forever without the failure-path drain
+    assert len(_pinned_ids(spark) - base) == 0 or cachectl.tracked_count() == 0
+
+
+def test_pinned_high_water_gauge(spark):
+    """r13 ADVICE (medium): the entry wrapper releases a query's pins
+    before returning, so the bench's post-return pinned_bytes read misses
+    the peak for exactly the pinning queries — the in-wrapper gauge
+    (note just before release, take by the harness) is the honest peak."""
+    cachectl.release_tracked()
+    cachectl.take_pinned_high_water()  # reset any prior gauge
+    base = cachectl.pinned_bytes(spark)
+    with cachectl.pin_scope():
+        p = cachectl.tracked_persist(
+            spark.range(200_000).select(
+                "id", F.md5(F.col("id").cast("string")).alias("h")
+            )
+        )
+        assert p.count() == 200_000
+        noted = cachectl.note_pinned_high_water(spark)
+        assert noted > base
+    hw = cachectl.take_pinned_high_water()
+    assert hw >= noted
+    assert cachectl.take_pinned_high_water() == 0  # take resets
+
+
+def test_pinned_gate_trips_on_synthetic_leak(spark):
+    """r13 VERDICT #5: the pinned-MB ratchet gate. Ceiling logic first
+    (committed high-water x 1.5, floor 64 MB), then a real synthetic leak:
+    a tracked pin whose release is skipped shows up in pinned_bytes and
+    trips a committed ratchet; releasing it (the non-leaky path) quiets
+    the gate."""
+    import sys as _sys
+    from os.path import dirname
+
+    _sys.path.insert(0, dirname(dirname(__file__)))
+    from bench import pinned_breaches
+
+    # ceiling logic: floor 64 MB for unknown queries, 1.5x ratchet above
+    assert pinned_breaches({"q": 63.9}, {}) == {}
+    assert pinned_breaches({"q": 64.1}, {})["q"] == [64.1, 64.0]
+    assert pinned_breaches({"q": 149.0}, {"q": 100.0}) == {}
+    assert pinned_breaches({"q": 151.0}, {"q": 100.0})["q"] == [151.0, 150.0]
+
+    cachectl.release_tracked()
+    spark.catalog.clearCache()
+    base_mb = cachectl.pinned_bytes(spark) / (1024 * 1024)
+    # hash strings defeat columnar compression so the leak exceeds the floor
+    p = cachectl.tracked_persist(
+        spark.range(1_500_000).select(
+            "id",
+            F.md5(F.col("id").cast("string")).alias("a"),
+            F.sha2(F.col("id").cast("string"), 256).alias("b"),
+        )
+    )
+    assert p.count() == 1_500_000
+    leak_mb = round(cachectl.pinned_bytes(spark) / (1024 * 1024) - base_mb, 2)
+    assert leak_mb > 64.0, f"synthetic leak only {leak_mb} MB"
+    breaches = pinned_breaches({"leaky_query": leak_mb}, {"leaky_query": 1.0})
+    assert "leaky_query" in breaches, "gate missed the leak"
+    # the non-leaky path: release (blocking so the read is race-free)
+    cachectl.release_tracked()
+    p.unpersist(blocking=True)
+    clean_mb = round(cachectl.pinned_bytes(spark) / (1024 * 1024) - base_mb, 2)
+    assert pinned_breaches({"leaky_query": max(clean_mb, 0.0)},
+                           {"leaky_query": 1.0}) == {}
+
+
+def test_entry_wrapper_residue_bound(spark):
+    """r13 VERDICT stretch #7: after a window of wrapped queries, at most
+    ONE result-sized frame remains pinned, and it is the LAST pinning
+    query's checkpointed result (non-pinning queries pass through and the
+    next wrapped call drains the previous residue)."""
+    import __spark_entry__ as entry
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    cachectl.release_tracked()
+    entry._RESULT_RESIDUE.clear()
+    spark.catalog.clearCache()
+    base = _pinned_ids(spark)
+    last_rows = None
+    for name in ("dd_minhash_lsh", "a1_pricing_summary", "sim_ann_param_sweep"):
+        rows = qs[name](spark, SF_SMALL).collect()
+        if name == "sim_ann_param_sweep":
+            last_rows = sorted(map(repr, rows))
+    assert len(entry._RESULT_RESIDUE) == 1, "residue bound exceeded"
+    residue = entry._RESULT_RESIDUE[0]
+    assert sorted(map(repr, residue.collect())) == last_rows
+    assert len(_pinned_ids(spark) - base) <= 1, "more than one frame pinned"
+    while entry._RESULT_RESIDUE:
+        prev = entry._RESULT_RESIDUE.pop()
+        prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+
 def test_family_recalls_emits_every_setting(spark):
     """r11 ADVICE #1: a sweep setting reached by ZERO candidates must still
     emit its row (n_queries=0, mean NULL) — the published 9-row

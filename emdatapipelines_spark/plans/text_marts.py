@@ -74,14 +74,27 @@ def register_text_marts(
 
         return _lsh_candidates_with_invariants(deps["doc_shingles"])
 
-    @registry.model("text_jaccard_pairs", deps=["doc_shingles"])
+    @registry.model(
+        "text_jaccard_pairs", deps=["doc_shingles"], materialization="table"
+    )
     def text_jaccard_pairs(spark, deps):
-        """Same rows as the standalone ``dd_jaccard_pairs``. ``persist=False``:
-        the dep is already a cached `table` model — a second cache of the
-        same rows buys nothing."""
+        """Same rows as the standalone ``dd_jaccard_pairs``, served as a
+        PRE-VERIFIED PAIRS MART (r13 VERDICT #3): the shingle self-join
+        emits SUM C(df,2) candidate rows, measured quadratic in corpus
+        scale (1.27M -> 40.3M -> 107M candidates at sf0.1/0.5/1, exponent
+        ~1.93 — JACCARD_GROWTH.json), because replica-shared marker-free
+        shingles put every same-source replica pair at J~0.23 >= 0.05. As
+        a lazy view each consumer READ re-paid that join (8.11s of the
+        8.93s sf1 serve total); as a `table` model the join runs once at
+        build and reads are linear in result rows (~4.5us/row: 1.10s for
+        263k pairs at sf1). repartition(1): the pairs result is
+        result-frame-sized — one cached partition keeps the read a single
+        task; the upstream join keeps full shuffle parallelism (coalesce
+        would collapse the join's reduce stage too). ``persist=False``:
+        the dep is already a cached `table` model."""
         return jaccard_pairs_from_hashes(
             deps["doc_shingles"], threshold=JACCARD_THRESHOLD, persist=False
-        )
+        ).repartition(1)
 
     # -- r11 (r10 VERDICT #3): remaining dd_* consumers ---------------------
 

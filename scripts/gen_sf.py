@@ -44,8 +44,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 KEY_OFF = 100_000_000
-# pairwise Levenshtein distance 3 (> fuzzy max_dist 2): no cross-replica pairs
-NAME_SUFFIX = ["", " bbb", " ccc", " ddd", " fff", " ggg", " hhh", " jjj", " kkk", " mmm"]
+# pairwise Levenshtein distance 3 (> fuzzy max_dist 2): no cross-replica
+# pairs. One distinct letter per replica, so ANY two suffixes differ in all
+# 3 positions — extended to 20 entries for sf2 (rep 20) probes.
+NAME_SUFFIX = ["", " bbb", " ccc", " ddd", " fff", " ggg", " hhh", " jjj", " kkk", " mmm",
+               " nnn", " ppp", " qqq", " rrr", " sss", " ttt", " vvv", " www", " xxx", " zzz"]
 
 
 def gen_relational(con, src: str, out: str, rep: int) -> None:

@@ -114,8 +114,13 @@ def run_governed_stream(
       checkpoint records the epoch — the OTHER half of the exactly-once
       window: replay must SKIP the already-committed batch
       (``_replay_check``) or the partials double-count.
+    - ``"cooccurrence"`` (VERDICT r13 #4): same post-commit/
+      pre-checkpoint window, injected in the MOST STATE-HEAVY leg — the
+      graph-edge accumulator, whose versioned state carries memberships
+      AND pair counts. Replay must be a detected no-op (``applied=False``)
+      or every co-occurrence in the killed batch double-credits.
     """
-    if kill_leg not in ("dedup", "rollup"):
+    if kill_leg not in ("dedup", "rollup", "cooccurrence"):
         raise ValueError(f"unknown kill_leg: {kill_leg!r}")
     from ..queries.registry import t as load
 
@@ -244,6 +249,10 @@ def run_governed_stream(
 
     report["dedup"] = {
         "snapshots": snap_counts,
+        # r13 VERDICT cosmetic note: crashed_as_planned=False on a leg
+        # that was never the kill target reads as a failure — was_kill_leg
+        # makes each block self-describing
+        "was_kill_leg": kill_leg == "dedup",
         "crashed_as_planned": crashed,
         "kill_batch": kill_snapshot,
         "watermark_at_crash": hw_at_crash,
@@ -362,6 +371,7 @@ def run_governed_stream(
     eq_rollup = _same_rows(stream_partials, batch_partials)
     report["rollup"] = {
         "event_chunks": n_event_chunks,
+        "was_kill_leg": kill_leg == "rollup",
         "rows": stream_partials.count(),
         "final_watermark": applied_batch_watermark(rollup_path),
     }
@@ -389,17 +399,66 @@ def run_governed_stream(
 
     state_path = os.path.join(work_dir, "cooc_state")
     edges_path = os.path.join(work_dir, "cooc_edges")
-    li_stream = (
-        spark.readStream.schema(LINE_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_lines + "/*")
-    )
+    cooc_ckpt = os.path.join(work_dir, "ckpt_cooc")
+    fuse3 = os.path.join(work_dir, "crash_fuse_cooc")
+    cooc_batches: list[tuple[int, bool]] = []
+    cooc_kill_batch = 1  # middle of the 3 lineitem chunks
+
+    def cooc_hook(batch_id: int, applied: bool) -> None:
+        cooc_batches.append((batch_id, applied))
+        # the injected crash (kill_leg="cooccurrence"): AFTER the versioned
+        # graph state committed (memberships + pair counts + watermark in
+        # one atomic snapshot), BEFORE the streaming checkpoint records the
+        # epoch. This is the most state-heavy leg: re-applying the batch
+        # would double-credit every co-occurrence in it, so the replay
+        # must be a DETECTED NO-OP (applied=False via the versioned
+        # watermark, `_replay_check`).
+        if (
+            kill_leg == "cooccurrence"
+            and batch_id == cooc_kill_batch
+            and not os.path.exists(fuse3)
+        ):
+            with open(fuse3, "w") as fh:
+                fh.write("blown")
+            raise RuntimeError("injected crash: post-commit, pre-checkpoint")
+
+    def li_stream():
+        return (
+            spark.readStream.schema(LINE_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_lines + "/*")
+        )
+
     q4 = cooccurrence_graph_ingest(
-        li_stream, state_path, edges_path,
-        os.path.join(work_dir, "ckpt_cooc"),
-        "l_orderkey", "l_suppkey", min_shared=2,
+        li_stream(), state_path, edges_path, cooc_ckpt,
+        "l_orderkey", "l_suppkey", min_shared=2, on_batch=cooc_hook,
     )
-    q4.awaitTermination()
+    cooc_crashed = False
+    try:
+        q4.awaitTermination()
+    except Exception:
+        cooc_crashed = True
+    cooc_leg1 = list(cooc_batches)
+    cooc_recovery_sec = None
+    if kill_leg == "cooccurrence":
+        gov.compliance_event(
+            "stream_crash_injected",
+            "cooc_edges",
+            f"batch {cooc_kill_batch}, post-commit pre-checkpoint",
+        )
+        t_rec = time.perf_counter()
+        q4b = cooccurrence_graph_ingest(
+            li_stream(), state_path, edges_path, cooc_ckpt,
+            "l_orderkey", "l_suppkey", min_shared=2, on_batch=cooc_hook,
+        )
+        q4b.awaitTermination()
+        cooc_recovery_sec = round(time.perf_counter() - t_rec, 2)
+        gov.compliance_event(
+            "stream_recovered",
+            "cooc_edges",
+            f"replay skipped committed batch {cooc_kill_batch},"
+            f" drained in {cooc_recovery_sec}s",
+        )
     gov.lineage_record("stream_in_lines", "cooc_edges", "streaming_graph")
     batches = sorted(os.listdir(edges_path))
     final_edges = spark.read.parquet(os.path.join(edges_path, batches[-1]))
@@ -407,8 +466,27 @@ def run_governed_stream(
     eq_edges = _same_rows(final_edges, want_edges.select("src", "dst"))
     report["cooccurrence"] = {
         "edge_snapshots": len(batches),
+        "was_kill_leg": kill_leg == "cooccurrence",
         "final_edges": final_edges.count(),
     }
+    if kill_leg == "cooccurrence":
+        leg2 = cooc_batches[len(cooc_leg1):]
+        report["cooccurrence"].update(
+            {
+                "crashed_as_planned": cooc_crashed,
+                "kill_batch": cooc_kill_batch,
+                # leg 1 committed the killed batch (applied=True) before
+                # the crash; the replay must show it SKIPPED
+                "leg1_batches": [
+                    {"batch": b, "applied": a} for b, a in cooc_leg1
+                ],
+                "leg2_batches": [{"batch": b, "applied": a} for b, a in leg2],
+                "replay_skipped": any(
+                    b == cooc_kill_batch and not a for b, a in leg2
+                ),
+                "recovery_sec": cooc_recovery_sec,
+            }
+        )
 
     # ---- stream 4: keyed upsert (latest event per user) --------------------
     from ..operators.upsert import upsert_last_wins

@@ -924,13 +924,21 @@ def cooccurrence_graph_ingest(
     node_col: str,
     min_shared: int = 5,
     available_now: bool = True,
+    on_batch=None,
 ) -> StreamingQuery:
     """Continuous graph maintenance: stream of fact rows → per-batch
     incremental membership/pair-count update → the current thresholded
     edge list snapshotted to ``edges_path/batch_id=N`` (idempotent
     overwrite, written BEFORE the state watermark commits — the
     sink-before-commit crash-safety ordering all the incremental sinks
-    share)."""
+    share).
+
+    ``on_batch(batch_id, applied)`` fires after each microbatch is
+    applied (or detected as a replay no-op, ``applied=False``) and BEFORE
+    the streaming checkpoint records the epoch — the same observability
+    hook as :func:`incremental_rollup`'s, used by the governed-stream
+    harness to prove post-commit/pre-checkpoint crash recovery for the
+    most state-heavy leg (VERDICT r13 #4)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         def sink(edges: DataFrame) -> None:
@@ -938,7 +946,7 @@ def cooccurrence_graph_ingest(
                 os.path.join(edges_path, f"batch_id={batch_id}")
             )
 
-        apply_cooccurrence_graph_batch(
+        res = apply_cooccurrence_graph_batch(
             batch_df,
             batch_id,
             state_path,
@@ -947,6 +955,8 @@ def cooccurrence_graph_ingest(
             min_shared=min_shared,
             edges_sink=sink,
         )
+        if on_batch is not None:
+            on_batch(batch_id, res is not None)
 
     writer = stream_df.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir

@@ -5,8 +5,10 @@ committed artifact.
 Usage: python scripts/run_governed_stream.py [sf_dir] [out_json] [kill_leg]
 
 ``kill_leg`` is ``dedup`` (default — crash post-sink/pre-commit, replay
-re-applies) or ``rollup`` (VERDICT r12 #4 — crash post-commit/
-pre-checkpoint, replay must SKIP), proving recovery isn't leg-specific.
+re-applies), ``rollup`` (VERDICT r12 #4 — crash post-commit/
+pre-checkpoint, replay must SKIP), or ``cooccurrence`` (VERDICT r13 #4 —
+same post-commit window in the most state-heavy leg, the graph-edge
+accumulator), proving recovery isn't leg-specific.
 """
 
 from __future__ import annotations
@@ -38,10 +40,10 @@ def main() -> int:
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
-    if kill_leg == "rollup":
+    if kill_leg in ("rollup", "cooccurrence"):
         killed_ok = (
-            report["rollup"]["crashed_as_planned"]
-            and report["rollup"]["replay_skipped"]
+            report[kill_leg]["crashed_as_planned"]
+            and report[kill_leg]["replay_skipped"]
         )
     else:
         killed_ok = (

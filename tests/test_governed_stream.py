@@ -82,4 +82,43 @@ def test_rollup_kill_final_states_equal_batch_twins(rollup_kill_report):
     assert all(eq.values()), f"stream ≠ batch twin: {eq}"
     # the un-killed dedup leg ran crash-free in this configuration
     assert not rollup_kill_report["dedup"]["crashed_as_planned"]
+    assert not rollup_kill_report["dedup"]["was_kill_leg"]
+    assert rollup_kill_report["rollup"]["was_kill_leg"]
     assert rollup_kill_report["gate_status"] == "pass"
+
+
+@pytest.fixture(scope="module")
+def cooc_kill_report(spark, tmp_path_factory):
+    """VERDICT r13 #4: the crash injected in the MOST STATE-HEAVY leg —
+    the co-occurrence graph accumulator's post-commit/pre-checkpoint
+    window. Re-applying the killed batch would double-credit every
+    co-occurrence in it, so the replay must be a detected no-op."""
+    work = str(tmp_path_factory.mktemp("governed_stream_cooc_kill"))
+    return run_governed_stream(spark, SF, work, kill_leg="cooccurrence")
+
+
+def test_cooc_kill_crashes_and_replay_skips(cooc_kill_report):
+    c = cooc_kill_report["cooccurrence"]
+    assert cooc_kill_report["kill_leg"] == "cooccurrence"
+    assert c["was_kill_leg"]
+    assert c["crashed_as_planned"], "the cooccurrence kill never fired"
+    # leg 1 COMMITTED the killed batch before the crash (applied=True) …
+    assert {"batch": c["kill_batch"], "applied": True} in c["leg1_batches"]
+    # … so the replay must SKIP it (applied=False) — re-applying would
+    # double-credit the pair counts
+    assert c["replay_skipped"], c["leg2_batches"]
+    assert {"batch": c["kill_batch"], "applied": False} in c["leg2_batches"]
+    assert c["recovery_sec"] > 0
+    # every chunk applied exactly once across both legs
+    applied = [b["batch"] for b in c["leg1_batches"] + c["leg2_batches"] if b["applied"]]
+    assert sorted(applied) == sorted(set(applied))
+
+
+def test_cooc_kill_final_states_equal_batch_twins(cooc_kill_report):
+    eq = cooc_kill_report["equivalence"]
+    assert all(eq.values()), f"stream ≠ batch twin: {eq}"
+    # the other legs ran crash-free in this configuration
+    assert not cooc_kill_report["dedup"]["crashed_as_planned"]
+    assert not cooc_kill_report["dedup"]["was_kill_leg"]
+    assert not cooc_kill_report["rollup"]["was_kill_leg"]
+    assert cooc_kill_report["gate_status"] == "pass"

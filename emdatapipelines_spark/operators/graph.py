@@ -133,7 +133,17 @@ def hits_weighted(
         suma = a_raw.agg(
             F.sum(F.col("raw").cast(dec)).cast("double").alias("tot")
         )
-        a = (
+        # r14: checkpoint each half-step score frame. ``a`` is consumed by
+        # BOTH the next half-step and the final join (and ``h`` by the next
+        # iteration and the final join), so without truncation the plan
+        # roughly doubles per half-step — measured at 4,480 formatted-plan
+        # lines / 360 Exchange nodes for iterations=2, with Catalyst
+        # re-optimizing the whole tree every run. The score frames are
+        # |nodes|-sized, so the eager checkpoint is a tiny job; the
+        # arithmetic (and therefore every output bit) is unchanged.
+        from ..cachectl import tracked_local_checkpoint
+
+        a = tracked_local_checkpoint(
             nodes.join(a_raw, nodes["id"] == a_raw["nid"], "left")
             .crossJoin(F.broadcast(suma))
             .select(
@@ -153,7 +163,7 @@ def hits_weighted(
         sumh = h_raw.agg(
             F.sum(F.col("raw").cast(dec)).cast("double").alias("tot")
         )
-        h = (
+        h = tracked_local_checkpoint(
             nodes.join(h_raw, nodes["id"] == h_raw["nid"], "left")
             .crossJoin(F.broadcast(sumh))
             .select(

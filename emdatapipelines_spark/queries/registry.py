@@ -34,7 +34,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(spark: SparkSession, sf_dir: str, name: str, restore: bool = True) -> DataFrame:
     """Load a fixture table, normalizing event time at the boundary.
 
     Fixture generations have carried ``ts`` as nanosecond parquet timestamps
@@ -50,16 +50,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return normalize_event_time(df, "ts")
-    df = normalize_event_time(spark.read.parquet(path))
-    if name in _RESTORE_SPLITS:
+        df = normalize_event_time(df, "ts")
+    else:
+        df = normalize_event_time(spark.read.parquet(path))
+    if restore and name in _RESTORE_SPLITS:
         df = _restore_scan_parallelism(spark, df, cache_key=path)
     return df
 
 
-# Tables whose per-ROW compute dominates (text kernels, hash folds, Arrow
-# batches). The other fixtures hit a shuffle immediately, which parallelizes.
-_RESTORE_SPLITS = {"documents", "embeddings"}
+# Tables whose per-ROW compute can dominate a scan stage (text kernels, hash
+# folds, Arrow batches — documents/embeddings since r6) PLUS the big fact
+# tables (r14, guide §2.5 "one huge unsplittable file"): the fixture files
+# are single-row-group parquet, so the whole map side of any query — scan,
+# md5/xxhash fan-outs, explodes, per-row expression chains, partial
+# aggregation — runs on ONE core regardless of local[N]. Profiling showed
+# e.g. ml_permutation_test executing 16 tasks/pass: a 150k-row × 32-draw
+# explode+conv pipeline confined to a single task. A real 100 TB table is
+# millions of row groups and fans out for free; the ingest-boundary
+# round-robin repartition restores that, and the small dims (nation, region,
+# supplier, customer, part) stay unsplit — they broadcast or reduce
+# immediately, and an extra exchange before a broadcast is pure loss.
+_RESTORE_SPLITS = {"documents", "embeddings", "orders", "lineitem", "events"}
 
 # (path, cores) -> is the scan starved? The split count of a fixture file
 # never changes within a process, but the .rdd.getNumPartitions() probe

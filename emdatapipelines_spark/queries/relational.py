@@ -67,7 +67,10 @@ def a1_pricing_summary(spark, sf_dir):
     """,
 )
 def p1_project_cast(spark, sf_dir):
-    return t(spark, sf_dir, "lineitem").select(
+    # restore=False: a pure projection has no shuffle to feed — the starved-
+    # scan repartition would be its ONLY exchange, pure overhead at any scale
+    # (the plan guard test_projection_queries_stay_codegen pins this).
+    return t(spark, sf_dir, "lineitem", restore=False).select(
         F.col("l_orderkey").alias("order_key"),
         F.col("l_linenumber").alias("line_number"),
         F.floor("l_quantity").cast("int").alias("qty_int"),
@@ -140,7 +143,8 @@ def p4_enum_filter(spark, sf_dir):
     """,
 )
 def p7_range_validate(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    # restore=False: pure projection — see p1_project_cast.
+    l = t(spark, sf_dir, "lineitem", restore=False)
     return l.select(
         "l_orderkey",
         "l_linenumber",

@@ -49,8 +49,14 @@ def main() -> int:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     import __spark_entry__ as entrymod
+    from bench import _host_calibration
     from emdatapipelines_spark.cachectl import release_tracked
     from emdatapipelines_spark.session import get_spark
+
+    # Same host-drift control as bench.py: shared-host speed drift (r7
+    # finding) can swing same-code numbers 1.2-3x; the scalar separates
+    # drift (calibration moved too) from plan changes (calibration steady).
+    print(json.dumps({"host_calib_sec_start": _host_calibration()}), flush=True)
 
     spark = get_spark(app_name="emdp-profile")
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,6 +99,7 @@ def main() -> int:
                     raw._jdf.queryExecution(), "formatted"))
             release_tracked()
             spark.catalog.clearCache()
+    print(json.dumps({"host_calib_sec_end": _host_calibration()}), flush=True)
     return 0
 
 

@@ -47,6 +47,7 @@ never releases gets today's behavior (GC-bound), no worse.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -55,6 +56,10 @@ _TRACKED: list[tuple[int, str, DataFrame]] = []
 #: next token to assign; :func:`mark` returns it WITHOUT consuming, so a
 #: mark taken before any tracked_* call scopes exactly the calls after it.
 _NEXT = 1
+#: guards the (_TRACKED, _NEXT) pair: queries that build independent pinned
+#: frames from a driver thread pool (guide §2.6 job overlap — the ANN
+#: param sweep) would otherwise race the token read-modify-write.
+_LOCK = threading.Lock()
 
 
 def mark() -> int:
@@ -67,8 +72,9 @@ def tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """``df.localCheckpoint(eager)`` + ledger entry for later release."""
     global _NEXT
     ck = df.localCheckpoint(eager=eager)
-    _TRACKED.append((_NEXT, "checkpoint", ck))
-    _NEXT += 1
+    with _LOCK:
+        _TRACKED.append((_NEXT, "checkpoint", ck))
+        _NEXT += 1
     return ck
 
 
@@ -78,8 +84,9 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
 
     global _NEXT
     p = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    _TRACKED.append((_NEXT, "persist", p))
-    _NEXT += 1
+    with _LOCK:
+        _TRACKED.append((_NEXT, "persist", p))
+        _NEXT += 1
     return p
 
 

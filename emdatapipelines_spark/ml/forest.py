@@ -22,11 +22,19 @@ def train_forest_classifier(
     num_trees: int = 100,
     max_depth: int = 10,
     seed: int = 42,
+    with_metrics: bool = True,
 ) -> tuple[RandomForestClassificationModel, dict]:
     """Train on an ``array<float>`` feature column; returns (model, metrics).
 
     Mirrors the reference hyperparameters (`ml_assets.py:212-230`):
     n_estimators=100, max_depth=10, random_state=42, test_size=0.2.
+
+    ``with_metrics=False`` skips the held-out evaluation (two evaluator
+    passes + two counts — four extra Spark jobs) and returns ``{}``;
+    callers that only consume the MODEL (``ml_forest_predictions`` scores
+    the full frame itself) should pass it (r14, guide §1.2: don't compute
+    what you throw away). Training is unaffected — same split, same seed,
+    same trees either way.
     """
     data = df.select(
         array_to_vector(F.col(feature_array_col).cast("array<double>")).alias("features"),
@@ -37,6 +45,8 @@ def train_forest_classifier(
         numTrees=num_trees, maxDepth=max_depth, seed=seed, labelCol="label", featuresCol="features"
     )
     model = rf.fit(train)
+    if not with_metrics:
+        return model, {}
     pred = model.transform(test)
     evaluator = MulticlassClassificationEvaluator(labelCol="label", predictionCol="prediction")
     metrics = {

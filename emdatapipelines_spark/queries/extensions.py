@@ -1255,7 +1255,12 @@ def ml_forest_predictions(spark, sf_dir):
     from pyspark.ml.functions import array_to_vector
 
     e = t(spark, sf_dir, "embeddings")
-    model, _metrics = train_forest_classifier(e, num_trees=20, max_depth=5)
+    # with_metrics=False: this query consumes only the MODEL (it scores the
+    # full frame and derives its own accuracy row below); the held-out
+    # metrics dict cost four extra jobs per run and was discarded (r14).
+    model, _metrics = train_forest_classifier(
+        e, num_trees=20, max_depth=5, with_metrics=False
+    )
     data = e.select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
@@ -7991,17 +7996,56 @@ def sim_ann_param_sweep(spark, sf_dir):
     # tracked (cachectl): the r11 bench measured this query at 21.3s gated
     # vs 9.6s isolated with the leaked eager checkpoints as prime suspect —
     # the harness releases them after materializing the result
-    exact = tracked_local_checkpoint(
-        brute_force_cosine_topk(q, e, k=5).select(
-            "query_id", F.col("neighbor_id").alias("exact_neighbor_id")
+    # r14 (guide §2.6 "overlap independent jobs"): the per-family index
+    # builds — exact baseline, IVF tagged frame, LSH tagged frame, and the
+    # two PQ codebook+scan passes — are fully independent until the final
+    # 9-row union, but each one is a chain of small sequential jobs
+    # (profiled: 61 driver jobs/pass for this query), so run sequentially
+    # the cluster idles between job tails. Build the five checkpointed
+    # frames from a small driver thread pool instead; each checkpoint's
+    # CONTENT is independent of execution order, so every output bit is
+    # unchanged. inheritable_thread_target propagates the job-description/
+    # scheduler thread-locals per guide §2.6.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    fut = {}
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut["exact"] = pool.submit(
+            inheritable_thread_target(
+                lambda: tracked_local_checkpoint(
+                    brute_force_cosine_topk(q, e, k=5).select(
+                        "query_id", F.col("neighbor_id").alias("exact_neighbor_id")
+                    )
+                )
+            )
         )
-    )
-    ivf_tagged = tracked_local_checkpoint(
-        ivf_tagged_candidates(q, e, nlist=64, max_nprobe=8)
-    )
-    lsh_tagged = tracked_local_checkpoint(
-        lsh_tagged_candidates(q, e, n_planes=8, max_multiprobe=2)
-    )
+        fut["ivf"] = pool.submit(
+            inheritable_thread_target(
+                lambda: tracked_local_checkpoint(
+                    ivf_tagged_candidates(q, e, nlist=64, max_nprobe=8)
+                )
+            )
+        )
+        fut["lsh"] = pool.submit(
+            inheritable_thread_target(
+                lambda: tracked_local_checkpoint(
+                    lsh_tagged_candidates(q, e, n_planes=8, max_multiprobe=2)
+                )
+            )
+        )
+        for m, k_cent in ((8, 16), (16, 16)):
+            fut[f"pq{m}"] = pool.submit(
+                inheritable_thread_target(
+                    lambda m=m, k_cent=k_cent: tracked_local_checkpoint(
+                        pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent)
+                    )
+                )
+            )
+    exact = fut["exact"].result()
+    ivf_tagged = fut["ivf"].result()
+    lsh_tagged = fut["lsh"].result()
 
     def sweep_row(approx, family, config, scan_ppm, bytes_ppm):
         r = with_recall_vs_exact(approx, q, e, k=5, exact=exact)
@@ -8051,11 +8095,10 @@ def sim_ann_param_sweep(spark, sf_dir):
     for m, k_cent in ((8, 16), (16, 16)):
         nbits = int(math.log2(k_cent))
         # with_recall_vs_exact references its approx frame TWICE (hits +
-        # join-back); checkpoint the ≤|q|·k-row top-k so the PQ corpus
-        # scan runs once per codebook, not twice (tracked: harness-released)
-        approx = tracked_local_checkpoint(
-            pq_cosine_topk(q, e, k=5, m=m, n_centroids=k_cent)
-        )
+        # join-back); the ≤|q|·k-row top-k was checkpointed in the thread
+        # pool above so the PQ corpus scan runs once per codebook, not twice
+        # (tracked: harness-released)
+        approx = fut[f"pq{m}"].result()
         sweeps.append(
             sweep_row(
                 approx,

@@ -32,6 +32,19 @@ def _plan(spark, name: str) -> str:
     return out
 
 
+def _non_ingest_hash_exchanges(plan: str) -> int:
+    """Hash exchanges EXCLUDING the ingest-boundary restore repartition
+    (recognizable by its synthetic ``xxhash64(<table key>)`` partitioning
+    expression — registry._RESTORE_KEYS). The restore moves table rows
+    once at the scan and never fires on a naturally-split table; the
+    shuffle-freedom guards below are about everything above it."""
+    return sum(
+        1
+        for seg in plan.split("Exchange hashpartitioning")[1:]
+        if not seg.lstrip("( ").startswith("xxhash64")
+    )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(spark, "p4_enum_filter")
     # enum + range predicates pushed into the parquet scan
@@ -44,8 +57,12 @@ def test_column_pruning(spark):
     plan = _plan(spark, "a1_pricing_summary")
     scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scan_lines, "no parquet scan found"
-    # the lineitem scan must NOT read join keys it doesn't need
-    assert all("l_orderkey" not in l for l in scan_lines)
+    # the lineitem scan must NOT read join keys it doesn't need. Exception:
+    # the ingest restore repartition (r14) hashes xxhash64(l_orderkey), so
+    # the 8-byte key column rides the starved-fixture scan — a local-only
+    # cost (the restore never fires on a naturally-split table) accepted
+    # for dropping round-robin's sort-before-repartition. Any OTHER unused
+    # column (l_partkey) must still be pruned.
     assert all("l_partkey" not in l for l in scan_lines)
 
 
@@ -201,7 +218,10 @@ def test_simhash_plan_is_shuffle_free(spark):
         .executedPlan()
         .toString()
     )
-    assert "hashpartitioning" not in plan
+    # the ingest-boundary restore repartition (hashpartitioning on
+    # xxhash64 of the table key since r14) moves DOC rows once and is
+    # allowed; any OTHER hash exchange would mean the token stream shuffles
+    assert _non_ingest_hash_exchanges(plan) == 0
     assert "Generate" not in plan  # the explode+groupBy regression shape
 
 
@@ -222,7 +242,7 @@ def test_repetition_plan_is_shuffle_free(spark):
     only allowed Exchange is the ingest-boundary round-robin repartition,
     which moves document rows once, not the token stream)."""
     plan = _plan(spark, "tx_repetition")
-    assert "hashpartitioning" not in plan
+    assert _non_ingest_hash_exchanges(plan) == 0
     assert plan.count("Exchange") <= 1
 
 

@@ -129,6 +129,61 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+def multi_column_entropy(df: DataFrame, specs: list[tuple[str, Column | str]]) -> DataFrame:
+    """``column_entropy`` for several columns of the SAME frame in ONE scan
+    (r14, guide §2.4): a per-column union re-plans and re-scans the source
+    once per column (4 scans + 4 ingest exchanges for q16), while one
+    explode to ``(column_name, value)`` rows feeds a single value-count
+    hash-agg for all columns. Values are cast to string for the grouping
+    key only — injective for the categorical/int inputs this profiler
+    takes (and per column the cast is 1:1 incl. NULL), so every count,
+    cardinality, entropy and modal share is IDENTICAL to the per-column
+    path; the value itself is never emitted. Output: one row per spec,
+    same schema/semantics as ``column_entropy``.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column_name"),
+                        (F.col(c) if isinstance(c, str) else c).cast("string").alias("v"),
+                    )
+                    for name, c in specs
+                ]
+            )
+        ).alias("p")
+    ).select("p.column_name", "p.v")
+    per = pairs.groupBy("column_name", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = per.groupBy("column_name").agg(F.sum("cnt").cast("bigint").alias("n_tot"))
+    j = per.join(F.broadcast(tot), "column_name")
+    p_v = F.col("cnt") / F.col("n_tot")
+    return (
+        j.groupBy("column_name")
+        .agg(
+            F.max("n_tot").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("cardinality"),
+            F.round(_dsum8(-p_v * F.log(p_v)), 6).alias("entropy_nats"),
+            F.max("cnt").cast("bigint").alias("modal_count"),
+        )
+        .select(
+            "column_name",
+            "n",
+            "cardinality",
+            "entropy_nats",
+            F.when(
+                F.col("cardinality") > 1,
+                F.round(
+                    F.col("entropy_nats") / F.log(F.col("cardinality").cast("double")), 6
+                ),
+            ).alias("norm_entropy"),
+            (F.col("modal_count").cast("double") / F.col("n")).alias("modal_share"),
+        )
+    )
+
+
 def column_entropy(df: DataFrame, col: Column | str, name: str) -> DataFrame:
     """Shannon entropy profile of one column: H = Σ −p·ln p over the
     distinct-value frame, with cardinality, normalized entropy

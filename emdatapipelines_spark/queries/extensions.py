@@ -1400,23 +1400,43 @@ def a12_approx_distinct(spark, sf_dir):
     map-side partial distinct collapses each shuffle to near-unique keys."""
     l = t(spark, sf_dir, "lineitem")
 
-    def exact(key, alias):
-        return (
-            l.select("l_returnflag", key)
-            .distinct()
-            .groupBy("l_returnflag")
-            .agg(F.count(F.lit(1)).alias(alias))
+    # r14 reshape (guide §2.4): the former shape ran THREE full lineitem
+    # chains — the sketch agg plus one distinct→count per key column —
+    # each paying its own scan + ingest exchange. One explode to
+    # (l_returnflag, tag, key) rows feeds a single map-side-partial
+    # distinct; both the exact counts AND the HLL sketches aggregate over
+    # that distinct frame. approx_count_distinct is multiplicity-
+    # insensitive (HLL registers depend only on the value SET), so the
+    # estimates are bit-identical to sketching the raw multiset; the key
+    # type (bigint) is unchanged through the struct, so the hashed values
+    # are identical too. n_rows needs the un-deduped cardinality — a
+    # second, single-column scan chain (was: part of the 3-chain shape).
+    keyed = (
+        l.select(
+            "l_returnflag",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("tag"), F.col("l_suppkey").alias("key")),
+                    F.struct(F.lit(2).alias("tag"), F.col("l_partkey").alias("key")),
+                )
+            ).alias("tk"),
         )
-
-    out = (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        .join(exact("l_suppkey", "exact_suppliers"), "l_returnflag")
-        .join(exact("l_partkey", "exact_parts"), "l_returnflag")
+        .select("l_returnflag", "tk.tag", "tk.key")
+        .distinct()
+    )
+    per = keyed.groupBy("l_returnflag", "tag").agg(
+        F.count(F.lit(1)).alias("exact"),
+        F.approx_count_distinct("key", rsd=0.01).alias("approx"),
+    )
+    wide = per.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("tag") == 1, F.col("approx"))).alias("approx_suppliers"),
+        F.max(F.when(F.col("tag") == 2, F.col("approx"))).alias("approx_parts"),
+        F.max(F.when(F.col("tag") == 1, F.col("exact"))).alias("exact_suppliers"),
+        F.max(F.when(F.col("tag") == 2, F.col("exact"))).alias("exact_parts"),
+    )
+    out = wide.join(
+        l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows")),
+        "l_returnflag",
     )
     err = lambda a, e: F.round(  # noqa: E731
         F.abs(F.col(a) - F.col(e)) * 1000000.0 / F.col(e)

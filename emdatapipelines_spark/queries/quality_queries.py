@@ -662,18 +662,20 @@ def q16_entropy_profile(spark, sf_dir):
     ISO weekday, user bucket, and value decade — each column is one
     value-count hash-agg + a 1-row total broadcast; ln terms follow the
     8-dp-round-then-decimal-sum convention shared with a32/q14."""
-    from ..quality.stats import column_entropy
+    from ..quality.stats import multi_column_entropy
 
     e = t(spark, sf_dir, "events")
-    parts = [
-        column_entropy(e, "event_type", "event_type"),
-        column_entropy(e, (F.weekday("ts") + 1).cast("int"), "weekday"),
-        column_entropy(e, F.col("user_id") % 100, "user_bucket"),
-        column_entropy(e, F.floor(F.col("value") / 100).cast("bigint"), "value_decade"),
-    ]
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
+    # one scan for all four profiles (r14): the former union of four
+    # column_entropy frames re-scanned events once per column
+    out = multi_column_entropy(
+        e,
+        [
+            ("event_type", "event_type"),
+            ("weekday", (F.weekday("ts") + 1).cast("int")),
+            ("user_bucket", F.col("user_id") % 100),
+            ("value_decade", F.floor(F.col("value") / 100).cast("bigint")),
+        ],
+    )
     return out.orderBy("column_name")
 
 

@@ -1591,68 +1591,117 @@ def mmr_rerank(
             ).alias("sim"),
         )
     )
-    sims = sims.localCheckpoint(eager=True)  # Σ shortlist²-bounded, reused k-1 times
+    # r14 (guide §1.2 "the distributed algorithm" + §4.2): the k greedy
+    # steps used to be unrolled into the plan with a localCheckpoint per
+    # step (winner is consumed twice: selected-union + remaining-anti-join)
+    # — k sequential driver jobs plus a checkpoint of a rows-per-query
+    # frame each, ~30 of rag_mmr_rerank's 54 jobs/pass. The greedy argmax
+    # over a shortlist is a per-query problem on a shortlist²-bounded sim
+    # matrix (metadata-rate, never corpus-rate), so it now runs as ONE
+    # cogrouped Arrow stage: per qid, the candidate list and its pairwise
+    # sims arrive together and the k steps run in-memory.
+    #
+    # Bit-exactness with the former plan (and the unrolled-CTE oracle):
+    # rel and sim enter PRE-ROUNDED to 6dp (same expressions as before);
+    # the per-step score mirrors Spark's
+    #   round((lam·rel − (1−lam)·msim) · 1e6, HALF_UP) / 1e6
+    # exactly — identical IEEE multiply/subtract order on the same
+    # doubles, then HALF_UP on the shortest decimal repr (Python repr ==
+    # Java Double.toString), which is precisely what Spark's
+    # BigDecimal.valueOf(double).setScale(0, HALF_UP) rounds. Ties break
+    # (score DESC, cid ASC) as the former window did.
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
 
-    wq = Window.partitionBy("qid").orderBy(F.desc("mmr_score"), F.asc("cid"))
-    remaining = cand
-    selected = None  # DataFrame (qid, cid, mmr_rank, rel, mmr_score)
-    for step in range(1, int(k) + 1):
-        if step == 1:
-            scored = remaining.select(
-                "qid",
-                "cid",
-                "rel",
-                (F.round(F.lit(lam) * F.col("rel") * F.lit(1000000.0)) / F.lit(1000000.0)).alias(
-                    "mmr_score"
-                ),
-            )
-        else:
-            max_sim = (
-                sims.join(
-                    selected.select(
-                        F.col("qid").alias("sq"), F.col("cid").alias("sb")
-                    ),
-                    (F.col("qid") == F.col("sq")) & (F.col("ib") == F.col("sb")),
-                )
-                .groupBy("qid", "ia")
-                .agg(F.max("sim").alias("msim"))
-                .select("qid", F.col("ia").alias("cid"), "msim")
-            )
-            scored = (
-                remaining.join(max_sim, ["qid", "cid"], "left")
-                .withColumn("msim", F.coalesce("msim", F.lit(0.0)))
-                .select(
-                    "qid",
-                    "cid",
-                    "rel",
-                    (
-                        F.round(
-                            (
-                                F.lit(lam) * F.col("rel")
-                                - F.lit(1.0 - lam) * F.col("msim")
-                            )
-                            * F.lit(1000000.0)
-                        )
-                        / F.lit(1000000.0)
-                    ).alias("mmr_score"),
-                )
-            )
-        winner = (
-            scored.withColumn("__rn", F.row_number().over(wq))
-            .filter(F.col("__rn") == 1)
-            .select("qid", "cid", F.lit(step).alias("mmr_rank"), "rel", "mmr_score")
-            .localCheckpoint(eager=True)  # one row per query
+    lam_f = float(lam)
+    one_minus_lam = 1.0 - lam_f  # the former plan's F.lit(1.0 - lam) double
+    k_steps = int(k)
+
+    def _round_half_up_1e6(v: float) -> float:
+        scaled = v * 1000000.0
+        return float(
+            Decimal(repr(scaled)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        ) / 1000000.0
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cand_fields = {f.name: f.dataType for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("qid", cand_fields["qid"], True),
+            StructField("cid", cand_fields["cid"], True),
+            StructField("mmr_rank", IntegerType(), True),
+            StructField("rel", DoubleType(), True),
+            StructField("mmr_score", DoubleType(), True),
+        ]
+    )
+
+    empty_out = pd.DataFrame(
+        {"qid": [], "cid": [], "mmr_rank": [], "rel": [], "mmr_score": []}
+    )
+
+    def greedy(cand_pdf, sim_pdf):
+        if cand_pdf.empty:
+            return empty_out
+        qid_v = cand_pdf["qid"].iloc[0]
+        rel_by_cid = dict(zip(cand_pdf["cid"], cand_pdf["rel"]))
+        sim_to: dict = {}
+        if sim_pdf is not None and not sim_pdf.empty:
+            for ia, ib, s in zip(sim_pdf["ia"], sim_pdf["ib"], sim_pdf["sim"]):
+                sim_to.setdefault(ia, {})[ib] = s
+        remaining = sorted(rel_by_cid)  # cid ASC = the tie-break order
+        selected: list = []
+        rows = []
+        for step in range(1, k_steps + 1):
+            if not remaining:
+                break
+            best_cid, best_score = None, None
+            for cid_v in remaining:
+                rel_v = float(rel_by_cid[cid_v])
+                if step == 1:
+                    score = _round_half_up_1e6(lam_f * rel_v)
+                else:
+                    neigh = sim_to.get(cid_v)
+                    msim = 0.0
+                    if neigh:
+                        hits = [neigh[s] for s in selected if s in neigh]
+                        if hits:
+                            msim = max(hits)
+                    score = _round_half_up_1e6(
+                        lam_f * rel_v - one_minus_lam * msim
+                    )
+                if best_score is None or score > best_score:
+                    best_cid, best_score = cid_v, score
+            selected.append(best_cid)
+            remaining.remove(best_cid)
+            rows.append((qid_v, best_cid, step, float(rel_by_cid[best_cid]), best_score))
+        return pd.DataFrame(
+            rows, columns=["qid", "cid", "mmr_rank", "rel", "mmr_score"]
         )
-        selected = winner if selected is None else selected.unionByName(winner)
-        remaining = remaining.join(
-            winner.select("qid", "cid"), ["qid", "cid"], "left_anti"
+
+    # sims derives from cand, so grouping both by the SAME attribute trips
+    # the ambiguous-self-join check; rename the sim side's key (cogroup
+    # matches groups by key VALUE, not name)
+    sims_g = sims.select(
+        F.col("qid").alias("sqid"), "ia", "ib", "sim"
+    )
+
+    out = (
+        cand.groupBy("qid")
+        .cogroup(sims_g.groupBy("sqid"))
+        .applyInPandas(greedy, out_schema)
+        .select(
+            "qid",
+            F.col("cid").alias("selected_id"),
+            "mmr_rank",
+            "rel",
+            "mmr_score",
         )
-    out = selected.select(
-        "qid",
-        F.col("cid").alias("selected_id"),
-        F.col("mmr_rank").cast("int").alias("mmr_rank"),
-        "rel",
-        "mmr_score",
     )
     if query_col:
         return out.withColumnRenamed("qid", query_col)

@@ -1578,8 +1578,13 @@ def mmr_rerank(
     b = cv.select(
         F.col("qid").alias("qb"), F.col("cid").alias("ib"), F.col("v").alias("vb")
     )
+    # broadcast the (retrieval-bounded, k·|queries|-row) side: in
+    # query_col=None mode the qid equi-key is a folded literal and a plain
+    # join would plan a two-sided CartesianProduct; broadcasting the
+    # bounded side makes the pairwise-sim build O(n·shortlist) with no
+    # shuffle of either side — the sim_cosine_topk BNLJ pattern
     sims = (
-        a.join(b, (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
+        a.join(F.broadcast(b), (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
         .select(
             "qid",
             "ia",

@@ -99,6 +99,10 @@ BNLJ_ALLOWED = {
     "a26_kmv_set_ops",  # type-pair enumeration: non-equi join of two ~5-row type lists
     "llm_data_card",  # crossJoin(broadcast(1-row total-token aggregate))
     "ml_risk_bands",
+    "rag_mmr_rerank",  # pairwise shortlist sims: non-equi (ia != ib) join
+    # against the broadcast shortlist side (retrieval-bounded k·|queries|
+    # rows — O(n·shortlist), by design; r14 made the formerly
+    # checkpoint-hidden build visible in the lazy plan)
     "m4_recommendations",  # crossJoin(broadcast(1-row moments/tail-rate aggregates))
     "q2_outliers",
     "q3_consistency",

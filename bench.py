@@ -162,6 +162,49 @@ DRIFT_WATCH = (
 )
 
 
+def regression_watch(
+    timings: dict[str, float], prev: dict[str, float], cap: int = 10
+) -> list[str]:
+    """Queries whose gated min is >= 1.5x their committed previous-round
+    value (VERDICT r14 #5/#6): exactly the set the driver's PERF comparison
+    will flag as regressed. They join the isolation set so the artifact
+    carries a fresh-JVM twin for every prospective PERF regression and
+    contention self-attributes in THIS artifact (no cross-run diff needed).
+    Ranked worst-ratio-first and capped (default +10 subprocesses) so a
+    fully-contended window cannot turn the bench into 287 isolated reruns.
+    Sub-0.2s previous values stay out (ratio of noise)."""
+    flagged = sorted(
+        (
+            (timings[n] / prev[n], n)
+            for n in timings
+            if prev.get(n, 0.0) >= 0.2 and timings[n] >= prev[n] * 1.5
+        ),
+        reverse=True,
+    )
+    return [n for _, n in flagged[:cap]]
+
+
+def _previous_bench_queries(here: str) -> dict[str, float]:
+    """Per-query map of the COMMITTED previous BENCH_FULL.json (the value
+    the driver's PERF comparison reads). ``git show HEAD:`` so an earlier
+    run this session overwriting the working file cannot shift the
+    reference; falls back to the on-disk file outside a git checkout."""
+    try:
+        proc = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True, text=True, timeout=60,
+        )
+        if proc.returncode == 0:
+            return dict(json.loads(proc.stdout).get("queries", {}))
+    except (OSError, ValueError, subprocess.SubprocessError):
+        pass
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json"), encoding="utf-8") as fh:
+            return dict(json.load(fh).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def pinned_breaches(
     pinned: dict[str, float], ratchet: dict[str, float]
 ) -> dict[str, list[float]]:
@@ -314,6 +357,13 @@ def main() -> int:
     for name in DRIFT_WATCH:
         if name in timings and name not in top:
             top.append(name)
+    # r15 (VERDICT r14 #5/#6): also isolate every query PERF would flag as
+    # regressed vs the committed previous artifact, so contention artifacts
+    # carry their own fresh-JVM refutation. Bounded at +10 subprocesses.
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in regression_watch(timings, _previous_bench_queries(here)):
+        if name not in top:
+            top.append(name)
     if top:
         line["isolated"] = _isolate(top, sf_dir, passes)
         # Machine-readable contention attribution: gated >= 1.5x the same
@@ -338,7 +388,6 @@ def main() -> int:
     # fail a --gate run. The file is written only when its sf section is
     # missing (bootstrap) — ratcheting it UP after a legit footprint
     # increase is a deliberate, committed edit, never automatic.
-    here = os.path.dirname(os.path.abspath(__file__))
     ratchet_path = os.path.join(here, "BENCH_pinned_ratchet.json")
     sf_key = str(sf)
     breaches: dict[str, list[float]] = {}

@@ -568,12 +568,58 @@ def _phash64(rgb: "np.ndarray") -> int:
     return int(bits.dot(np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
 
+def _phash64_batch(gs: "np.ndarray") -> "np.ndarray":
+    """pHash for a stack of SAME-SHAPE luma planes ``(N, H, W)`` — one
+    vectorized resize + one broadcast DCT for the whole stack (guide §4.2:
+    hand whole batches to native code instead of looping rows in Python).
+    Element-for-element the same arithmetic as :func:`_phash64`: the
+    bilinear gather, rint/clip quantization, ``m @ small @ m.T`` (numpy's
+    stacked matmul runs the identical per-slice GEMM), 63-coefficient
+    median and bit-pack are all elementwise or per-slice identical, which
+    ``test_phash_batch_kernel_matches_rowwise`` pins bit-for-bit. Returns
+    ``(N,)`` uint64."""
+    n, src_h, src_w = gs.shape
+    # inline single-channel _bilinear_resize to 32x32 (the rowwise path
+    # resizes a 3x-repeated gray plane and slices channel 0 — channels are
+    # independent and identical, so the 2-D arithmetic is the same floats)
+    w = h = 32
+    x = (np.arange(w) + 0.5) * src_w / w - 0.5
+    y = (np.arange(h) + 0.5) * src_h / h - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, src_w - 1)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, src_h - 1)
+    x1 = np.minimum(x0 + 1, src_w - 1)
+    y1 = np.minimum(y0 + 1, src_h - 1)
+    wx = np.clip(x - x0, 0.0, 1.0)[None, None, :]
+    wy = np.clip(y - y0, 0.0, 1.0)[None, :, None]
+    p = gs.astype(np.float64)
+    top = p[:, y0][:, :, x0] * (1 - wx) + p[:, y0][:, :, x1] * wx
+    bot = p[:, y1][:, :, x0] * (1 - wx) + p[:, y1][:, :, x1] * wx
+    small = (
+        np.clip(np.rint(top * (1 - wy) + bot * wy), 0, 255)
+        .astype(np.uint8)
+        .astype(np.float64)
+    )
+    m = _dct_basis(32)
+    coef = np.matmul(np.matmul(m, small), m.T)
+    block = coef[:, :8, :8].reshape(n, 64)
+    med = np.median(block[:, 1:], axis=1)
+    bits = (block > med[:, None]).astype(np.uint64)
+    return bits @ (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
 def image_phash(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
     """Per-image 64-bit perceptual hash via the pure-Python decoders
     (PPM/BMP) — Arrow-batched ``mapInPandas``, one row out per row in;
-    undecodable payloads get a null hash + status, never a failed job."""
+    undecodable payloads get a null hash + status, never a failed job.
+
+    r15 (guide §4.2): decoded images are grouped by pixel shape within
+    each Arrow batch and each shape group runs ONE vectorized
+    luma→resize→DCT→median pass (`_phash64_batch`) instead of a Python
+    loop of ~30 small numpy calls per image — the operator stays
+    shape-generic (mixed-shape batches just form several groups), and the
+    batch kernel is pinned bit-identical to the rowwise `_phash64`."""
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     id_field = df.schema[id_col]
@@ -587,17 +633,28 @@ def image_phash(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_h, out_s = [], []
-            for p in pdf[payload_col]:
+            n_rows = len(pdf)
+            out_h: list = [None] * n_rows
+            out_s: list = ["undecodable"] * n_rows
+            by_shape: dict[tuple[int, int], tuple[list[int], list]] = {}
+            for pos, p in enumerate(pdf[payload_col]):
                 rgb = None if p is None else _decode_pure(bytes(p))
                 if rgb is None:
-                    out_h.append(None)
-                    out_s.append("undecodable")
-                else:
+                    continue
+                g = (
+                    rgb[..., 0].astype(np.uint32) * 299
+                    + rgb[..., 1].astype(np.uint32) * 587
+                    + rgb[..., 2].astype(np.uint32) * 114
+                ) // 1000
+                idxs, planes = by_shape.setdefault(g.shape, ([], []))
+                idxs.append(pos)
+                planes.append(g.astype(np.uint8))
+            for idxs, planes in by_shape.values():
+                hashes = _phash64_batch(np.stack(planes))
+                for pos, h64 in zip(idxs, hashes.tolist()):
                     # two's-complement into int64 for a LongType column
-                    h = _phash64(rgb)
-                    out_h.append(h - (1 << 64) if h >= (1 << 63) else h)
-                    out_s.append("ok")
+                    out_h[pos] = h64 - (1 << 64) if h64 >= (1 << 63) else h64
+                    out_s[pos] = "ok"
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "phash": pd.array(out_h, dtype="Int64"),
                  "phash_status": out_s}

@@ -1623,10 +1623,35 @@ def mmr_rerank(
     k_steps = int(k)
 
     def _round_half_up_1e6(v: float) -> float:
+        # Spark's Round returns non-finite doubles unchanged (Catalyst
+        # checks isNaN/isInfinite before the BigDecimal path) — mirror
+        # that so a NaN/inf score survives to the comparison below
+        # instead of raising inside Decimal.quantize.
+        if v != v or v in (float("inf"), float("-inf")):
+            return v
         scaled = v * 1000000.0
         return float(
             Decimal(repr(scaled)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         ) / 1000000.0
+
+    def _beats(score: float, best: float | None) -> bool:
+        # Spark's former window (ORDER BY mmr_score DESC) sorts NaN as the
+        # GREATEST double (r14 ADVICE): a NaN-scored candidate (NaN
+        # relevance, or a NaN embedding component poisoning the cosine;
+        # under ANSI a zero NORM raises DIVIDE_BY_ZERO before reaching
+        # here) must win over any finite score, and among NaN scores the
+        # first candidate in cid-ASC order keeps the win (strictly-beats
+        # semantics = the former window's cid tie-break). Note the output
+        # VALUE of a NaN score crosses the Arrow boundary as NULL (pandas
+        # NaN is Arrow's null sentinel); the selection order is what this
+        # preserves, pinned by test_mmr_rerank_nan_candidate_sorts_greatest.
+        if best is None:
+            return True
+        if score != score:  # NaN challenger
+            return best == best  # beats any finite best, never another NaN
+        if best != best:  # finite challenger never beats a NaN best
+            return False
+        return score > best
 
     from pyspark.sql.types import (
         DoubleType,
@@ -1676,11 +1701,19 @@ def mmr_rerank(
                     if neigh:
                         hits = [neigh[s] for s in selected if s in neigh]
                         if hits:
-                            msim = max(hits)
+                            # Spark's max aggregate sorts NaN greatest;
+                            # Python's max() is order-dependent under NaN —
+                            # propagate NaN explicitly to match the former
+                            # plan (a NaN cosine poisons the penalty term)
+                            msim = (
+                                float("nan")
+                                if any(h != h for h in hits)
+                                else max(hits)
+                            )
                     score = _round_half_up_1e6(
                         lam_f * rel_v - one_minus_lam * msim
                     )
-                if best_score is None or score > best_score:
+                if _beats(score, best_score):
                     best_cid, best_score = cid_v, score
             selected.append(best_cid)
             remaining.remove(best_cid)

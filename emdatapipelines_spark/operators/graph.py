@@ -227,7 +227,10 @@ def endpoint_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> Da
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
     """Exact global triangle count over an UNDIRECTED graph given as an edge
     list (either orientation, duplicates/self-loops tolerated). Returns a
     single row ``(n_triangles bigint)``.
@@ -245,11 +248,17 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closing equi-join); the count is orientation-invariant, so a plain
     ``u < v`` SQL twin is an exact oracle.
 
-    Deliberately NOT persisted: although ``und``/``oriented`` have multiple
-    consumers, persisting both was measured (sf1 supplier graph, warm) at
-    14.4s vs 8.6s unpersisted — the identical join subtrees shuffle to the
-    same partitioning, so runtime exchange reuse already dedupes the heavy
-    work, and the cache write of the oriented edge list only adds cost."""
+    ``materialize=True`` (r15, guide §3.3 "materialise to truncate")
+    checkpoints the ORIENTED edge list once: it has three consumers (both
+    wedge sides + the closing join), so without it the whole
+    und→deg→orient subtree is planned three times (the r14 plans were
+    610/666 lines) and only runtime exchange reuse deduped the execution.
+    A `tracked_local_checkpoint` of the (m-row, 3-long-column) frame
+    truncates all three consumers to a materialized leaf. This supersedes
+    the r8 finding that PERSISTING ``und``+``oriented`` lost at sf1
+    (14.4s vs 8.6s warm): that A/B paid two cache writes and still
+    re-planned the subtrees; the single checkpoint pays one small write
+    and collapses the plan (r15 A/B in OPTIMIZATION_r15.md)."""
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -284,6 +293,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("d_v")).otherwise(F.col("d_u")).alias("d_b"),
     )
+    if materialize:
+        from ..cachectl import tracked_local_checkpoint
+
+        oriented = tracked_local_checkpoint(oriented)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     # wedge (a; b1, b2) with b1 before b2 in the same (degree, id) order —
     # counts each wedge once; the closing edge must then be b1 -> b2

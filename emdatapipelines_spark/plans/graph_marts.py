@@ -61,7 +61,7 @@ def register_graph_marts(
         "graph_edges", materialization="table", refresh_interval=refresh_interval
     )
     def graph_edges(spark, deps):
-        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        li = t(spark, sf_dir, "lineitem", restore=True).select("l_orderkey", "l_suppkey")
         return cooccurrence_edges(
             li, "l_orderkey", "l_suppkey", min_shared=MIN_SHARED_ORDERS
         )
@@ -72,7 +72,12 @@ def register_graph_marts(
 
     @registry.model("graph_triangles", deps=["graph_edges"])
     def graph_triangles(spark, deps):
-        return triangle_count(deps["graph_edges"], "src", "dst")
+        # materialize=False: the mart's edge list is ALREADY a cached table
+        # model read via InMemoryTableScan (pinned by the mart tests); an
+        # in-operator checkpoint of `oriented` would add a second
+        # materialization per refresh for a plan that is built once and
+        # served from `results` thereafter.
+        return triangle_count(deps["graph_edges"], "src", "dst", materialize=False)
 
     @registry.model(
         "graph_clustering", deps=["graph_edges", "graph_degrees", "graph_triangles"]

@@ -54,7 +54,7 @@ def register_text_marts(
         "doc_shingles", materialization="table", refresh_interval=refresh_interval
     )
     def doc_shingles(spark, deps):
-        d = t(spark, sf_dir, "documents")
+        d = t(spark, sf_dir, "documents", restore=True)
         return hashed_shingles(d, "doc_id", "text", n=SHINGLE_N)
 
     @registry.model(
@@ -110,7 +110,7 @@ def register_text_marts(
 
         from ..llmdata.dedup import _shingles
 
-        d = t(spark, sf_dir, "documents")
+        d = t(spark, sf_dir, "documents", restore=True)
         return d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
 
     @registry.model("text_minhash_estimate", deps=["doc_shingles_n5"])
@@ -140,7 +140,7 @@ def register_text_marts(
             _incremental_split,
         )
 
-        d = t(spark, sf_dir, "documents")
+        d = t(spark, sf_dir, "documents", restore=True)
         _, batch = _incremental_split(d)
         index = deps["text_minhash_signatures"].filter(F.col("id") % 4 != 0)
         return _incremental_probe_from_index(batch, index)

@@ -141,6 +141,35 @@ def multi_column_entropy(df: DataFrame, specs: list[tuple[str, Column | str]]) -
     path; the value itself is never emitted. Output: one row per spec,
     same schema/semantics as ``column_entropy``.
     """
+    # r14 ADVICE: the string cast is injective ONLY for string/integral
+    # inputs (float specs would merge -0.0/0.0 groups under native grouping
+    # but split them as strings, and NaN repr differs) — enforce the
+    # documented restriction instead of relying on the docstring. Schema
+    # resolution is driver-side analysis, no job.
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    allowed = (StringType, ByteType, ShortType, IntegerType, LongType, BooleanType)
+    resolved = df.select(
+        *[
+            (F.col(c) if isinstance(c, str) else c).alias(name)
+            for name, c in specs
+        ]
+    ).schema
+    for f in resolved.fields:
+        if not isinstance(f.dataType, allowed):
+            raise TypeError(
+                f"multi_column_entropy spec {f.name!r} resolves to "
+                f"{f.dataType.simpleString()}; only string/integral/boolean "
+                "columns group identically under the string cast — use "
+                "column_entropy for other types"
+            )
     pairs = df.select(
         F.explode(
             F.array(

@@ -640,7 +640,7 @@ def s19_from_json_typed(spark, sf_dir):
     the parse happens once, not per extracted field). The BIGINT cast on the
     sum mirrors the r1 HUGEINT lesson.
     """
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events", restore=True)
     parsed = ev.withColumn("p", F.from_json("props", "k INT"))
     return (
         parsed.groupBy("event_type")
@@ -675,7 +675,7 @@ def sql1_revenue_by_region(spark, sf_dir):
     unique names to stay re-entrant.
     """
     for name in ("orders", "customer", "nation", "region"):
-        t(spark, sf_dir, name).createOrReplaceTempView(f"sql1_{name}")
+        t(spark, sf_dir, name, restore=True).createOrReplaceTempView(f"sql1_{name}")
     return spark.sql(
         """
         SELECT r.r_name AS region_name,
@@ -724,7 +724,7 @@ def gr_triangles(spark, sf_dir):
     orientation then bounds the wedge join at O(m^1.5) under hub skew."""
     from ..operators.graph import cooccurrence_edges, triangle_count
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = t(spark, sf_dir, "lineitem", restore=True).select("l_orderkey", "l_suppkey")
     pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # materialize the thresholded edge list once (localCheckpoint, not
     # persist: the r8 persist A/B lost 3.15->4.62s warm, but cutting the
@@ -1457,7 +1457,7 @@ def ts_spearman_corr(spark, sf_dir):
     """,
 )
 def a33_share_of_parent(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", restore=True)
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
@@ -2447,7 +2447,7 @@ def ts_seasonal_strength(spark, sf_dir):
     decimal-exact moments."""
     from .registry import davg
 
-    e = t(spark, sf_dir, "events").withColumn(
+    e = t(spark, sf_dir, "events", restore=True).withColumn(
         "dow", (F.weekday("ts") + 1).cast("int")
     )
     prof = e.groupBy("event_type", "dow").agg(davg("value").alias("seasonal"))
@@ -2783,7 +2783,7 @@ def gr_clustering_coeff(spark, sf_dir):
         triangle_count,
     )
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = t(spark, sf_dir, "lineitem", restore=True).select("l_orderkey", "l_suppkey")
     pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # one materialization feeds both the triangle machinery and the wedge
     # agg (measured sf1 warm 6.4->4.5s, cold 17.9->7.0s vs lazy recompute)
@@ -2849,7 +2849,7 @@ def gr_clustering_coeff(spark, sf_dir):
 def gr_powerlaw_degree(spark, sf_dir):
     from ..operators.graph import cooccurrence_edges, endpoint_degrees
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = t(spark, sf_dir, "lineitem", restore=True).select("l_orderkey", "l_suppkey")
     pairs = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     # explode both endpoints in one pass: a union of two selects would
     # re-plan the whole thresholded self-join twice (multi-consumer lesson)
@@ -2914,7 +2914,7 @@ def gr_powerlaw_degree(spark, sf_dir):
 def gr_components(spark, sf_dir):
     from ..operators.graph import cooccurrence_edges
 
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = t(spark, sf_dir, "lineitem", restore=True).select("l_orderkey", "l_suppkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey", min_shared=5)
     return _components_from_edges(edges)
 

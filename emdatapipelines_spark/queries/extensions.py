@@ -189,7 +189,7 @@ def dd_dedup_survivors(spark, sf_dir):
     """
     from ..llmdata.dedup import connected_components
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
     clusters = connected_components(pairs)
     survivors = d.join(clusters, "doc_id", "left").filter(
@@ -222,7 +222,7 @@ def dd_minhash_lsh(spark, sf_dir):
     from ..cachectl import tracked_persist
     from ..llmdata.dedup import hashed_shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     # r11 ADVICE: the helper consumes the shingle frame twice (signature
     # build + collect_set exact-Jaccard) — the standalone path persists it
     # so the normalize+shingle explode runs once; the mart path already
@@ -309,7 +309,7 @@ def dd_dup_spans(spark, sf_dir):
     oracle replays the anchor/island construction on the gram STRINGS;
     the engine shuffles 8-byte xxhash64 gram keys instead (constant
     shuffle width in n), numerically identical absent 64-bit collisions."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     out = duplicated_ngram_spans(d, n=5, min_docs=2)
     return out.select(
         "id",
@@ -444,7 +444,7 @@ def dd_simhash(spark, sf_dir):
 
     from ..llmdata.dedup import _norm_text
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     fp = simhash(d)
     keys = d.select(
         F.col("doc_id").alias("id"),
@@ -492,7 +492,7 @@ def dd_simhash(spark, sf_dir):
     """,
 )
 def sim_cosine_topk(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     return brute_force_cosine_topk(e.filter(F.col("vec_id") < 8), e, k=5)
 
 
@@ -764,7 +764,7 @@ def mm_frame_plan(spark, sf_dir):
     """,
 )
 def tx_token_counts(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return d.select(
         "doc_id",
         token_count("text").alias("ws_tokens"),
@@ -800,7 +800,7 @@ def tx_token_counts(spark, sf_dir):
     """,
 )
 def tx_quality(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     q = text_quality("text")
     return d.select(
         "doc_id",
@@ -837,7 +837,7 @@ def tx_quality(spark, sf_dir):
     """,
 )
 def tx_repetition(spark, sf_dir):
-    return bigram_repetition(t(spark, sf_dir, "documents"))
+    return bigram_repetition(t(spark, sf_dir, "documents", restore=True))
 
 
 # ---------------------------------------------------------------------------
@@ -874,7 +874,7 @@ _HITS = {
     """,
 )
 def tx_language_id(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return add_language_id(d, "text", out="lang_pred").select("doc_id", "lang", "lang_pred")
 
 
@@ -897,7 +897,7 @@ def tx_language_id(spark, sf_dir):
     """,
 )
 def tx_chunking(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     chunks = d.select(
         "doc_id", F.explode(chunk_tokens("text", chunk_size=64, overlap=16)).alias("ch")
     )
@@ -1077,7 +1077,7 @@ def lm_unigram_surprisal(spark, sf_dir):
 def lm_bigram_nll(spark, sf_dir):
     from ..llmdata.text import bigram_nll
 
-    return bigram_nll(t(spark, sf_dir, "documents"))
+    return bigram_nll(t(spark, sf_dir, "documents", restore=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1092,7 +1092,7 @@ def lm_bigram_nll(spark, sf_dir):
     """,
 )
 def tx_fingerprint(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return d.select("doc_id", fingerprint("text").alias("doc_fingerprint"))
 
 
@@ -1503,7 +1503,7 @@ def llm_corpus_stats(spark, sf_dir):
     """,
 )
 def dd_decontaminate(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", restore=True)
     return decontaminate(
         docs.filter(F.col("doc_id") % 53 != 0),
         docs.filter(F.col("doc_id") % 53 == 0),
@@ -1584,7 +1584,7 @@ def dd_embedding_clusters(spark, sf_dir):
 def llm_pack_plan(spark, sf_dir):
     from ..llmdata.sampling import pack_sequences_plan
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     toked = d.select("doc_id", token_count("text").alias("n_tokens"))
     return pack_sequences_plan(toked, "n_tokens", budget=2048, order_col="doc_id")
 
@@ -1939,7 +1939,7 @@ def m4_recommendations(spark, sf_dir):
 def llm_cluster_safe_split(spark, sf_dir):
     from ..llmdata.dedup import connected_components
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
     clusters = connected_components(pairs)
     rep = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
@@ -2018,7 +2018,7 @@ def llm_cluster_safe_split(spark, sf_dir):
 def tx_gopher_rules(spark, sf_dir):
     from ..llmdata.text import gopher_rules
 
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = t(spark, sf_dir, "documents", restore=True).withColumn(
         "text", F.regexp_replace("text", r"\. ", ".\n")
     )
     g = gopher_rules("text", min_words=10)
@@ -2065,7 +2065,7 @@ def tx_gopher_rules(spark, sf_dir):
 def dd_prefix_jaccard(spark, sf_dir):
     from ..llmdata.dedup import prefix_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return prefix_jaccard_pairs(d, n=3, threshold=0.8)
 
 
@@ -2240,7 +2240,7 @@ def _bpe_encode_oracle(k: int) -> str:
 def lm_bpe_merges(spark, sf_dir):
     from ..llmdata.bpe import learn_bpe_merges
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return learn_bpe_merges(d, k=6)
 
 
@@ -2398,7 +2398,7 @@ def q12_benford(spark, sf_dir):
 def dd_source_overlap(spark, sf_dir):
     from ..llmdata.dedup import ngram_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
@@ -2720,7 +2720,7 @@ def a24_kmv_distinct(spark, sf_dir):
 def tx_lang_confusion(spark, sf_dir):
     from ..llmdata.text import add_language_id
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     pred = add_language_id(d, "text", out="lang_pred").select("lang", "lang_pred")
     cm = pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
     byp = cm.groupBy("lang_pred").agg(F.sum("n").alias("n_pred"))
@@ -2833,7 +2833,7 @@ def llm_kfold_split(spark, sf_dir):
 def mm_phash_neardup(spark, sf_dir):
     from ..llmdata.multimodal import image_phash, phash_near_dup
 
-    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = t(spark, sf_dir, "documents", restore=True).filter(F.col("text").isNotNull())
     # 8x8 source (192 raster bytes = 12 md5 blocks): a 4x4 image has only
     # 16 degrees of freedom, so its 64-bit DCT hash carries far less than
     # 64 bits of entropy — at sf1 (55k images) 5 DISTINCT payloads collided
@@ -2882,7 +2882,7 @@ def mm_phash_neardup(spark, sf_dir):
     """,
 )
 def a25_grouping_sets(spark, sf_dir):
-    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    t(spark, sf_dir, "orders", restore=True).createOrReplaceTempView("__orders_gs")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
@@ -2971,7 +2971,7 @@ def w12_cumulative_distinct(spark, sf_dir):
 def j13_scd2_temporal_join(spark, sf_dir):
     from pyspark.sql import Window
 
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders", restore=True)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     changes = (
         o.withColumn("prev_status", F.lag("o_orderstatus").over(w))
@@ -2993,7 +2993,7 @@ def j13_scd2_temporal_join(spark, sf_dir):
         "valid_from",
         F.lead("valid_from").over(wv).alias("valid_to"),
     )
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", restore=True)
     fact = l.join(o, l.l_orderkey == o.o_orderkey).select(
         "o_custkey",
         "l_shipdate",
@@ -3027,7 +3027,7 @@ def j13_scd2_temporal_join(spark, sf_dir):
 def lm_bpe_encode(spark, sf_dir):
     from ..llmdata.bpe import bpe_token_counts, learn_bpe
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     _, vocab = learn_bpe(d, k=6)
     return bpe_token_counts(d, vocab)
 
@@ -3081,7 +3081,7 @@ def lm_bpe_roundtrip(spark, sf_dir):
     from ..llmdata.bpe import END_MARKER, SEP, learn_bpe
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     _, vocab = learn_bpe(d, k=6)
     words = (
         d.select("source", F.explode(F.split(_norm("text"), " ")).alias("tok"))
@@ -3543,7 +3543,7 @@ def llm_data_card(spark, sf_dir):
 def sim_knn_graph(spark, sf_dir):
     from ..llmdata.similarity import brute_force_cosine_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     probe = e.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000))
     return brute_force_cosine_topk(probe, e, k=3).select(
         F.col("query_id").alias("src"),
@@ -3779,7 +3779,7 @@ def rag_bm25_topk(spark, sf_dir):
 def dd_containment(spark, sf_dir):
     from ..llmdata.dedup import containment_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return containment_pairs(d, n=3, threshold=0.5)
 
 
@@ -4485,7 +4485,7 @@ def tx_readability(spark, sf_dir):
     shuffle beyond the final presentation sort."""
     from ..llmdata.text import flesch_reading_ease, token_count
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     c = F.col("text")
     return d.select(
         "doc_id",
@@ -5081,7 +5081,7 @@ def tx_filter_funnel(spark, sf_dir):
     the whole funnel is one scan into a single-row conditional agg."""
     from ..llmdata.text import gopher_rules
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     sig = gopher_rules("text", min_words=10, min_required_words=1)
     flagged = d.select(
         ((sig["n_words"] >= 10) & (sig["n_words"] <= 100000)).alias("r1"),
@@ -5254,7 +5254,7 @@ def sk_count_min(spark, sf_dir):
     guarantee the oracle row-hash pins."""
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     hexarr = F.array(*[F.lit(ch) for ch in "0123456789abcdef"])
 
     def bucket(depth_col, term_col):
@@ -6511,7 +6511,7 @@ def llm_perplexity_buckets(spark, sf_dir):
     from ..llmdata.text import bigram_nll
     from ..operators.windows import exact_ntile, with_global_index
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     perdoc = bigram_nll(d).select(
         "doc_id", "n_bigrams", F.col("avg_bigram_nll").alias("nll")
     )
@@ -7141,7 +7141,7 @@ def q19_fk_orphans(spark, sf_dir):
 def sim_truncated_rerank_topk(spark, sf_dir):
     from ..llmdata.similarity import truncated_rerank_topk, with_recall_vs_exact
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     q = e.filter(F.col("vec_id") < 8)
     approx = truncated_rerank_topk(q, e, k=5, prefix_dims=16, oversample=8)
     return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
@@ -7480,7 +7480,7 @@ def llm_effective_tokens(spark, sf_dir):
     """,
 )
 def sim_pairwise_diversity(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     v = F.transform("embedding", lambda x: x.cast("double"))
     nrm = F.sqrt(
         F.aggregate(
@@ -7571,7 +7571,7 @@ def sim_pairwise_diversity(spark, sf_dir):
 def dd_shingle_profile(spark, sf_dir):
     from ..llmdata.dedup import _shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     sh = d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
     return _shingle_profile_from_shingles(sh)
 
@@ -7639,7 +7639,7 @@ def _shingle_profile_from_shingles(sh):
 def lm_ngram_novelty(spark, sf_dir):
     from ..llmdata.dedup import _shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     sh = d.select("doc_id", F.explode(_shingles("text", 3)).alias("shingle"))
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -7807,7 +7807,7 @@ def ts_interarrival_stats(spark, sf_dir):
 def dd_contamination_ladder(spark, sf_dir):
     from ..llmdata.dedup import _shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     is_eval = F.col("doc_id") % 53 == 0
     train = d.filter(~is_eval)
     ev = d.filter(is_eval)
@@ -7888,7 +7888,7 @@ def dd_contamination_ladder(spark, sf_dir):
 def dd_contamination_exact(spark, sf_dir):
     from ..llmdata.dedup import exact_lcs_contamination
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     is_eval = F.col("doc_id") % 53 == 0
     return exact_lcs_contamination(d.filter(~is_eval), d.filter(is_eval))
 
@@ -8189,7 +8189,7 @@ def ml_bootstrap_ci(spark, sf_dir):
     # 4 digests sliced 8 ways instead of 32 md5s per row: the hash is the
     # dominant cost of the x32 explode (measured 4.4s -> ~1.5s at sf0.1);
     # each 4-hex slice of an md5 is an independent uniform 16-bit draw.
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders", restore=True).select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
         F.array(
@@ -8673,7 +8673,7 @@ def tx_boilerplate_chunks(spark, sf_dir):
 def tx_subword_fertility(spark, sf_dir):
     from ..llmdata.text import bpe_ish_token_count, token_count
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     c = d.select(
         "lang",
         token_count("text").cast("bigint").alias("ws"),
@@ -8966,7 +8966,7 @@ def ts_wasserstein_drift(spark, sf_dir):
     """,
 )
 def ml_permutation_test(spark, sf_dir):
-    o = t(spark, sf_dir, "orders").select(
+    o = t(spark, sf_dir, "orders", restore=True).select(
         "o_orderkey",
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g"),

@@ -76,7 +76,7 @@ def q1_completeness(spark, sf_dir):
     """,
 )
 def q2_outliers(spark, sf_dir):
-    return accuracy_outlier_count(t(spark, sf_dir, "orders"), "o_totalprice", z_threshold=3.0)
+    return accuracy_outlier_count(t(spark, sf_dir, "orders", restore=True), "o_totalprice", z_threshold=3.0)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +190,7 @@ def q5_validity(spark, sf_dir):
     """,
 )
 def q7_pii_scan(spark, sf_dir):
-    return pii_scan(t(spark, sf_dir, "documents"), string_cols=["text"])
+    return pii_scan(t(spark, sf_dir, "documents", restore=True), string_cols=["text"])
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +301,7 @@ def q7_pii_redact(spark, sf_dir):
     # A real 100 TB table is millions of splits; this restores that shape.
     e = _restore_scan_parallelism(
         spark,
-        t(spark, sf_dir, "events"),
+        t(spark, sf_dir, "events", restore=True),
         cache_key=f"{sf_dir}/events.parquet#q7",
     )
     sid = F.col("user_id").cast("string")

@@ -34,7 +34,7 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def t(spark: SparkSession, sf_dir: str, name: str, restore: bool = True) -> DataFrame:
+def t(spark: SparkSession, sf_dir: str, name: str, restore: bool = False) -> DataFrame:
     """Load a fixture table, normalizing event time at the boundary.
 
     Fixture generations have carried ``ts`` as nanosecond parquet timestamps
@@ -92,6 +92,19 @@ _SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
 # round-robin repartition restores that, and the small dims (nation, region,
 # supplier, customer, part) stay unsplit — they broadcast or reduce
 # immediately, and an extra exchange before a broadcast is pure loss.
+#
+# r15 (VERDICT r14 #1, the restore-aware cost model): ``restore`` is now
+# OPT-IN per call. A full per-query A/B at sf0.1 (scripts/ab_restore.py,
+# alternating arms in one session; table in OPTIMIZATION_r15.md) measured
+# the ingest exchange as pure overhead for ~200 of 287 queries
+# (+0.1–1.2 s each, Σ ≈ 51 s of suite floor) and a win ≥ 0.04 s for only
+# the 56 heavy-map queries (up to 4.3 s for sk_count_min) — exactly the
+# text-kernel / md5-fan-out / explode×32 / co-occurrence-self-join
+# shapes the device was built for. Those 56 (plus the mart builders and
+# heavy scripts) now pass ``restore=True`` explicitly; at any real scale
+# the flag is inert either way (a naturally-split table never probes as
+# starved), so this is a local-fixture cost decision made by measurement,
+# not a scale-dependent config.
 _RESTORE_SPLITS = {"documents", "embeddings", "orders", "lineitem", "events"}
 
 # Deterministic restore keys (guide §2.5): a keyless ``repartition(n)`` is

@@ -39,7 +39,7 @@ from .registry import davg, dsum, query, t
     """,
 )
 def a1_pricing_summary(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+    l = t(spark, sf_dir, "lineitem", restore=True).filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),
@@ -198,8 +198,8 @@ def j1_dim_enrich(spark, sf_dir):
     """,
 )
 def j2_fact_join_yearly(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
-    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem", restore=True)
+    o = t(spark, sf_dir, "orders", restore=True)
     joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy(
@@ -705,7 +705,7 @@ def s2_date_funcs(spark, sf_dir):
     """,
 )
 def s3_math_funcs(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", restore=True)
     return l.select(
         "l_orderkey",
         "l_linenumber",
@@ -775,7 +775,7 @@ def s4_case_ladder(spark, sf_dir):
     """,
 )
 def s5_json_extract(spark, sf_dir):
-    e = t(spark, sf_dir, "events")
+    e = t(spark, sf_dir, "events", restore=True)
     k = F.get_json_object("props", "$.k").cast("int")
     return e.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")

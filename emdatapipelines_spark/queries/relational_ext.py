@@ -133,7 +133,7 @@ def a7_config_window_agg(spark, sf_dir):
     """,
 )
 def a11_percentiles(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
+    l = t(spark, sf_dir, "lineitem", restore=True)
     # one percentile buffer evaluating all three fractions (single sort per
     # group) instead of three independent exact-percentile aggregates
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))

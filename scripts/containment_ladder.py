@@ -92,7 +92,7 @@ def _rung_frame(spark, sf_dir: str, rung: str, stats: dict):
     )
     from emdatapipelines_spark.queries.registry import t
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", restore=True)
     if rung == "naive_exact":
         return naive_containment(spark, docs, stats)
     if rung == "ppjoin_exact":
@@ -133,7 +133,7 @@ def _naive_join_volume(spark, sf_dir: str) -> int:
     from emdatapipelines_spark.llmdata.dedup import hashed_shingles
     from emdatapipelines_spark.queries.registry import t
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", restore=True)
     return int(
         hashed_shingles(docs, "doc_id", "text", N)
         .groupBy("h")
@@ -163,7 +163,7 @@ def _assemble(spark, sf_dir: str, rung_results: dict) -> dict:
     # split the banded rung's recall by the pair's underlying Jaccard —
     # the LSH S-curve's own axis (j >= 0.8 is past the 16x4 knee,
     # P(candidate) ≈ 0.9998; low-j/high-containment is the blind spot)
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", restore=True)
     sets = (
         hashed_shingles(docs, "doc_id", "text", N)
         .groupBy("id")

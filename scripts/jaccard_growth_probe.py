@@ -57,7 +57,7 @@ def main() -> int:
     spark = get_spark("jaccard-growth-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = t(spark, args.sf_dir, "documents")
+    docs = t(spark, args.sf_dir, "documents", restore=True)
     hashes = hashed_shingles(docs, "doc_id", "text", n=3).persist()
     n_docs = docs.count()
     n_shingle_rows = hashes.count()

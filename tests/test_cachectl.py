@@ -233,6 +233,31 @@ def test_pinned_gate_trips_on_synthetic_leak(spark):
                            {"leaky_query": 1.0}) == {}
 
 
+def test_regression_watch_selects_inflated_queries():
+    """r15 (VERDICT r14 #5/#6): synthetic inflation — a query whose gated
+    min is >= 1.5x its committed previous value joins the isolation set so
+    the artifact carries its own fresh-JVM twin; stable and sub-threshold
+    queries stay out, the set is worst-first and capped at 10."""
+    import sys as _sys
+    from os.path import dirname
+
+    _sys.path.insert(0, dirname(dirname(__file__)))
+    from bench import regression_watch
+
+    prev = {"stable": 2.0, "inflated": 2.0, "worse": 2.0, "tiny": 0.1}
+    now = {"stable": 2.2, "inflated": 3.1, "worse": 5.0, "tiny": 1.0, "new": 9.0}
+    picked = regression_watch(now, prev)
+    # worst ratio first; 'stable' (<1.5x), 'tiny' (prev <0.2s ratio-of-noise)
+    # and 'new' (no committed value) are all excluded
+    assert picked == ["worse", "inflated"]
+    # cap: a fully-contended window cannot trigger unbounded subprocesses
+    many_prev = {f"q{i}": 1.0 for i in range(40)}
+    many_now = {f"q{i}": 2.0 + i * 0.01 for i in range(40)}
+    capped = regression_watch(many_now, many_prev)
+    assert len(capped) == 10
+    assert capped[0] == "q39"  # worst ratio leads
+
+
 def test_entry_wrapper_residue_bound(spark):
     """r13 VERDICT stretch #7: after a window of wrapped queries, at most
     ONE result-sized frame remains pinned, and it is the LAST pinning

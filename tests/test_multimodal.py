@@ -214,6 +214,43 @@ def test_audio_features_stereo_8bit(spark):
     assert abs(r["rms"] - 0.8 / 2**0.5) < 0.02
 
 
+def test_phash_batch_kernel_matches_rowwise():
+    """r15 (guide §4.2): the shape-grouped batch kernel must be
+    BIT-IDENTICAL to the rowwise `_phash64` on every image — arbitrary
+    shapes (incl. non-square, 1-pixel-tall, larger-than-32), gradients,
+    constants and random content. No Spark needed: pure numpy pin."""
+    import numpy as np
+
+    from emdatapipelines_spark.llmdata.multimodal import _phash64, _phash64_batch
+
+    rng = np.random.default_rng(42)
+    shapes = [(8, 8), (24, 24), (17, 5), (1, 64), (40, 33), (64, 64)]
+    for shape in shapes:
+        imgs = []
+        h, w = shape
+        imgs.append(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        imgs.append(np.zeros((h, w, 3), dtype=np.uint8))          # constant
+        grad = np.linspace(0, 255, h * w, dtype=np.uint8).reshape(h, w)
+        imgs.append(np.repeat(grad[..., None], 3, axis=2))        # gradient
+        imgs.append(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+        want = [_phash64(im) for im in imgs]
+        lumas = np.stack(
+            [
+                (
+                    (
+                        im[..., 0].astype(np.uint32) * 299
+                        + im[..., 1].astype(np.uint32) * 587
+                        + im[..., 2].astype(np.uint32) * 114
+                    )
+                    // 1000
+                ).astype(np.uint8)
+                for im in imgs
+            ]
+        )
+        got = _phash64_batch(lumas).tolist()
+        assert got == want, f"batch kernel diverged at shape {shape}"
+
+
 def test_phash_invariances(spark):
     """pHash: identical → distance 0; global brightness shift → small
     distance (DCT AC coefficients unchanged-ish); unrelated noise → large

@@ -37,11 +37,19 @@ def _non_ingest_hash_exchanges(plan: str) -> int:
     (recognizable by its synthetic ``xxhash64(<table key>)`` partitioning
     expression — registry._RESTORE_KEYS). The restore moves table rows
     once at the scan and never fires on a naturally-split table; the
-    shuffle-freedom guards below are about everything above it."""
+    shuffle-freedom guards below are about everything above it.
+
+    r14 ADVICE: match ``xxhash64(<restore key column>`` specifically, not
+    any xxhash64-partitioned exchange — the minhash/simhash pipelines
+    compute xxhash64 columns of their own, and a regression shuffling on
+    one of those must NOT be silently exempted."""
+    from emdatapipelines_spark.queries.registry import _RESTORE_KEYS
+
+    restore_prefixes = tuple(f"xxhash64({k}#" for k in _RESTORE_KEYS.values())
     return sum(
         1
         for seg in plan.split("Exchange hashpartitioning")[1:]
-        if not seg.lstrip("( ").startswith("xxhash64")
+        if not seg.lstrip("( ").startswith(restore_prefixes)
     )
 
 

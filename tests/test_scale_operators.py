@@ -657,6 +657,43 @@ def test_mmr_rerank_matches_reference_greedy(spark):
     assert not (set(order[:2]) == {1, 2})
 
 
+def test_mmr_rerank_nan_candidate_sorts_greatest(spark):
+    """r14 ADVICE: the replaced Spark window (ORDER BY mmr_score DESC)
+    sorts NaN as the GREATEST double, so a NaN-relevance / NaN-cosine
+    candidate (a NaN component in the embedding propagates NaN through
+    dot and norm; under ANSI a zero NORM would instead raise
+    DIVIDE_BY_ZERO, so NaN-by-NaN-value is the reachable corner) must win
+    rank 1 — the pandas greedy has to replicate that, not silently skip
+    NaN via ``score > best``."""
+    from emdatapipelines_spark.llmdata.similarity import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [float("nan"), 1.0]),  # NaN component: cosine vs anything is NaN
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(1, 0.99), (2, 0.95), (3, float("nan"))],
+        "neighbor_id long, cosine double",
+    )
+    rows = {
+        r["mmr_rank"]: (r["selected_id"], r["mmr_score"])
+        for r in mmr_rerank(cands, corpus, k=3, lam=0.5).collect()
+    }
+    # NaN relevance → NaN step-1 score → sorts above every finite score.
+    # The score VALUE crosses the Arrow boundary as NULL (pandas NaN is
+    # Arrow's null sentinel — documented on the operator); the SELECTION
+    # ORDER is the former window's NaN-greatest contract.
+    assert rows[1][0] == 3 and rows[1][1] is None
+    # remaining candidates: cand 2's penalty term vs selected {3} is a NaN
+    # cosine → NaN score for BOTH survivors; cid-ASC tie-break keeps 1
+    assert rows[2][0] == 1 and rows[2][1] is None
+    assert rows[3][0] == 2 and rows[3][1] is None
+
+
 def test_mmr_rerank_per_query_equals_independent_runs(spark):
     """query_col mode: a multi-query shortlist frame must produce, per
     query, EXACTLY what a single-query mmr_rerank over that query's slice

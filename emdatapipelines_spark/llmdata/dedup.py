@@ -1126,6 +1126,91 @@ def substring_dedup_chunks(
     )
 
 
+def _build_token_sam(seqs: "list[list[int]]"):
+    """Generalized suffix automaton over token-id sequences (Blumer et al.
+    1985 construction, the standard online form with clones; generalized to
+    a doc SET by resetting ``last`` to the root between documents and
+    reusing an existing contiguous transition instead of re-adding it).
+    Returns ``(trans, link, length)`` parallel lists; states are ints,
+    transitions are per-state dicts keyed by token id. O(total tokens)
+    states/time. Used by :func:`exact_lcs_contamination`."""
+    trans: list[dict] = [{}]
+    link: list[int] = [-1]
+    length: list[int] = [0]
+
+    def extend(last: int, c: int) -> int:
+        if c in trans[last]:
+            q = trans[last][c]
+            if length[q] == length[last] + 1:
+                return q
+            clone = len(trans)
+            trans.append(dict(trans[q]))
+            link.append(link[q])
+            length.append(length[last] + 1)
+            p = last
+            while p != -1 and trans[p].get(c) == q:
+                trans[p][c] = clone
+                p = link[p]
+            link[q] = clone
+            return clone
+        cur = len(trans)
+        trans.append({})
+        link.append(-1)
+        length.append(length[last] + 1)
+        p = last
+        while p != -1 and c not in trans[p]:
+            trans[p][c] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = trans[p][c]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(trans)
+                trans.append(dict(trans[q]))
+                link.append(link[q])
+                length.append(length[p] + 1)
+                pp = p
+                while pp != -1 and trans[pp].get(c) == q:
+                    trans[pp][c] = clone
+                    pp = link[pp]
+                link[q] = clone
+                link[cur] = clone
+        return cur
+
+    for seq in seqs:
+        last = 0
+        for c in seq:
+            last = extend(last, c)
+    return trans, link, length
+
+
+def _sam_longest_match(trans, link, length, seq) -> int:
+    """Longest contiguous run of ``seq`` accepted by the automaton — the
+    classic streaming longest-common-substring walk: O(len) amortized."""
+    v = 0
+    run = 0
+    best = 0
+    for c in seq:
+        if c in trans[v]:
+            v = trans[v][c]
+            run += 1
+        else:
+            while v and c not in trans[v]:
+                v = link[v]
+            if c in trans[v]:
+                run = length[v] + 1
+                v = trans[v][c]
+            else:
+                v = 0
+                run = 0
+        if run > best:
+            best = run
+    return best
+
+
 def exact_lcs_contamination(
     train: DataFrame,
     ev: DataFrame,
@@ -1140,148 +1225,93 @@ def exact_lcs_contamination(
     shorter than 2 tokens report 0 (single shared words are not
     contamination).
 
-    Algorithm — k-ary search over shingle sizes: ``hit(n)`` = "some n-gram
-    of the doc appears in the eval n-gram set" is monotone in n, and hits
-    within any probed length set form a PREFIX (so one max() recovers the
-    full outcome of a multi-length probe). Two stages, every pass the same
-    join shape (explode active docs' n-grams of their probe lengths →
-    LEFT SEMI join the eval n-gram set on (length, hash) → advance
-    [lo, hi) from the per-doc max hit):
+    Algorithm (r15 — replaced the r10 k-ary doubling-probe search, guide
+    §1.2 "the distributed algorithm" + §4.2): ONE generalized suffix
+    automaton over the tokenized EVAL corpus answers "longest run of doc d
+    present in any eval doc" in O(len(d)) per training doc, so the whole
+    operator is a single Arrow-batched ``mapInPandas`` pass over the
+    training scan — no driver-side search loop (the k-ary form ran 1 +
+    log_fanout passes ≈ 4 checkpointed rounds ≈ 33 scheduled jobs/pass at
+    sf0.1; this runs 2). Tokenization stays IN SPARK (the same
+    ``_norm_text`` split as every shingle operator — the kernel sees token
+    arrays, never raw text, so engine-vs-kernel tokenization cannot
+    diverge). Matching is integer-only: eval tokens are dict-mapped to
+    ints; train tokens outside the eval vocabulary map to -1, which has no
+    transition anywhere and resets the walk.
 
-      1. ONE pass probing ALL powers of two {2, 4, …, 2^⌈log2 max_eval⌉}
-         simultaneously (the doubling phase of the classic doubling-probe
-         LCS device, batched) — brackets every doc into a dyadic
-         [2^k, 2^(k+1)) interval; docs missing n=2 retire with 0;
-      2. ``fanout``-ary refinement: probe the lo + j·step grid (step =
-         width div fanout), shrinking every bracket by fanout per pass —
-         ⌈log_fanout(max_eval)⌉ passes (3 at 500-token eval docs).
+    Scale shape: eval corpora are small by nature (benchmarks, not the
+    corpus), so the eval token lists are a driver-built broadcast — the
+    guide §3.2 manual-broadcast pattern, same data volume the previous
+    form shipped as its broadcast eval-gram side; the automaton is linear
+    in eval tokens and is built once per task (guide §4.5). The training
+    side — the 100 TB side — is never shuffled at all (the previous form
+    shuffled per-doc probe state every refinement round).
 
-    Per-pass cost: train side = active docs' token volume × probes-per-doc
-    (log₂ len in stage 1, fanout−1 after); eval side = eval tokens ×
-    distinct live lengths — bounded because eval corpora are small by
-    nature and brackets stay grid-aligned (the distinct-length count per
-    pass is #live brackets × (fanout−1)). No all-pairs anywhere; the
-    per-doc state is localCheckpointed per pass so plan depth stays O(1).
-    Total passes 1 + ⌈log_fanout(max_eval)⌉ ≈ 4 (SCALING.md round-10) vs
-    ~18 for the plain binary-search form — driver-loop job overhead, not
-    data volume, dominates this operator below cluster scale.
+    ``fanout`` is retired (the automaton needs no search grid); accepted
+    for call compatibility.
 
     Oracle independence: the SQL twin computes the same value by a wholly
     different route (bigram position-match diagonals + gaps-and-islands
-    run lengths), so agreement is evidence, not tautology.
+    run lengths), so agreement is evidence, not tautology;
+    ``tests/test_round10_additions.py`` additionally pins this exact
+    implementation against a per-doc Python brute force.
     """
+    del fanout  # retired search parameter, kept for API compatibility
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     toks = F.split(_norm_text(text_col), " ")
-    tr0 = train.select(
-        F.col(id_col).alias("id"), toks.alias("tk"), F.size(toks).alias("len")
-    )
-    ev0 = ev.select(toks.alias("tk")).persist()
-    max_eval = ev0.agg(F.max(F.size("tk"))).first()[0] or 0
-    if max_eval < 2:
-        ev0.unpersist()
-        return train.select(
-            F.col(id_col).alias("doc_id"), F.lit(0).cast("int").alias("lcs_tokens")
-        ).orderBy("doc_id")
+    tr0 = train.select(F.col(id_col).alias("id"), toks.alias("tk"))
+    # metadata-rate driver collect of the SMALL side only (guide §3.2):
+    # the eval token lists become a SparkContext broadcast exactly like a
+    # hand-built Bloom filter; the training side streams through the
+    # automaton without ever being collected or shuffled.
+    ev_tokens = [
+        list(r["tk"])
+        for r in ev.select(toks.alias("tk")).collect()
+        if r["tk"]
+    ]
+    vocab: dict[str, int] = {}
+    seqs: list[list[int]] = []
+    for tk in ev_tokens:
+        seq = []
+        for tok in tk:
+            tid = vocab.get(tok)
+            if tid is None:
+                tid = len(vocab)
+                vocab[tok] = tid
+            seq.append(tid)
+        seqs.append(seq)
+    bc = train.sparkSession.sparkContext.broadcast((vocab, seqs))
 
-    # n-gram hashes for a (…, n) row — clean semantics: no partial
-    # shingles, a doc emits grams only when its length covers n
-    _grams = (
-        "transform(sequence(1, size(tk) - n + 1),"
-        " i -> xxhash64(array_join(slice(tk, i, n), ' ')))"
+    id_field = tr0.schema["id"]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType, True),
+            StructField("lcs", IntegerType(), True),
+        ]
     )
 
-    def eval_grams(lengths: list[int]) -> DataFrame:
-        ls = F.array(*[F.lit(int(x)) for x in sorted(set(lengths))])
-        return (
-            ev0.select(F.explode(ls).alias("n"), "tk")
-            .filter(F.size("tk") >= F.col("n"))
-            .select("n", F.explode(F.expr(_grams)).alias("g"))
-            .distinct()
-        )
-
-    def max_hit(probes: DataFrame, lengths: list[int]) -> DataFrame:
-        """(id, max_hit): the largest probed length whose n-gram set hits
-        eval — by monotonicity, every smaller probed length hit too."""
-        g = probes.filter(F.size("tk") >= F.col("n")).select(
-            "id", "n", F.explode(F.expr(_grams)).alias("g")
-        )
-        return (
-            g.join(eval_grams(lengths), ["n", "g"], "left_semi")
-            .groupBy("id")
-            .agg(F.max("n").alias("max_hit"))
-        )
-
-    # ---- stage 1: all powers of two in ONE pass ----------------------------
-    powers = [2]
-    while powers[-1] * 2 <= max_eval:
-        powers.append(powers[-1] * 2)
-    p1 = tr0.select(
-        "id", "tk", F.explode(F.array(*[F.lit(p) for p in powers])).alias("n")
-    )
-    h1 = max_hit(p1, powers)
-    # lo = max hit power (known hit); hi = 2*lo (known miss: the next power
-    # was probed and missed, or exceeds max_eval / doc length)
-    st = (
-        tr0.join(h1, "id", "left")
-        .select(
-            "id",
-            "tk",
-            F.coalesce("max_hit", F.lit(0)).alias("lo"),
-            (F.coalesce("max_hit", F.lit(0)) * 2).alias("hi"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    zero = st.filter(F.col("lo") == 0).select(
-        F.col("id").alias("doc_id"), F.lit(0).cast("int").alias("lcs_tokens")
-    )
-    st = st.filter(F.col("lo") > 0)
-
-    # ---- stage 2: fanout-ary grid refinement -------------------------------
-    while True:
-        opened = st.filter(F.col("hi") - F.col("lo") > 1)
-        step = F.greatest((F.col("hi") - F.col("lo")) / F.lit(fanout), F.lit(1)).cast(
-            "long"
-        )
-        probes = opened.select(
-            "id",
-            "tk",
-            "lo",
-            "hi",
-            step.alias("step"),
-            F.explode(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(fanout - 1)),
-                        lambda j: F.col("lo") + j * step,
-                    ),
-                    lambda x: x < F.col("hi"),
+    def kernel(batches):
+        vocab_b, seqs_b = bc.value
+        trans, link, length = _build_token_sam(seqs_b)  # once per task
+        get = vocab_b.get
+        for pdf in batches:
+            out = []
+            for tk in pdf["tk"]:
+                if tk is None or len(tk) == 0:
+                    out.append(0)
+                    continue
+                best = _sam_longest_match(
+                    trans, link, length, [get(t, -1) for t in tk]
                 )
-            ).alias("n"),
-        )
-        lengths = [r["n"] for r in probes.select("n").distinct().collect()]
-        if not lengths:
-            break
-        steps = probes.groupBy("id").agg(F.min("step").alias("step"))
-        upd = (
-            opened.join(steps, "id")
-            .join(max_hit(probes, lengths), "id", "left")
-            .select(
-                "id",
-                "tk",
-                # hits are a prefix of the probe grid: the new lo is the max
-                # hit (or the old lo when every probe missed); the new hi is
-                # one grid step above the new lo, clamped to the old hi
-                F.coalesce("max_hit", F.col("lo")).alias("lo"),
-                F.least(
-                    F.col("hi"), F.coalesce("max_hit", F.col("lo")) + F.col("step")
-                ).alias("hi"),
-            )
-        )
-        st = upd.unionByName(
-            st.filter(F.col("hi") - F.col("lo") <= 1)
-        ).localCheckpoint(eager=True)
+                out.append(best if best >= 2 else 0)
+            yield pd.DataFrame({"id": pdf["id"], "lcs": out})
 
-    ev0.unpersist()
-    done = st.select(
-        F.col("id").alias("doc_id"), F.col("lo").cast("int").alias("lcs_tokens")
+    return (
+        tr0.mapInPandas(kernel, out_schema)
+        .select(
+            F.col("id").alias("doc_id"), F.col("lcs").cast("int").alias("lcs_tokens")
+        )
+        .orderBy("doc_id")
     )
-    return zero.unionByName(done).orderBy("doc_id")

@@ -1578,13 +1578,18 @@ def mmr_rerank(
     b = cv.select(
         F.col("qid").alias("qb"), F.col("cid").alias("ib"), F.col("v").alias("vb")
     )
-    # broadcast the (retrieval-bounded, k·|queries|-row) side: in
-    # query_col=None mode the qid equi-key is a folded literal and a plain
-    # join would plan a two-sided CartesianProduct; broadcasting the
-    # bounded side makes the pairwise-sim build O(n·shortlist) with no
-    # shuffle of either side — the sim_cosine_topk BNLJ pattern
+    # Single-query mode (query_col=None): the qid equi-key folds to a
+    # literal and a plain join would plan a two-sided CartesianProduct, so
+    # broadcast the b side — ONE query's retrieval-bounded shortlist
+    # (~dozens of rows), always broadcast-safe. Multi-query mode (r15,
+    # VERDICT r14 #3/#9): the qid key is real, so the equi-join needs no
+    # broadcast — the former unconditional F.broadcast(b) shipped the
+    # FULL k·|queries| shortlist union to the driver, a ceiling at
+    # millions of concurrent queries; the hash join shuffles each query's
+    # shortlist to one partition instead, unbounded in |queries|.
+    b_side = b if query_col else F.broadcast(b)
     sims = (
-        a.join(F.broadcast(b), (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
+        a.join(b_side, (F.col("qid") == F.col("qb")) & (F.col("ia") != F.col("ib")))
         .select(
             "qid",
             "ia",

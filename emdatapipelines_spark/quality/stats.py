@@ -186,8 +186,19 @@ def multi_column_entropy(df: DataFrame, specs: list[tuple[str, Column | str]]) -
     per = pairs.groupBy("column_name", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    tot = per.groupBy("column_name").agg(F.sum("cnt").cast("bigint").alias("n_tot"))
-    j = per.join(F.broadcast(tot), "column_name")
+    # r15 (r14 ADVICE): n_tot as a window sum over the SAME per-frame —
+    # the former per→tot groupBy + broadcast join planned the value-count
+    # subtree twice (two scans in the formatted plan, deduped only by
+    # runtime exchange reuse). One window partitioned by column_name makes
+    # the single scan structural, and the final groupBy(column_name) below
+    # reuses the window's partitioning (no extra exchange). Same exact
+    # bigint totals.
+    from pyspark.sql import Window
+
+    j = per.withColumn(
+        "n_tot",
+        F.sum("cnt").over(Window.partitionBy("column_name")).cast("bigint"),
+    )
     p_v = F.col("cnt") / F.col("n_tot")
     return (
         j.groupBy("column_name")

@@ -54,6 +54,50 @@ def test_exact_lcs_matches_brute_force(spark):
     assert got == want
 
 
+def test_sam_kernel_matches_brute_force_randomized():
+    """r15: the generalized suffix-automaton kernel behind
+    exact_lcs_contamination, pinned against an O(n^2) brute force on 200
+    random multi-doc corpora (small alphabet -> dense repeats, the
+    clone-heavy worst case for SAM construction). Pure Python, no Spark."""
+    import random
+
+    from emdatapipelines_spark.llmdata.dedup import (
+        _build_token_sam,
+        _sam_longest_match,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(200):
+        n_ev = rng.randint(1, 4)
+        ev_seqs = [
+            [rng.randrange(rng.choice([2, 3, 5])) for _ in range(rng.randint(0, 30))]
+            for _ in range(n_ev)
+        ]
+        trans, link, length = _build_token_sam(ev_seqs)
+        for _ in range(5):
+            q = [rng.randrange(6) for _ in range(rng.randint(0, 25))]
+            # brute force: longest contiguous slice of q inside any ev seq
+            best = 0
+            for n in range(len(q), 0, -1):
+                found = False
+                for i in range(len(q) - n + 1):
+                    sub = q[i : i + n]
+                    for s in ev_seqs:
+                        for j in range(len(s) - n + 1):
+                            if s[j : j + n] == sub:
+                                found = True
+                                break
+                        if found:
+                            break
+                    if found:
+                        break
+                if found:
+                    best = n
+                    break
+            got = _sam_longest_match(trans, link, length, q)
+            assert got == best, (trial, ev_seqs, q, got, best)
+
+
 def test_exact_lcs_fanout_invariance(spark):
     """The answer must not depend on the search fan-out (binary vs 8-ary)."""
     d = spark.createDataFrame(

@@ -716,11 +716,17 @@ def test_mmr_rerank_per_query_equals_independent_runs(spark):
         [(q, i, r) for q, rows in short.items() for i, r in rows],
         "query_id long, neighbor_id long, cosine double",
     )
+    multi_out = mmr_rerank(multi, corpus, k=3, lam=0.6, query_col="query_id")
+    # r15 (VERDICT r14 #9): in multi-query mode the qid equi-key is real,
+    # so the pairwise-sim build must be a plain (scale-unbounded) equi-join
+    # — no driver-side broadcast of the k x |queries| shortlist union and
+    # no cartesian fallback in the plan.
+    plan = multi_out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     got = {
         (r["query_id"], r["mmr_rank"]): (r["selected_id"], r["mmr_score"])
-        for r in mmr_rerank(
-            multi, corpus, k=3, lam=0.6, query_col="query_id"
-        ).collect()
+        for r in multi_out.collect()
     }
     for q, rows in short.items():
         single = spark.createDataFrame(rows, "neighbor_id long, cosine double")

@@ -101,7 +101,7 @@ def dd_exact_dedup(spark, sf_dir):
     """,
 )
 def dd_jaccard_pairs(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return ngram_jaccard_pairs(d, n=3, threshold=0.05)
 
 
@@ -149,7 +149,7 @@ _JACCARD_EDGES_SQL = f"""
 def dd_cluster_assign(spark, sf_dir):
     from ..llmdata.dedup import connected_components
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     pairs = ngram_jaccard_pairs(d, n=5, threshold=0.5)
     return connected_components(pairs)
 
@@ -347,7 +347,7 @@ def dd_incremental_index(spark, sf_dir):
     index; the new batch is flagged against it without touching corpus text.
     Output is the planted-copy slice (id ≥ 10^12) with max est_jaccard per
     id — deterministically 1.0 for every planted copy."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     corpus, batch = _incremental_split(d)
     index = minhash_signatures(corpus, n=3, num_hashes=64)
     return _incremental_probe_from_index(batch, index)
@@ -423,7 +423,7 @@ def tx_nb_quality(spark, sf_dir):
     nb_token_quality`): the model's sufficient statistics are additive token
     counts, so training is a single map-side-combined groupBy; the fitted
     vocabulary broadcasts back and scoring never shuffles the corpus."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return nb_token_quality(d, label=F.size(F.split(norm, " ")) >= 40)
 
@@ -507,7 +507,7 @@ def sim_lsh_topk(spark, sf_dir):
     floor is asserted in tests/test_scale_operators.py."""
     from ..llmdata.similarity import with_recall_vs_exact
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     q = e.filter(F.col("vec_id") < 8)
     approx = lsh_cosine_topk(q, e, k=5, dim=64, n_planes=6, multiprobe=1)
     return with_recall_vs_exact(approx, q, e, k=5).orderBy("query_id", "rank")
@@ -618,7 +618,7 @@ def sim_pq_topk(spark, sf_dir):
     self-validating ``recall_at_k`` column (see sim_lsh_topk)."""
     from ..llmdata.similarity import pq_cosine_topk, with_recall_vs_exact
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     # FIXED query sample (20 vectors at any sf): the ANN measurement
     # protocol bounds the query side — sampling it proportionally to the
     # corpus would make query×corpus work scale quadratically with sf
@@ -997,7 +997,7 @@ def llm_stratified_k(spark, sf_dir):
 def tx_tfidf_keywords(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     tok = d.select("doc_id", F.explode(F.split(norm, " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -1040,7 +1040,7 @@ def tx_tfidf_keywords(spark, sf_dir):
 def lm_unigram_surprisal(spark, sf_dir):
     from ..llmdata.text import unigram_surprisal
 
-    return unigram_surprisal(t(spark, sf_dir, "documents"))
+    return unigram_surprisal(t(spark, sf_dir, "documents", restore=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1734,7 +1734,7 @@ def tx_vocab_freq(spark, sf_dir):
     two-level agg (distinct (term, doc) then count) so no COUNT DISTINCT
     expand over the exploded fact. Top-50 is a TakeOrdered, not a full sort.
     """
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias(
@@ -2446,7 +2446,7 @@ def dd_source_overlap(spark, sf_dir):
 def llm_contrastive_triplets(spark, sf_dir):
     from ..llmdata.dedup import ngram_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
     buckets = (
         d.select(
@@ -2777,7 +2777,7 @@ def llm_kfold_split(spark, sf_dir):
     oracle mirrors it exactly."""
     from ..llmdata.dedup import ngram_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     edges = ngram_jaccard_pairs(d, n=5, threshold=0.5).select("id_a", "id_b")
     rep = F.least("id_a", "id_b")
     members = (
@@ -3264,7 +3264,7 @@ def _kmeans_oracle(k: int = 4) -> str:
 def ml_kmeans_model(spark, sf_dir):
     from ..ml.kmeans import kmeans_lloyd
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", restore=True)
     out = kmeans_lloyd(e, k=4, iters=2)
     return out.select(
         F.col("cluster").cast("int"),
@@ -4088,7 +4088,7 @@ def dd_url_dedup(spark, sf_dir):
 def dd_substring_dedup(spark, sf_dir):
     from ..llmdata.dedup import substring_dedup_chunks
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     return substring_dedup_chunks(d, chunk_tokens=20)
 
 
@@ -4286,7 +4286,7 @@ def tx_lexical_diversity(spark, sf_dir):
     the (doc, term) grain is the same frame TF-IDF builds), everything
     else integer arithmetic with single 6-dp ratio divisions — no window,
     no UDF, corpus-scale unchanged."""
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     toks = d.select(
         "doc_id",
         F.explode(
@@ -4834,7 +4834,7 @@ def tx_collocations(spark, sf_dir):
 
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     toks = F.split(_norm("text"), " ")
     tk = d.select(toks.alias("tk"))
     uni = tk.select(F.explode("tk").alias("w"))
@@ -4917,7 +4917,7 @@ def tx_burstiness(spark, sf_dir):
 
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     tf = (
         d.select("doc_id", F.explode(F.split(_norm("text"), " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -5754,7 +5754,7 @@ def lm_next_word_topk(spark, sf_dir):
 
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     tk = d.select(F.split(_norm("text"), " ").alias("tk"))
     out_len = F.greatest(F.size(F.col("tk")) - 1, F.lit(0))
     pairs = tk.select(
@@ -5864,7 +5864,7 @@ def dd_minhash_estimate(spark, sf_dir):
     itself runs on xxhash64-collapsed 8-byte keys (output-invariant)."""
     from ..llmdata.dedup import _shingles
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     sh = d.select("doc_id", F.explode(_shingles("text", 5)).alias("shingle"))
     return _minhash_estimate_from_shingles(sh, persist=True)
 
@@ -6032,7 +6032,7 @@ def sim_cluster_separation(spark, sf_dir):
     S_d²/n and W = Σ_cd (q − s²/n_c) from decimal-exact moments; the
     per-(label, dim) sums keep unscaled integers < 2^53 so the
     decimal→double conversions are single-rounding in every engine."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = t(spark, sf_dir, "embeddings", restore=True)
     ex = emb.select(
         "label", F.posexplode("embedding").alias("dim", "xf")
     ).select("label", "dim", F.round(F.col("xf").cast("double"), 8).alias("x"))
@@ -6425,7 +6425,7 @@ def llm_curriculum_order(spark, sf_dir):
     from ..llmdata.text import _norm
     from ..operators.windows import exact_ntile, with_global_index
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     tk = d.select(
         "doc_id",
         F.length(_norm("text")).alias("n_norm_chars"),
@@ -6682,7 +6682,7 @@ def lm_kneser_ney_cont(spark, sf_dir):
 
     from ..llmdata.text import _norm
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     toks = d.select(F.split(_norm("text"), " ").alias("tk"))
     pair_list = F.when(
         F.size("tk") >= 2,
@@ -6771,7 +6771,7 @@ def lm_kneser_ney_cont(spark, sf_dir):
 def dd_snapshot_dedup_rate(spark, sf_dir):
     from ..llmdata.dedup import ngram_jaccard_pairs
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", restore=True)
     pairs = ngram_jaccard_pairs(
         d, n=5, threshold=0.5, max_shingle_df=50
     ).select("id_a", "id_b")
@@ -7009,7 +7009,7 @@ def w17_rsi(spark, sf_dir):
     """,
 )
 def tx_code_detect(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = t(spark, sf_dir, "documents", restore=True).filter(F.length("text") > 0)
     n_chars = F.length("text")
     n_sym = n_chars - F.length(
         F.regexp_replace("text", r"[{}\[\]();=<>+*/&|^%#]", "")
@@ -7412,7 +7412,7 @@ def ts_similarity_topk(spark, sf_dir):
 def llm_effective_tokens(spark, sf_dir):
     from ..llmdata.text import _norm, token_count
 
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", restore=True).select(
         "doc_id",
         "source",
         F.md5(_norm("text")).alias("h"),

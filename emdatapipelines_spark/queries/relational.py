@@ -198,8 +198,8 @@ def j1_dim_enrich(spark, sf_dir):
     """,
 )
 def j2_fact_join_yearly(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem", restore=True)
-    o = t(spark, sf_dir, "orders", restore=True)
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
     joined = l.join(o, l["l_orderkey"] == o["o_orderkey"])
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.groupBy(

@@ -44,12 +44,20 @@ def main() -> int:
     names = sorted(n for n in queries if not only or n in only)
 
     restore_on = set(registry._RESTORE_SPLITS)
+    default_restore = registry.t.__defaults__
 
     def run_arm(fn, arm: str) -> float:
+        # Force the arm GLOBALLY: the per-query restore decisions live as
+        # explicit kwargs in the query bodies (r15 opt-in model), so the
+        # "on" arm must also flip t()'s default for the queries that pass
+        # nothing, and the "off" arm must defeat explicit restore=True
+        # callers by clearing the split set.
         if arm == "off":
             registry._RESTORE_SPLITS.clear()
+            registry.t.__defaults__ = (False,)
         else:
             registry._RESTORE_SPLITS.update(restore_on)
+            registry.t.__defaults__ = (True,)
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
@@ -73,6 +81,7 @@ def main() -> int:
             results[name] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
         finally:
             registry._RESTORE_SPLITS.update(restore_on)
+            registry.t.__defaults__ = default_restore
         if (i + 1) % 25 == 0:
             print(f"... {i + 1}/{len(names)}", file=sys.stderr)
 
